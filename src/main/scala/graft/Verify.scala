@@ -11,6 +11,12 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      // events.parquet stores TIMESTAMP(NANOS); read as long + convert
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // write timestamps as µs (not INT96) so the DuckDB compare sees
+      // the same logical type it produces itself
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

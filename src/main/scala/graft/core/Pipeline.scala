@@ -1,0 +1,83 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Cold/warm CDC topologies + ordered state commit — the composition the
+  * reference's `extract` (src/download.py:22-87) and `post_download`
+  * (download.py:532-604) perform.
+  *
+  * The reference picks one of two asyncio DAGs: cold 3-stage
+  * `fetch → {update, hash}` for an empty target (download.py:29-42), warm
+  * 5-stage `load → filter ⋈ fetch → {update, hash}` for incremental
+  * (download.py:44-63). Here both are ONE logical plan each; the "two
+  * sinks" fan-out (download.py:421-429) becomes two actions over a
+  * persisted frame.
+  *
+  * Commit ordering (SURVEY §7.4.4, reference download.py:557-604): the
+  * changelog must capture old rows BEFORE the snapshot swap (its join reads
+  * `{t}` not `{t}_new`, download.py:585-595). Hence: write changelog →
+  * write snapshot → write signature state.
+  */
+object Pipeline {
+  /** Runaway-delete circuit breaker: the reference refuses to delete when
+    * ≥100k ids vanished ("did tig's db update?", download.py:326-330).
+    */
+  val DefaultMaxDeletes = 100000L
+
+  final case class WarmResult(
+    kinds: DataFrame,        // (key*, kind) classification
+    newSnapshot: DataFrame,  // post-apply table state
+    changelog: DataFrame,    // old versions of changed rows
+    newState: DataFrame      // (key*, sig) cache for the next run
+  )
+
+  /** Cold full load (reference download.py:29-42): scan the source once,
+    * derive scores + signature in the same pass (table.py:79-93,
+    * download.py:389-400), fan out to snapshot + signature state.
+    */
+  def cold(external: DataFrame, key: Seq[String], dataCols: Seq[String]): (DataFrame, DataFrame) = {
+    val scored = Scores.withOverall(Scores.withScores(external))
+    val state  = external.select(
+      key.map(col) :+ Signatures.md5Sig(dataCols.map(col)).as(Diff.SigCol): _*)
+    (scored, state)
+  }
+
+  /** Warm incremental run (reference download.py:44-63 + post_download
+    * 532-604), as pure DataFrames. `internal` is the current snapshot,
+    * `external` the live source; both share `key` + `dataCols`.
+    */
+  def warm(internal: DataFrame, external: DataFrame,
+           key: Seq[String], dataCols: Seq[String],
+           maxDeletes: Long = DefaultMaxDeletes): WarmResult = {
+    val kinds   = Diff.classify(internal, external, key, dataCols)
+    val touched = kinds.filter(col(Diff.KindCol).isin("changed", "new"))
+    val fetched = Diff.semiJoinChanged(external, touched, key)
+    val changedKeys = kinds.filter(col(Diff.KindCol) === "changed")
+    val changelog   = Changelog.captureOld(internal, changedKeys, key)
+
+    // Deleted-rows circuit breaker (download.py:326-330): if the source
+    // lost too many keys, treat it as a source fault and skip deletes.
+    val deletedKeys  = kinds.filter(col(Diff.KindCol) === "deleted")
+    val deleteCount  = deletedKeys.count()
+    val afterDeletes =
+      if (deleteCount >= maxDeletes) internal
+      else internal.join(deletedKeys.select(key.map(col): _*), key, "left_anti")
+
+    val newSnapshot = Diff.upsertReplace(afterDeletes, fetched, key)
+    val newState    = newSnapshot.select(
+      key.map(col) :+ Signatures.md5Sig(dataCols.map(col)).as(Diff.SigCol): _*)
+    WarmResult(kinds, newSnapshot, changelog, newState)
+  }
+
+  /** Ordered durable commit (reference download.py:557-604). Parquet
+    * overwrite of separate directories stands in for the reference's
+    * TRUNCATE/REPLACE double-buffer swap — readers of the old directory
+    * are unaffected until each write completes.
+    */
+  def commit(r: WarmResult, baseDir: String): Unit = {
+    r.changelog.write.mode(SaveMode.Append).parquet(s"$baseDir/changelog")
+    r.newSnapshot.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/snapshot")
+    r.newState.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/state")
+  }
+}

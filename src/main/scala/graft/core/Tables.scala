@@ -1,0 +1,41 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table loader for the driver testdata layout (TESTDATA.md).
+  *
+  * Stands in for the reference's runtime schema discovery from
+  * `information_schema` (reference: src/table.py:66-75) — with Parquet the
+  * schema travels with the data, so "discovery" is just `df.schema`.
+  */
+object Tables {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** The `events` fixture stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark's vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). Read it
+    * as raw nanos (legacy conf) and truncate to Spark's native microsecond
+    * timestamps — lossless for all downstream event-time semantics here.
+    */
+  def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+  }
+
+  /** Dynamic column discovery (reference: src/table.py:66-93 builds select
+    * lists from discovered columns). Returns field names, optionally
+    * filtered to numeric stat columns (used by the schema-driven aggregate
+    * list of group_tribe_stats, reference: src/post_update.py:57-66).
+    */
+  def numericColumns(df: DataFrame, exclude: Set[String] = Set.empty): Seq[String] = {
+    import org.apache.spark.sql.types._
+    df.schema.fields.collect {
+      case f if !exclude.contains(f.name) && (f.dataType match {
+        case _: NumericType => true
+        case _              => false
+      }) => f.name
+    }.toSeq
+  }
+}

@@ -1,0 +1,74 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Derived per-group aggregate statistics — the reference's `post_update`
+  * stage (src/post_update.py). Roles re-bound to testdata per FIXTURES.md
+  * §3: `nation` plays `tribe` (dim), `customer` plays `player` (fact),
+  * `orders` plays `member`/`player_new` (bridge / per-run delta).
+  *
+  * Scale notes: the dim side (`tribe`/`nation`) is tiny → broadcast; the
+  * delta key set is small → broadcast; the only shuffle is the final
+  * hash aggregate on the group key, with map-side partial aggregation.
+  */
+object TribeAgg {
+  /** group_tribe_active (reference: src/post_update.py:22-39):
+    * per tribe: COUNT(members), COUNT(active) where "active" counts members
+    * whose player row changed THIS RUN (join against the delta, not the
+    * snapshot — post_update.py:36-37, preserved exactly per SURVEY §7.4.5),
+    * and POWER(COUNT(members), 0.5) as the `members_sqrt` normalizer.
+    *
+    * `activeKeys` must be a 1-column DataFrame of distinct changed member
+    * keys (the `player_new` analog).
+    */
+  def tribeActive(tribe: DataFrame, members: DataFrame, activeKeys: DataFrame,
+                  tribeKey: String, memberTribeFk: String, memberKey: String): DataFrame = {
+    val joined = broadcast(tribe.select(col(tribeKey)))
+      .join(members, col(tribeKey) === col(memberTribeFk), "inner")
+      .join(broadcast(activeKeys.withColumnRenamed(activeKeys.columns.head, "__active_key")),
+        col(memberKey) === col("__active_key"), "left_outer")
+    joined.groupBy(col(tribeKey))
+      .agg(
+        count(col(memberKey)).as("members"),          // COUNT(m.id_member)
+        count(col("__active_key")).as("active"),      // COUNT(p.id): null-skipping
+        pow(count(col(memberKey)), 0.5).as("members_sqrt"))
+  }
+
+  /** group_tribe_stats (reference: src/post_update.py:42-91): per tribe,
+    * for every discovered stat column, SUM(stat) / members_sqrt. The stat
+    * list is schema-driven (post_update.py:57-66 excludes id/members/
+    * active); two shapes exist — cold recomputes counts inline with a LEFT
+    * JOIN on the delta (post_update.py:44-49,86-89), warm reuses a
+    * precomputed `tribe_active` (post_update.py:50-55,84). One
+    * implementation with `precomputed: Option[DataFrame]` (SURVEY §7.4.6).
+    */
+  def tribeStats(tribe: DataFrame, members: DataFrame, facts: DataFrame,
+                 activeKeys: DataFrame, tribeKey: String, memberTribeFk: String,
+                 memberKey: String, factKey: String, statCols: Seq[String],
+                 precomputed: Option[DataFrame]): DataFrame = {
+    val base = broadcast(tribe.select(col(tribeKey)))
+      .join(members, col(tribeKey) === col(memberTribeFk), "inner")
+      .join(facts, col(memberKey) === col(factKey), "inner")
+
+    val statAggs: Seq[(String, Column)] = statCols.map(c => c -> sum(col(c)))
+
+    precomputed match {
+      case Some(active) =>   // warm: reuse tribe_active (post_update.py:50-55)
+        val aggs = statAggs.map { case (n, e) => e.as(s"__sum_$n") }
+        val sums = base.groupBy(col(tribeKey)).agg(aggs.head, aggs.tail: _*)
+        val out = sums.join(broadcast(active), Seq(tribeKey), "inner")
+        val statOut = statCols.map(n => (col(s"__sum_$n") / col("members_sqrt")).as(n))
+        out.select(col(tribeKey) +: col("members") +: col("active") +: statOut: _*)
+      case None =>           // cold: counts inline + LEFT JOIN delta (post_update.py:44-49)
+        val withActive = base.join(
+          broadcast(activeKeys.withColumnRenamed(activeKeys.columns.head, "__active_key")),
+          col(factKey) === col("__active_key"), "left_outer")
+        val aggs =
+          count(col(memberKey)).as("members") +:
+          count(col("__active_key")).as("active") +:
+          statAggs.map { case (n, e) => (e / pow(count(col(memberKey)), 0.5)).as(n) }
+        withActive.groupBy(col(tribeKey)).agg(aggs.head, aggs.tail: _*)
+    }
+  }
+}

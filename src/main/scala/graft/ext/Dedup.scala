@@ -1,0 +1,128 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (extension beyond reference parity, SURVEY.md §7.5).
+  *
+  * Scale design: per-document signatures (shingles → MinHash → bands,
+  * SimHash) are computed with higher-order array functions — `transform` /
+  * `array_min` / `aggregate` — entirely map-side, with NO explode and NO
+  * shuffle until the final candidate bucket join. At 100 TB that means one
+  * pass over the corpus producing a few dozen bytes per doc, then a join
+  * keyed on band buckets whose fan-in AQE handles (skewed buckets are
+  * exactly what AQE skew-join splitting is for).
+  */
+object Dedup {
+  /** Exact dedup: group identical texts by md5 and flag every row that is
+    * not the minimal id of its group. Window-min avoids a groupBy+join
+    * (one shuffle on the hash key instead of two).
+    */
+  def exactFlags(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sig = md5(col(textCol).cast("binary"))
+    val w = Window.partitionBy("text_sig")
+    docs.select(col(idCol), sig.as("text_sig"))
+      .withColumn("keep_id", min(col(idCol)).over(w))
+      .withColumn("is_dup", (col(idCol) =!= col("keep_id")).cast("int"))
+      .select(col(idCol), col("text_sig"), col("is_dup"))
+  }
+
+  /** Word n-gram shingles of a whitespace-tokenized text, as an array
+    * column. Empty array when the text has fewer than n words (guards
+    * `sequence(1, 0)` which would count DOWN in Spark).
+    */
+  def wordShingles(textCol: Column, n: Int): Column = {
+    val ws = split(textCol, " ")
+    when(size(ws) >= n,
+      transform(sequence(lit(1), size(ws) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(o => element_at(ws, i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash signature: k "permutations" realized as md5(i|shingle) with
+    * the lexicographic min as the sketch value. Using md5-of-salted-string
+    * (instead of Spark's murmur `hash`) keeps the signature reproducible
+    * in any engine with md5 — which is what makes the DuckDB oracle for
+    * the LSH query possible.
+    */
+  def minhash(shinglesCol: Column, k: Int): Column =
+    array((0 until k).map { i =>
+      array_min(transform(shinglesCol, s => md5(concat(lit(s"$i|"), s))))
+    }: _*)
+
+  /** LSH band keys: the k minhashes split into `bands` groups of
+    * k/bands rows, each group hashed to one bucket key.
+    */
+  def bandKeys(mhCol: Column, k: Int, bands: Int): Seq[Column] = {
+    val rows = k / bands
+    (0 until bands).map { b =>
+      md5(concat_ws("|", slice(mhCol, b * rows + 1, rows))).as(s"band_$b")
+    }
+  }
+
+  /** Per-doc MinHash+LSH signature table: (id, band_0..band_{b-1}).
+    * All map-side; zero shuffles.
+    */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, k: Int = 8, bands: Int = 2): DataFrame = {
+    val mh = minhash(wordShingles(col(textCol), shingleN), k)
+    docs.select(col(idCol) +: bandKeys(mh, k, bands): _*)
+  }
+
+  /** LSH candidate pairs: docs sharing at least one band bucket.
+    * unpivot(bands) → self-join on bucket → distinct pairs. The join is
+    * the only shuffle; bucket skew is handled by AQE.
+    */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String): DataFrame = {
+    val bandCols = sigs.columns.filter(_.startsWith("band_")).toSeq
+    val exploded = sigs.select(col(idCol).as("id"),
+      explode(array(bandCols.map(col): _*)).as("bucket"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per bit b, sum ±1 across token
+    * xxhash64 bits; bit set where the sum is positive. Pure expression
+    * (nested `aggregate`), map-side only.
+    */
+  def simhash64(textColName: String): Column = {
+    // expr-string form: lambda-heavy nesting is clearer in SQL syntax
+    val t = s"`$textColName`"
+    expr(
+      s"""aggregate(sequence(0, 63), 0L, (acc, b) -> acc | if(
+         |  aggregate(split($t, ' '), 0L,
+         |    (a, w) -> a + if(((xxhash64(w) >> b) & 1) = 1, 1L, -1L)) > 0,
+         |  shiftleft(1L, b), 0L))""".stripMargin)
+  }
+
+  /** Hamming distance between two simhashes (near-dup test: dist <= r). */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Jaccard similarity of the distinct word sets of two texts. */
+  def wordJaccard(a: Column, b: Column): Column = {
+    val wa = array_distinct(split(a, " "))
+    val wb = array_distinct(split(b, " "))
+    val inter = size(array_intersect(wa, wb)).cast("double")
+    round(inter / (size(wa) + size(wb) - inter), 6)
+  }
+
+  /** Embedding near-dup: pairs with cosine above `threshold`. Candidates
+    * from LSH buckets (see [[Similarity.hyperplaneBucket]]) to avoid the
+    * quadratic cross join at scale; exact cosine verifies.
+    */
+  def embeddingNearDups(embs: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, planes: Int = 8): DataFrame = {
+    val bucketed = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Similarity.hyperplaneBucket(col(vecCol), planes).as("bucket"))
+    val a = bucketed.as("a")
+    val b = bucketed.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(Similarity.cosine(col("a.v"), col("b.v")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

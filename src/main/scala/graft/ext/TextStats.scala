@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (extension beyond
+  * reference parity, SURVEY.md §7.5): language ID, quality scoring, token
+  * counting, document fingerprinting. All pure `Column` expressions —
+  * map-side, codegen'd, no shuffles, no UDFs — so they stream over a
+  * 100 TB corpus at scan speed.
+  */
+object TextStats {
+  /** Whitespace token count. */
+  def tokensWs(text: Column): Column = size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token count: alpha runs, single digits, single punctuation —
+    * a crude proxy for subword tokenizers' behavior on ASCII text.
+    */
+  val BpeishPattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+  def tokensBpeish(text: Column): Column = regexp_count(text, lit(BpeishPattern))
+
+  /** Stopword hit count over whitespace tokens (n-gram-heuristic building
+    * block for language ID).
+    */
+  def stopwordHits(text: Column, stopwords: Seq[String]): Column =
+    size(filter(split(text, " "), w => w.isin(stopwords.map(x => x: Any): _*)))
+
+  /** Per-language stopword lists for the language-ID heuristic. */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "los", "las", "que", "y", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "pour")
+  )
+
+  /** Language ID: argmax of per-language stopword hits, ties broken by
+    * list order (en > es > de > fr), 'und' when nothing hits. The CASE
+    * shape is mirrored verbatim in the DuckDB oracle.
+    */
+  def langId(text: Column): Column = {
+    val scores = LangStopwords.map { case (l, sw) => l -> stopwordHits(text, sw) }
+    val anyHit = scores.map(_._2).reduce(_ + _) > 0
+    val argmax = scores.zipWithIndex.foldRight(lit("und")) {
+      case (((lang, s), idx), elseCol) =>
+        val beatsRest = scores.drop(idx + 1).map { case (_, s2) => s >= s2 }
+          .foldLeft(lit(true))(_ && _)
+        when(beatsRest, lit(lang)).otherwise(elseCol)
+    }
+    when(anyHit, argmax).otherwise(lit("und"))
+  }
+
+  /** Quality score in [0, 1]: rewards reasonable length and token shape,
+    * penalizes punctuation-heavy and stopword-free text. Components:
+    *  - len_score: min(1, tokens / 50)
+    *  - avg token length in [3, 8] → 1, else decays
+    *  - stopword ratio in [2%, 60%] → 1 else 0.5
+    *  - punct ratio <= 20% → 1 else (1 - ratio)
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokensWs(text).cast("double")
+    val chars = length(text).cast("double")
+    val punct = (chars - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))) / chars
+    val avgTok = (length(regexp_replace(text, "\\s", "")).cast("double")) / toks
+    val stopRatio = stopwordHits(text, LangStopwords.flatMap(_._2)).cast("double") / toks
+    val lenScore = least(lit(1.0), toks / 50.0)
+    val tokScore = when(avgTok.between(3.0, 8.0), 1.0).otherwise(0.6)
+    val stopScore = when(stopRatio.between(0.02, 0.6), 1.0).otherwise(0.5)
+    val punctScore = when(punct <= 0.2, 1.0).otherwise(lit(1.0) - punct)
+    round(lenScore * tokScore * stopScore * punctScore, 6)
+  }
+
+  /** Content fingerprint: md5 of the sorted distinct word set — invariant
+    * to word order and repetition (bag-of-words near-dup key).
+    */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(split(text, " "))), " ").cast("binary"))
+
+  /** Rolling polynomial hash (Karp-Rabin style) over characters — the
+    * "rolling hash" fingerprint variant; engine-internal (no oracle).
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(split(text, ""), lit(0L),
+      (acc, c) => pmod(acc * 31 + coalesce(ascii(c), lit(0)), lit(1000000007L)))
+}

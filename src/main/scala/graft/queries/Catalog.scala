@@ -1,0 +1,451 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.ext._
+import graft.stream.CdcStream
+
+/** The declared query surface: one entry per operator from SURVEY.md §2
+  * (+ §7.5 extensions), each with a DuckDB-equivalent oracle where
+  * SQL-expressible. Single source of truth — `SparkEntry.queries` and
+  * `SparkEntry.oracleSql` both derive from [[Catalog.entries]] so a key
+  * can never exist in one map and not the other by accident.
+  *
+  * Determinism contract (SURVEY §7.4): every query ends with an explicit
+  * ORDER BY on a unique key, doubles are rounded to 6 dp on BOTH sides,
+  * count-like outputs are cast to the same integer width DuckDB produces.
+  */
+object Catalog {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def li(s: SparkSession, d: String) = Tables.load(s, d, "lineitem")
+  private def cust(s: SparkSession, d: String) = Tables.load(s, d, "customer")
+  private def docs(s: SparkSession, d: String) = Tables.load(s, d, "documents")
+  private def embs(s: SparkSession, d: String) = Tables.load(s, d, "embeddings")
+
+  private val K = Fixture.Key // Seq("l_orderkey", "l_linenumber")
+  private def keyCols: Seq[Column] = K.map(col)
+
+  /** Changed-member delta for the tribe-agg queries: distinct customers
+    * touched "this run" (reference joins `player_new`, the per-run delta —
+    * post_update.py:36-37). Derivation: customers of orders with
+    * o_orderkey % 10 == 0.
+    */
+  private def activeDelta(s: SparkSession, d: String): DataFrame =
+    Tables.load(s, d, "orders").filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_custkey")).distinct()
+
+  private val allStopwords: Seq[String] = TextStats.LangStopwords.flatMap(_._2)
+
+  // ---------------------------------------------------------------- entries
+
+  final case class Entry(name: String, q: Q, oracle: Option[String])
+
+  val entries: Seq[Entry] = Seq(
+    // ----- §2.1 scans
+    // NB: raw lineitem's (l_orderkey, l_linenumber) is NOT unique, so every
+    // row-level lineitem query sorts by ALL output columns — remaining ties
+    // are bit-identical rows, making row order fully deterministic.
+    Entry("scan_full",
+      (s, d) => { val df = li(s, d); df.orderBy(df.columns.map(col): _*) },
+      Some("""SELECT * FROM lineitem ORDER BY l_orderkey, l_partkey, l_suppkey,
+             | l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+             | l_returnflag, l_linestatus, l_shipdate""".stripMargin)),
+
+    Entry("count_star",
+      (s, d) => li(s, d).agg(count(lit(1)).as("cnt")),
+      Some("SELECT count(*) AS cnt FROM lineitem")),
+
+    // ----- §2.2 projections / filters
+    Entry("project_columns",
+      (s, d) => { // schema-driven dynamic select list (reference table.py:76-93)
+        val df = li(s, d)
+        import org.apache.spark.sql.types._
+        val cols = df.schema.fields.collect {
+          case f if Seq(LongType, IntegerType, ShortType, ByteType, StringType)
+            .contains(f.dataType) => f.name
+        }.toSeq
+        df.select(cols.map(col): _*).orderBy(cols.map(col): _*)
+      },
+      Some("""SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_returnflag, l_linestatus
+             |FROM lineitem
+             |ORDER BY l_orderkey, l_partkey, l_suppkey, l_linenumber, l_returnflag, l_linestatus""".stripMargin)),
+
+    Entry("row_signature",
+      (s, d) => cust(s, d).select(col("c_custkey"),
+        md5(concat_ws("|", col("c_custkey").cast("string"), col("c_name"),
+          col("c_nationkey").cast("string"), col("c_mktsegment")).cast("binary")).as("sig"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, md5(concat_ws('|', CAST(c_custkey AS VARCHAR), c_name,
+             | CAST(c_nationkey AS VARCHAR), c_mktsegment)) AS sig
+             |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+    Entry("computed_scores",
+      (s, d) => {
+        val scored = Scores.withScores(li(s, d))
+        val outCols = K ++ Scores.scoreExprs.map(_._1)
+        scored.select(keyCols ++ Scores.scoreExprs.map { case (n, _) => round(col(n), 6).as(n) }: _*)
+          .orderBy(outCols.map(col): _*)
+      },
+      Some(s"""SELECT l_orderkey, l_linenumber, ${Oracles.scoreSelectList}
+              |FROM lineitem
+              |ORDER BY l_orderkey, l_linenumber, score_stats, score_shaman,
+              | score_survivor, score_racing, score_defilante""".stripMargin)),
+
+    Entry("score_overall",
+      (s, d) => Scores.withOverall(Scores.withScores(li(s, d)))
+        .select(keyCols :+ round(col("score_overall"), 6).as("score_overall"): _*)
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("score_overall")),
+      Some(s"""SELECT l_orderkey, l_linenumber,
+              | round(score_stats/35.564 + score_shaman/24.956 + score_survivor/1.580
+              |   + score_racing/0.861 + score_defilante/2.851, 6) AS score_overall
+              |FROM (SELECT l_orderkey, l_linenumber, ${Oracles.scoreSelectListRaw} FROM lineitem)
+              |ORDER BY l_orderkey, l_linenumber, score_overall""".stripMargin)),
+
+    Entry("name_normalize",
+      (s, d) => {
+        val base = when(col("c_custkey") % 2 === 0,
+          regexp_replace(col("c_name"), "#", "-")).otherwise(col("c_name"))
+        cust(s, d).select(col("c_custkey"), Scores.normalizeName(base).as("name"))
+          .orderBy("c_custkey")
+      },
+      Some("""SELECT c_custkey,
+             | CASE WHEN base NOT LIKE '%#%' THEN base || '#0000' ELSE base END AS name
+             |FROM (SELECT c_custkey,
+             |  CASE WHEN c_custkey % 2 = 0 THEN replace(c_name, '#', '-') ELSE c_name END AS base
+             |  FROM customer)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    Entry("filter_in_keys",
+      (s, d) => Tables.load(s, d, "orders")
+        .filter(col("o_custkey").isin(1L, 2L, 3L, 5L, 8L, 13L, 21L, 34L, 55L, 89L))
+        .orderBy("o_orderkey"),
+      Some("""SELECT * FROM orders WHERE o_custkey IN (1,2,3,5,8,13,21,34,55,89)
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // ----- §2.3/2.4 the CDC diff algebra
+    Entry("hash_diff",
+      (s, d) => {
+        val e = Fixture.external(s, d)
+        Diff.classify(Fixture.internal(s, d), e, K, Fixture.dataCols(e))
+          .orderBy(keyCols: _*)
+      },
+      Some(s"""${Fixture.OracleCtes},
+              |${Oracles.kindsCte}
+              |SELECT l_orderkey, l_linenumber, kind FROM kinds
+              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Entry("semi_join_changed",
+      (s, d) => {
+        val e = Fixture.external(s, d)
+        val kinds = Diff.classify(Fixture.internal(s, d), e, K, Fixture.dataCols(e))
+        Diff.semiJoinChanged(e, kinds.filter(col("kind").isin("changed", "new")), K)
+          .orderBy(keyCols: _*)
+      },
+      Some(s"""${Fixture.OracleCtes},
+              |${Oracles.kindsCte}
+              |SELECT e.* FROM external e JOIN kinds k
+              |  ON e.l_orderkey = k.l_orderkey AND e.l_linenumber = k.l_linenumber
+              |WHERE k.kind IN ('changed', 'new')
+              |ORDER BY e.l_orderkey, e.l_linenumber""".stripMargin)),
+
+    Entry("anti_join_deleted",
+      (s, d) => Diff.antiJoinDeleted(Fixture.internal(s, d), Fixture.external(s, d), K)
+        .orderBy(keyCols: _*),
+      Some(s"""${Fixture.OracleCtes}
+              |SELECT i.* FROM internal i
+              |WHERE NOT EXISTS (SELECT 1 FROM external e
+              |  WHERE e.l_orderkey = i.l_orderkey AND e.l_linenumber = i.l_linenumber)
+              |ORDER BY i.l_orderkey, i.l_linenumber""".stripMargin)),
+
+    Entry("changelog_join",
+      (s, d) => {
+        val e = Fixture.external(s, d)
+        val internal = Fixture.internal(s, d)
+        val kinds = Diff.classify(internal, e, K, Fixture.dataCols(e))
+        Changelog.captureOld(internal, kinds.filter(col("kind") === "changed"), K)
+          .orderBy(keyCols: _*)
+      },
+      Some(s"""${Fixture.OracleCtes},
+              |${Oracles.kindsCte}
+              |SELECT i.* FROM internal i JOIN kinds k
+              |  ON i.l_orderkey = k.l_orderkey AND i.l_linenumber = k.l_linenumber
+              |WHERE k.kind = 'changed'
+              |ORDER BY i.l_orderkey, i.l_linenumber""".stripMargin)),
+
+    Entry("upsert_replace",
+      (s, d) => {
+        val e = Fixture.external(s, d)
+        val internal = Fixture.internal(s, d)
+        val kinds = Diff.classify(internal, e, K, Fixture.dataCols(e))
+        val fetched = Diff.semiJoinChanged(e, kinds.filter(col("kind").isin("changed", "new")), K)
+        Diff.upsertReplace(internal, fetched, K).orderBy(keyCols: _*)
+      },
+      Some(s"""${Fixture.OracleCtes},
+              |${Oracles.kindsCte},
+              |fetched AS (SELECT e.* FROM external e JOIN kinds k
+              |  ON e.l_orderkey = k.l_orderkey AND e.l_linenumber = k.l_linenumber
+              |  WHERE k.kind IN ('changed', 'new'))
+              |SELECT * FROM (
+              |  SELECT i.* FROM internal i WHERE NOT EXISTS (SELECT 1 FROM fetched f
+              |    WHERE f.l_orderkey = i.l_orderkey AND f.l_linenumber = i.l_linenumber)
+              |  UNION ALL SELECT * FROM fetched)
+              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    Entry("diff_apply",
+      (s, d) => {
+        val e = Fixture.external(s, d)
+        Diff.diffApply(Fixture.internal(s, d), e, K, Fixture.dataCols(e))
+          .orderBy(keyCols: _*)
+      },
+      // the CDC round-trip contract: apply(diff(i, e), i) == e
+      Some(s"""${Fixture.OracleCtes}
+              |SELECT * FROM base ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ----- §2.6 window
+    Entry("changelog_latest",
+      (s, d) => {
+        val e = Fixture.external(s, d)
+        val internal = Fixture.internal(s, d)
+        val changedKeys = Diff.classify(internal, e, K, Fixture.dataCols(e))
+          .filter(col("kind") === "changed")
+        val oldV = internal.join(changedKeys.select(keyCols: _*), K, "left_semi")
+          .select(keyCols :+ col("l_quantity") :+ lit(1).as("version"): _*)
+        val newV = e.join(changedKeys.select(keyCols: _*), K, "left_semi")
+          .select(keyCols :+ col("l_quantity") :+ lit(2).as("version"): _*)
+        Changelog.latest(oldV.unionByName(newV), K, "version").orderBy(keyCols: _*)
+      },
+      Some(s"""${Fixture.OracleCtes},
+              |${Oracles.kindsCte},
+              |clog AS (
+              |  SELECT i.l_orderkey, i.l_linenumber, i.l_quantity, 1 AS version
+              |  FROM internal i JOIN kinds k ON i.l_orderkey = k.l_orderkey
+              |    AND i.l_linenumber = k.l_linenumber AND k.kind = 'changed'
+              |  UNION ALL
+              |  SELECT e.l_orderkey, e.l_linenumber, e.l_quantity, 2 AS version
+              |  FROM external e JOIN kinds k ON e.l_orderkey = k.l_orderkey
+              |    AND e.l_linenumber = k.l_linenumber AND k.kind = 'changed')
+              |SELECT l_orderkey, l_linenumber, l_quantity, version FROM (
+              |  SELECT *, row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+              |    ORDER BY version DESC) AS rn FROM clog) WHERE rn = 1
+              |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ----- §2.3/2.5 tribe aggregates (nation=tribe, customer=member/player, orders delta)
+    Entry("join_tribe_members",
+      (s, d) => {
+        val n = Tables.load(s, d, "nation")
+        val c = cust(s, d)
+        val o = Tables.load(s, d, "orders")
+        broadcast(n).join(c, col("n_nationkey") === col("c_nationkey"))
+          .join(o, col("c_custkey") === col("o_custkey"))
+          .select(col("n_nationkey"), col("n_name"), col("c_custkey"),
+            col("o_orderkey"), col("o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT n.n_nationkey, n.n_name, c.c_custkey, o.o_orderkey, o.o_totalprice
+             |FROM nation n JOIN customer c ON n.n_nationkey = c.c_nationkey
+             |JOIN orders o ON c.c_custkey = o.o_custkey
+             |ORDER BY o.o_orderkey""".stripMargin)),
+
+    Entry("left_join_active",
+      (s, d) => cust(s, d)
+        .join(broadcast(activeDelta(s, d)), col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(col("c_custkey"),
+          when(col("o_custkey").isNull, 0).otherwise(1).as("is_active"))
+        .orderBy("c_custkey"),
+      Some(s"""${Oracles.deltaCte}
+              |SELECT c.c_custkey, CASE WHEN d.o_custkey IS NULL THEN 0 ELSE 1 END AS is_active
+              |FROM customer c LEFT JOIN delta d ON c.c_custkey = d.o_custkey
+              |ORDER BY c.c_custkey""".stripMargin)),
+
+    Entry("agg_count_nonnull",
+      (s, d) => cust(s, d)
+        .join(broadcast(activeDelta(s, d)), col("c_custkey") === col("o_custkey"), "left_outer")
+        .agg(count(lit(1)).as("n_rows"), count(col("o_custkey")).as("n_active")),
+      Some(s"""${Oracles.deltaCte}
+              |SELECT count(*) AS n_rows, count(d.o_custkey) AS n_active
+              |FROM customer c LEFT JOIN delta d ON c.c_custkey = d.o_custkey""".stripMargin)),
+
+    Entry("group_tribe_active",
+      (s, d) => TribeAgg.tribeActive(Tables.load(s, d, "nation"), cust(s, d),
+          activeDelta(s, d), "n_nationkey", "c_nationkey", "c_custkey")
+        .select(col("n_nationkey"), col("members"), col("active"),
+          round(col("members_sqrt"), 6).as("members_sqrt"))
+        .orderBy("n_nationkey"),
+      Some(s"""${Oracles.deltaCte}
+              |SELECT n.n_nationkey, count(c.c_custkey) AS members, count(d.o_custkey) AS active,
+              |  round(pow(count(c.c_custkey), 0.5), 6) AS members_sqrt
+              |FROM nation n JOIN customer c ON n.n_nationkey = c.c_nationkey
+              |LEFT JOIN delta d ON c.c_custkey = d.o_custkey
+              |GROUP BY n.n_nationkey ORDER BY n.n_nationkey""".stripMargin)),
+
+    Entry("group_tribe_stats",
+      (s, d) => {
+        val n = Tables.load(s, d, "nation")
+        val c = cust(s, d)
+        // exact decimal sum: double-summation order differs between Spark's
+        // partial aggregates and DuckDB, which flips round(x, 6) at this
+        // magnitude; decimal is associative → bit-identical in both engines
+        val o = Tables.load(s, d, "orders")
+          .withColumn("o_totalprice", col("o_totalprice").cast("decimal(18,2)"))
+        val active = TribeAgg.tribeActive(n, c, activeDelta(s, d),
+          "n_nationkey", "c_nationkey", "c_custkey")
+        TribeAgg.tribeStats(n, c, o, activeDelta(s, d), "n_nationkey", "c_nationkey",
+            "c_custkey", "o_custkey", Seq("o_totalprice"), precomputed = Some(active))
+          .select(col("n_nationkey"), col("members"), col("active"),
+            round(col("o_totalprice"), 6).as("o_totalprice"))
+          .orderBy("n_nationkey")
+      },
+      Some(s"""${Oracles.deltaCte},
+              |active AS (
+              |  SELECT n.n_nationkey, count(c.c_custkey) AS members, count(d.o_custkey) AS active,
+              |    pow(count(c.c_custkey), 0.5) AS members_sqrt
+              |  FROM nation n JOIN customer c ON n.n_nationkey = c.c_nationkey
+              |  LEFT JOIN delta d ON c.c_custkey = d.o_custkey
+              |  GROUP BY n.n_nationkey),
+              |sums AS (
+              |  SELECT n.n_nationkey, sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS s
+              |  FROM nation n JOIN customer c ON n.n_nationkey = c.c_nationkey
+              |  JOIN orders o ON o.o_custkey = c.c_custkey
+              |  GROUP BY n.n_nationkey)
+              |SELECT a.n_nationkey, a.members, a.active, round(s.s / a.members_sqrt, 6) AS o_totalprice
+              |FROM active a JOIN sums s ON s.n_nationkey = a.n_nationkey
+              |ORDER BY a.n_nationkey""".stripMargin)),
+
+    // ----- §2.8/7.5 streaming (batch form of the same window operator)
+    Entry("stream_tumbling_counts",
+      (s, d) => CdcStream.tumblingCountsBatch(Tables.loadEvents(s, d))
+        .orderBy("hour_start", "event_type"),
+      Some("""SELECT date_trunc('hour', ts) AS hour_start, event_type,
+             | count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Entry("json_props_agg",
+      (s, d) => Tables.loadEvents(s, d)
+        .groupBy(col("event_type"))
+        .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("k_sum"))
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             | CAST(sum(CAST(regexp_extract(props, '"k": *([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS k_sum
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ----- §7.5 dedup
+    Entry("dedup_exact",
+      (s, d) => Dedup.exactFlags(docs(s, d), "doc_id", "text").orderBy("doc_id"),
+      Some("""SELECT doc_id, md5(text) AS text_sig,
+             | CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) THEN 1 ELSE 0 END AS is_dup
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Entry("dedup_minhash_lsh",
+      (s, d) => Dedup.minhashSignatures(docs(s, d), "doc_id", "text",
+        shingleN = 3, k = 8, bands = 2).orderBy("doc_id"),
+      Some("""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM dd),
+             |sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM x),
+             |m AS (SELECT doc_id,
+             |  min(md5('0|' || s)) AS mh0, min(md5('1|' || s)) AS mh1,
+             |  min(md5('2|' || s)) AS mh2, min(md5('3|' || s)) AS mh3,
+             |  min(md5('4|' || s)) AS mh4, min(md5('5|' || s)) AS mh5,
+             |  min(md5('6|' || s)) AS mh6, min(md5('7|' || s)) AS mh7
+             | FROM sh GROUP BY doc_id)
+             |SELECT doc_id, md5(mh0||'|'||mh1||'|'||mh2||'|'||mh3) AS band_0,
+             |       md5(mh4||'|'||mh5||'|'||mh6||'|'||mh7) AS band_1
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    Entry("dedup_simhash",
+      (s, d) => docs(s, d).select(col("doc_id"),
+        Dedup.simhash64("text").as("simhash"),
+        TextStats.rollingHash(col("text")).as("rolling_fp"))
+        .orderBy("doc_id"),
+      None), // xxhash64-based — not expressible in DuckDB
+
+    Entry("dedup_ngram_jaccard",
+      (s, d) => {
+        val a = docs(s, d).select(col("doc_id").as("id_a"), col("text").as("ta"))
+        val b = docs(s, d).select(col("doc_id").as("id_b"), col("text").as("tb"))
+        a.join(b, col("id_b") === col("id_a") + 1)
+          .select(col("id_a"), col("id_b"),
+            Dedup.wordJaccard(col("ta"), col("tb")).as("jaccard"))
+          .orderBy("id_a")
+      },
+      Some("""WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents),
+             |c AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+             |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+             |      FROM w a JOIN w b ON a.word = b.word AND b.doc_id = a.doc_id + 1 GROUP BY 1, 2)
+             |SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / (c1.n + c2.n - inter), 6) AS jaccard
+             |FROM i JOIN c c1 ON c1.doc_id = id_a JOIN c c2 ON c2.doc_id = id_b
+             |ORDER BY id_a""".stripMargin)),
+
+    Entry("dedup_embedding_cosine",
+      // fixture embeddings have no true near-dups (max pairwise cos ≈ 0.49);
+      // 0.35 keeps the operator's output non-empty for the rows-only check
+      (s, d) => Dedup.embeddingNearDups(embs(s, d), "vec_id", "embedding",
+        threshold = 0.35, planes = 4).orderBy("id_a", "id_b"),
+      None), // LSH bucketing uses xxhash64 — not expressible in DuckDB
+
+    // ----- §7.5 similarity search
+    Entry("sim_topk_brute",
+      (s, d) => {
+        val e = embs(s, d)
+        Similarity.bruteTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+          .withColumn("rk", col("rk").cast("long"))
+          .orderBy("qid", "rk")
+      },
+      Some("""WITH e AS (SELECT vec_id, unnest(embedding) AS x,
+             |            unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+             |n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e GROUP BY 1),
+             |q AS (SELECT vec_id AS qid, x AS qx, i FROM e WHERE vec_id < 10),
+             |dot AS (SELECT q.qid, e.vec_id AS vid, sum(q.qx * e.x) AS dp
+             |        FROM q JOIN e ON q.i = e.i WHERE e.vec_id <> q.qid GROUP BY 1, 2),
+             |c AS (SELECT qid, vid, dp / (nq.nrm * nv.nrm) AS cos
+             |      FROM dot JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = vid),
+             |r AS (SELECT qid, vid, round(cos, 6) AS cosim,
+             |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk FROM c)
+             |SELECT qid, vid, cosim, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)),
+
+    Entry("sim_ann_lsh",
+      (s, d) => {
+        val e = embs(s, d)
+        Similarity.annTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, planes = 4)
+          .withColumn("rk", col("rk").cast("long"))
+          .orderBy("qid", "rk")
+      },
+      None), // hyperplanes derived from xxhash64 — not expressible in DuckDB
+
+    // ----- §7.5 text analysis
+    Entry("text_langid",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id"),
+      Some(Oracles.langIdSql)),
+
+    Entry("text_quality",
+      (s, d) => docs(s, d).select(col("doc_id"),
+        TextStats.tokensWs(col("text")).cast("long").as("n_tokens"),
+        TextStats.tokensBpeish(col("text")).cast("long").as("n_bpeish"),
+        TextStats.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id"),
+      Some(Oracles.qualitySql)),
+
+    Entry("text_fingerprint",
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             | md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // ----- §7.5 multimodal plumbing (stubbed decode)
+    Entry("mm_decode_features",
+      (s, d) => Multimodal.decodeFeatures(s,
+        Multimodal.asMedia(docs(s, d), "doc_id", "text")).toDF()
+        .orderBy("media_id"),
+      None) // CRC-based stub decode — engine-internal
+  )
+
+  val queries: Map[String, Q] = entries.map(e => e.name -> e.q).toMap
+  val oracles: Map[String, String] =
+    entries.collect { case Entry(n, _, Some(o)) => n -> o }.toMap
+}

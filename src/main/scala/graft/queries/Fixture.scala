@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Deterministic two-version derivation of `lineitem` for the CDC diff
+  * queries (SURVEY.md §7.2, FIXTURES.md §3) — both sides SQL-derivable so
+  * the DuckDB oracle reproduces them exactly.
+  *
+  * The raw testdata's (l_orderkey, l_linenumber) is NOT unique (the
+  * generator emits up to ~6 rows per pair), and CDC needs a primary key —
+  * so the shared base is a deterministic dedup: min() of every data column
+  * per key (same GROUP BY in Spark and DuckDB → identical tables).
+  *
+  * external = base (the live source).
+  * internal = the cached replica, perturbed three ways:
+  *   - rows with l_orderkey % 10 == 0 are MISSING  → classified "new";
+  *   - rows with l_orderkey % 7 == 0 (and % 10 != 0) carry l_quantity + 1
+  *     → classified "changed";
+  *   - extra rows cloned from l_orderkey % 13 == 0 with l_linenumber + 100
+  *     (a key range absent from the source) → classified "deleted".
+  */
+object Fixture {
+  val Key: Seq[String] = Seq("l_orderkey", "l_linenumber")
+
+  val DataCols: Seq[String] = Seq("l_partkey", "l_suppkey", "l_quantity",
+    "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+    "l_shipdate")
+
+  def dataCols(df: DataFrame): Seq[String] = DataCols
+
+  /** Key-unique base table: min() per data column per key. */
+  def base(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.load(spark, sfDir, "lineitem")
+      .groupBy(Key.map(col): _*)
+      .agg(DataCols.map(c => min(col(c)).as(c)).head,
+           DataCols.map(c => min(col(c)).as(c)).tail: _*)
+
+  def external(spark: SparkSession, sfDir: String): DataFrame =
+    base(spark, sfDir)
+
+  def internal(spark: SparkSession, sfDir: String): DataFrame = {
+    val b = base(spark, sfDir)
+    val kept = b
+      .filter(col("l_orderkey") % 10 =!= 0)
+      .withColumn("l_quantity",
+        when(col("l_orderkey") % 7 === 0, col("l_quantity") + 1)
+          .otherwise(col("l_quantity")))
+    val phantom = b
+      .filter(col("l_orderkey") % 13 === 0)
+      .withColumn("l_linenumber", col("l_linenumber") + 100)
+    kept.unionByName(phantom)
+  }
+
+  /** The same derivation as DuckDB CTEs, prepended to every diff oracle. */
+  val OracleCtes: String = {
+    val minCols = DataCols.map(c => s"min($c) AS $c").mkString(", ")
+    s"""WITH base AS (
+       |  SELECT l_orderkey, l_linenumber, $minCols
+       |  FROM lineitem GROUP BY l_orderkey, l_linenumber),
+       |external AS (SELECT * FROM base),
+       |internal AS (
+       |  -- column order MUST match base: UNION ALL (here and in dependent
+       |  -- oracles) aligns positionally, not by name
+       |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |         CASE WHEN l_orderkey % 7 = 0 THEN l_quantity + 1 ELSE l_quantity END AS l_quantity,
+       |         l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+       |  FROM base WHERE l_orderkey % 10 <> 0
+       |  UNION ALL
+       |  SELECT l_orderkey, l_linenumber + 100, l_partkey, l_suppkey,
+       |         l_quantity, l_extendedprice, l_discount, l_tax,
+       |         l_returnflag, l_linestatus, l_shipdate
+       |  FROM base WHERE l_orderkey % 13 = 0
+       |)""".stripMargin
+  }
+
+  /** Column-wise "any data column differs" predicate for the oracle's
+    * diff classification (i vs e aliases).
+    */
+  val OracleRowDiffers: String =
+    DataCols.map(c => s"i.$c IS DISTINCT FROM e.$c").mkString("(", " OR ", ")")
+}

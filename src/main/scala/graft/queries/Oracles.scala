@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.ext.TextStats
+
+/** Shared DuckDB SQL fragments for [[Catalog]] oracle declarations.
+  * Every fragment mirrors the corresponding Spark expression tree shape
+  * exactly (SURVEY.md §7.4 determinism rules).
+  */
+object Oracles {
+  /** diff classification CTE (assumes `internal` / `external` CTEs from
+    * [[Fixture.OracleCtes]] are in scope).
+    */
+  val kindsCte: String =
+    s"""kinds AS (
+       |  SELECT coalesce(i.l_orderkey, e.l_orderkey) AS l_orderkey,
+       |         coalesce(i.l_linenumber, e.l_linenumber) AS l_linenumber,
+       |         CASE WHEN i.l_orderkey IS NULL THEN 'new'
+       |              WHEN e.l_orderkey IS NULL THEN 'deleted'
+       |              WHEN ${Fixture.OracleRowDiffers} THEN 'changed'
+       |              ELSE 'unchanged' END AS kind
+       |  FROM internal i FULL OUTER JOIN external e
+       |    ON i.l_orderkey = e.l_orderkey AND i.l_linenumber = e.l_linenumber)""".stripMargin
+
+  /** Changed-member delta (the `player_new` analog) for tribe aggregates. */
+  val deltaCte: String =
+    "WITH delta AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 10 = 0)"
+
+  /** The five score formulas, unrounded (for composing score_overall). */
+  val scoreExprsRaw: Seq[(String, String)] = Seq(
+    "score_stats" ->
+      "(l_extendedprice + l_quantity * 3) / pow(l_orderkey + 1, 0.25)",
+    "score_shaman" ->
+      ("(l_extendedprice * 0.05 + l_quantity * 0.2 + l_discount * 0.35 + l_tax * 0.5)" +
+        " / pow(l_orderkey + 1, 0.25)"),
+    "score_survivor" ->
+      "(l_quantity * 1.6 + l_linenumber * 0.8) / pow((l_partkey + 1) * (l_suppkey + 1), 0.25)",
+    "score_racing" ->
+      "(l_quantity * 2 + l_linenumber) / pow((l_orderkey + 1) * (l_partkey + 1), 0.25)",
+    "score_defilante" ->
+      "l_extendedprice / pow((l_orderkey + 1) * (l_suppkey + 1), 0.25)"
+  )
+
+  val scoreSelectList: String =
+    scoreExprsRaw.map { case (n, e) => s"round($e, 6) AS $n" }.mkString(",\n ")
+
+  val scoreSelectListRaw: String =
+    scoreExprsRaw.map { case (n, e) => s"$e AS $n" }.mkString(",\n ")
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ",", ")")
+
+  private def hits(words: Seq[String]): String =
+    s"len(list_filter(string_split(text, ' '), w -> w IN ${inList(words)}))"
+
+  /** Language-ID: same argmax CASE chain as [[TextStats.langId]]. */
+  val langIdSql: String = {
+    val scores = TextStats.LangStopwords.map { case (l, sw) => l -> s"s_$l" }
+    val scoreDefs = TextStats.LangStopwords
+      .map { case (l, sw) => s"${hits(sw)} AS s_$l" }.mkString(", ")
+    val names = scores.map(_._2)
+    val branches = scores.zipWithIndex.map { case ((lang, s), idx) =>
+      val rest = names.drop(idx + 1)
+      val cond = if (rest.isEmpty) "TRUE" else rest.map(r => s"$s >= $r").mkString(" AND ")
+      s"WHEN $cond THEN '$lang'"
+    }.mkString(" ")
+    s"""SELECT doc_id,
+       | CASE WHEN ${names.mkString(" + ")} = 0 THEN 'und' $branches ELSE 'und' END AS lang_pred
+       |FROM (SELECT doc_id, $scoreDefs FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality metrics: mirrors [[TextStats.tokensWs]]/[[TextStats.tokensBpeish]]/
+    * [[TextStats.qualityScore]]. DuckDB regexp_replace needs the 'g' flag to
+    * match Spark's replace-all semantics.
+    */
+  val qualitySql: String = {
+    val allStop = inList(TextStats.LangStopwords.flatMap(_._2))
+    s"""SELECT doc_id, n_tokens, n_bpeish,
+       | round(least(1.0, toks / 50.0)
+       |   * (CASE WHEN avg_tok BETWEEN 3.0 AND 8.0 THEN 1.0 ELSE 0.6 END)
+       |   * (CASE WHEN stop_ratio BETWEEN 0.02 AND 0.6 THEN 1.0 ELSE 0.5 END)
+       |   * (CASE WHEN punct <= 0.2 THEN 1.0 ELSE 1.0 - punct END), 6) AS quality
+       |FROM (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+       |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpeish,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS toks,
+       |    (CAST(length(text) AS DOUBLE)
+       |      - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+       |      / CAST(length(text) AS DOUBLE) AS punct,
+       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+       |      / len(regexp_split_to_array(trim(text), '\\s+')) AS avg_tok,
+       |    CAST(len(list_filter(string_split(text, ' '), w -> w IN $allStop)) AS DOUBLE)
+       |      / len(regexp_split_to_array(trim(text), '\\s+')) AS stop_ratio
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+}

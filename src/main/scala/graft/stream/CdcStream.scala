@@ -1,0 +1,54 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured-Streaming extension (SURVEY.md §2.8, §7.5): the reference
+  * processes full snapshots per run with NO event-time semantics; this
+  * module adds the watermarked, windowed micro-batch capability a
+  * continuous CDC/analytics deployment needs.
+  */
+object CdcStream {
+  /** Tumbling event-time window aggregation — batch form. Identical
+    * semantics to the streaming form below (Spark's `window()` is the
+    * same operator in both); this is what `stream_tumbling_counts`
+    * declares for the DuckDB oracle.
+    */
+  def tumblingCountsBatch(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events.groupBy(window(col("ts"), width), col("event_type"))
+      // decimal sum: exact & order-independent → identical across engines
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 6).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Streaming form: parquet micro-batch source → 1h watermark → tumbling
+    * window agg → memory sink, drained synchronously (for tests).
+    * In production the source/sink swap for Kafka/Delta; the plan is
+    * unchanged. State is bounded by the watermark (late rows beyond 1h
+    * are dropped — capability the reference lacks entirely).
+    */
+  def runTumblingCounts(spark: SparkSession, sfDir: String,
+                        queryName: String = "tumbling_counts"): DataFrame = {
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$sfDir/events.parquet")
+    val agg = stream
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n"), col("total_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}
