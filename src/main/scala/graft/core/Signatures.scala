@@ -23,8 +23,13 @@ import org.apache.spark.sql.functions._
 object Signatures {
   val Sep = ""
 
+  /** NULLs are replaced by a sentinel BEFORE concat: `concat_ws` silently
+    * skips NULL inputs, so without this `(null, "a")` and `("a", null)`
+    * would collide — a latent bug in the reference's CONCAT_WS('') scheme
+    * we deliberately do not reproduce.
+    */
   private def concatCols(cols: Seq[Column]): Column =
-    concat_ws(Sep, cols.map(_.cast("string")): _*)
+    concat_ws(Sep, cols.map(c => coalesce(c.cast("string"), lit(""))): _*)
 
   /** 32-bit signature, cheapest form (reference mechanism: download.py:133). */
   def crc32Sig(cols: Seq[Column]): Column = crc32(concatCols(cols).cast("binary"))

@@ -90,13 +90,16 @@ object Dedup {
     * (nested `aggregate`), map-side only.
     */
   def simhash64(textColName: String): Column = {
-    // expr-string form: lambda-heavy nesting is clearer in SQL syntax
+    // expr-string form: lambda-heavy nesting is clearer in SQL syntax.
+    // Lambda variable names are prefixed __sh to avoid capturing columns
+    // of the same name (SQL lambda vars shadow column references).
     val t = s"`$textColName`"
     expr(
-      s"""aggregate(sequence(0, 63), 0L, (acc, b) -> acc | if(
+      s"""aggregate(sequence(0, 63), 0L, (__sh_acc, __sh_bit) -> __sh_acc | if(
          |  aggregate(split($t, ' '), 0L,
-         |    (a, w) -> a + if(((xxhash64(w) >> b) & 1) = 1, 1L, -1L)) > 0,
-         |  shiftleft(1L, b), 0L))""".stripMargin)
+         |    (__sh_a, __sh_w) -> __sh_a +
+         |      if(((xxhash64(__sh_w) >> __sh_bit) & 1) = 1, 1L, -1L)) > 0,
+         |  shiftleft(1L, __sh_bit), 0L))""".stripMargin)
   }
 
   /** Hamming distance between two simhashes (near-dup test: dist <= r). */

@@ -31,10 +31,19 @@ object CdcStream {
     */
   def runTumblingCounts(spark: SparkSession, sfDir: String,
                         queryName: String = "tumbling_counts"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // FileStreamSource wants a directory; the fixture is a single file —
+    // expose it through a temp dir symlink (prod would point at a dir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_stream")
+    val link = dir.resolve("events.parquet")
+    java.nio.file.Files.createSymbolicLink(link,
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1)
-      .parquet(s"$sfDir/events.parquet")
+      .parquet(dir.toString)
+      // ts arrives as raw nanos (see Tables.loadEvents); event-time needs µs
+      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))

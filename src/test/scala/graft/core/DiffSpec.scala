@@ -1,0 +1,58 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** The CDC diff algebra invariants (SURVEY.md §5.2):
+  *  - round trip: diffApply(diff(i, e), i) == e
+  *  - diff(a, a) classifies everything unchanged
+  *  - kinds partition the key space
+  */
+class DiffSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val key = Seq("id")
+  private val cols = Seq("v", "w")
+
+  private def df(rows: (Int, String, Double)*) =
+    rows.toDF("id", "v", "w")
+
+  test("classify: changed/new/deleted/unchanged") {
+    val internal = df((1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0))
+    val external = df((1, "a", 1.0), (2, "B", 2.0), (4, "d", 4.0))
+    val kinds = Diff.classify(internal, external, key, cols)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(kinds == Map(1 -> "unchanged", 2 -> "changed", 3 -> "deleted", 4 -> "new"))
+  }
+
+  test("diff of a table with itself is all unchanged") {
+    val a = df((1, "a", 1.0), (2, "b", 2.0))
+    val kinds = Diff.classify(a, a, key, cols).select("kind").distinct().collect()
+    assert(kinds.map(_.getString(0)).toSeq == Seq("unchanged"))
+  }
+
+  test("round trip: apply(diff(i, e), i) == e on the lineitem fixture") {
+    val e = graft.queries.Fixture.external(spark, TestSpark.Sf)
+    val i = graft.queries.Fixture.internal(spark, TestSpark.Sf)
+    val applied = Diff.diffApply(i, e, graft.queries.Fixture.Key, graft.queries.Fixture.DataCols)
+    assert(applied.exceptAll(e).isEmpty && e.exceptAll(applied).isEmpty)
+  }
+
+  test("null-position signatures do not collide") {
+    val a = Seq((1, null.asInstanceOf[String], "x")).toDF("id", "v", "w")
+    val b = Seq((1, "x", null.asInstanceOf[String])).toDF("id", "v", "w")
+    val sa = a.select(Signatures.md5Sig(Seq(col("v"), col("w")))).first().getString(0)
+    val sb = b.select(Signatures.md5Sig(Seq(col("v"), col("w")))).first().getString(0)
+    assert(sa != sb)
+  }
+
+  test("upsertReplace: new version wins, unmatched rows survive") {
+    val old = df((1, "a", 1.0), (2, "b", 2.0))
+    val repl = df((2, "B", 9.0), (3, "c", 3.0))
+    val out = Diff.upsertReplace(old, repl, key)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(out == Set((1, "a"), (2, "B"), (3, "c")))
+  }
+}

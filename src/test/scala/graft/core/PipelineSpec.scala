@@ -1,0 +1,53 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.queries.Fixture
+
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("warm pipeline: snapshot converges to external, changelog holds old rows") {
+    val e = Fixture.external(spark, TestSpark.Sf)
+    val i = Fixture.internal(spark, TestSpark.Sf)
+    val r = Pipeline.warm(i, e, Fixture.Key, Fixture.DataCols)
+    assert(r.newSnapshot.exceptAll(e).isEmpty && e.exceptAll(r.newSnapshot).isEmpty)
+    // changelog rows are exactly the internal (pre-update) versions of changed keys
+    val changedKeys = r.kinds.filter(col("kind") === "changed").select(Fixture.Key.map(col): _*)
+    val expected = i.join(changedKeys, Fixture.Key, "left_semi")
+    assert(r.changelog.exceptAll(expected).isEmpty && expected.exceptAll(r.changelog).isEmpty)
+  }
+
+  test("delete circuit breaker: maxDeletes=0 keeps phantom rows") {
+    val e = Fixture.external(spark, TestSpark.Sf)
+    val i = Fixture.internal(spark, TestSpark.Sf)
+    val r = Pipeline.warm(i, e, Fixture.Key, Fixture.DataCols, maxDeletes = 0L)
+    val phantoms = r.newSnapshot.filter(col("l_linenumber") > 100).count()
+    assert(phantoms > 0, "phantom 'deleted' rows must survive when the breaker trips")
+  }
+
+  test("commit writes changelog, snapshot, state in order; state matches snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_commit").toString
+    val e = Fixture.external(spark, TestSpark.Sf)
+    val i = Fixture.internal(spark, TestSpark.Sf)
+    val r = Pipeline.warm(i, e, Fixture.Key, Fixture.DataCols)
+    Pipeline.commit(r, dir)
+    val snap = spark.read.parquet(s"$dir/snapshot")
+    val state = spark.read.parquet(s"$dir/state")
+    assert(snap.count() == e.count())
+    assert(state.count() == e.count())
+    assert(state.columns.toSet == (Fixture.Key :+ Diff.SigCol).toSet)
+    // a second warm run from the committed state finds nothing to do
+    val r2 = Pipeline.warm(snap, e, Fixture.Key, Fixture.DataCols)
+    assert(r2.kinds.filter(col("kind") =!= "unchanged").count() == 0)
+  }
+
+  test("cold load emits scored snapshot + signature state") {
+    val e = Fixture.external(spark, TestSpark.Sf)
+    val (scored, state) = Pipeline.cold(e, Fixture.Key, Fixture.DataCols)
+    assert(scored.columns.contains("score_overall"))
+    assert(state.columns.toSet == (Fixture.Key :+ Diff.SigCol).toSet)
+    assert(state.count() == e.count())
+  }
+}

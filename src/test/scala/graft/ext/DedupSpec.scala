@@ -1,0 +1,57 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("exactFlags: duplicates flagged, min id kept") {
+    val docs = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa"), (4L, "aaa"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactFlags(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1))
+  }
+
+  test("wordShingles: n-gram count and short-text guard") {
+    val df = Seq("a b c d e", "a b").toDF("text")
+    val sizes = df.select(size(Dedup.wordShingles(col("text"), 3))).collect().map(_.getInt(0))
+    assert(sizes.toSeq == Seq(3, 0))
+  }
+
+  test("minhash LSH: identical docs share all bands, disjoint docs none") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different words appear in this very sentence here")
+    ).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L)._1 != sigs(3L)._1 && sigs(1L)._2 != sigs(3L)._2)
+    val pairs = Dedup.lshCandidatePairs(
+      Dedup.minhashSignatures(docs, "doc_id", "text"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: identical texts agree, hamming distance is small for near-dups") {
+    val df = Seq(
+      ("the quick brown fox jumps over the lazy dog", "the quick brown fox jumps over the lazy dog"),
+      ("the quick brown fox jumps over the lazy dog", "the quick brown fox jumps over the lazy cat")
+    ).toDF("a", "b")
+    val dists = df.select(Dedup.hamming(Dedup.simhash64("a"), Dedup.simhash64("b")))
+      .collect().map(_.getAs[Number](0).longValue)
+    assert(dists(0) == 0L)
+    assert(dists(1) < 20L, s"near-dup hamming was ${dists(1)}")
+  }
+
+  test("wordJaccard: identical=1, disjoint=0") {
+    val df = Seq(("a b c", "a b c"), ("a b", "x y")).toDF("a", "b")
+    val got = df.select(Dedup.wordJaccard(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(got.toSeq == Seq(1.0, 0.0))
+  }
+}

@@ -1,0 +1,46 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("cosine: identical=1, orthogonal=0, opposite=-1") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f)),
+      (Array(1f, 0f), Array(0f, 1f)),
+      (Array(1f, 0f), Array(-1f, 0f))
+    ).toDF("a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1)) < 1e-12)
+    assert(math.abs(got(2) + 1.0) < 1e-12)
+  }
+
+  test("bruteTopK: k rows per query, self excluded, descending") {
+    val e = graft.core.Tables.load(spark, TestSpark.Sf, "embeddings")
+    val got = Similarity.bruteTopK(e, e.filter(col("vec_id") < 3), "vec_id", "embedding", 4)
+    val rows = got.collect()
+    assert(rows.length == 12)
+    assert(!rows.exists(r => r.getLong(0) == r.getLong(1)))
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val byRank = g.sortBy(_.getInt(3)).map(_.getDouble(2))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("annTopK: results are a subset of brute-force candidates' quality") {
+    val e = graft.core.Tables.load(spark, TestSpark.Sf, "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+    val ann = Similarity.annTopK(e, q, "vec_id", "embedding", 4, planes = 2)
+    val rows = ann.collect()
+    assert(rows.nonEmpty) // 2 planes = 4 buckets over 500 vecs: candidates exist
+    // every ANN hit must score <= the brute-force best for that query
+    val brute1 = Similarity.bruteTopK(e, q, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    rows.foreach(r => assert(r.getDouble(2) <= brute1(r.getLong(0)) + 1e-9))
+  }
+}

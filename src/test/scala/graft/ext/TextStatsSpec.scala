@@ -1,0 +1,54 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class TextStatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("token counts: whitespace and BPE-ish") {
+    val df = Seq("hello world", "a b  c", "don't stop 42!").toDF("t")
+    val got = df.select(TextStats.tokensWs(col("t")), TextStats.tokensBpeish(col("t")))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(got(0) == ((2, 2)))
+    assert(got(1) == ((3, 3)))
+    // don't -> don,',t ; 42 -> 4,2 ; ! -> ! => 3+2+1+2 = 8? (stop=1) => don(1)+'(1)+t(1)+stop(1)+4(1)+2(1)+!(1)=7
+    assert(got(2) == ((3, 7)))
+  }
+
+  test("langId picks the language with most stopword hits") {
+    val df = Seq(
+      "the cat sat on the mat and it is nice",
+      "el gato y la casa de los perros",
+      "der hund und die katze ist nicht hier",
+      "zzz qqq www" // no stopwords at all
+    ).toDF("text")
+    val got = df.select(TextStats.langId(col("text"))).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("en", "es", "de", "und"))
+  }
+
+  test("fingerprint is invariant to word order and repetition") {
+    val df = Seq(("b a c a", "c b a"), ("a b", "a c")).toDF("x", "y")
+    val got = df.select(
+      (TextStats.fingerprint(col("x")) === TextStats.fingerprint(col("y"))).as("eq"))
+      .collect().map(_.getBoolean(0))
+    assert(got.toSeq == Seq(true, false))
+  }
+
+  test("rollingHash is deterministic and order-sensitive") {
+    val df = Seq(("abc", "abc"), ("abc", "acb")).toDF("x", "y")
+    val got = df.select(
+      (TextStats.rollingHash(col("x")) === TextStats.rollingHash(col("y"))).as("eq"))
+      .collect().map(_.getBoolean(0))
+    assert(got.toSeq == Seq(true, false))
+  }
+
+  test("quality score stays within [0, 1]") {
+    val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+    val mm = docs.select(min(TextStats.qualityScore(col("text"))),
+      max(TextStats.qualityScore(col("text")))).first()
+    assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
+  }
+}

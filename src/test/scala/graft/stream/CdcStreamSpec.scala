@@ -1,0 +1,16 @@
+package graft.stream
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.core.Tables
+
+class CdcStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("streaming tumbling counts equal the batch form") {
+    val batch = CdcStream.tumblingCountsBatch(Tables.loadEvents(spark, TestSpark.Sf))
+    val stream = CdcStream.runTumblingCounts(spark, TestSpark.Sf, "t_counts_spec")
+    assert(stream.count() == batch.count())
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
+  }
+}
