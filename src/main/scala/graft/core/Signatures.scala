@@ -28,8 +28,9 @@ object Signatures {
     * would collide — a latent bug in the reference's CONCAT_WS('') scheme
     * we deliberately do not reproduce.
     */
+  private val NullSentinel = "\\u0000\\u2400\\u0000" // cannot occur in real data
   private def concatCols(cols: Seq[Column]): Column =
-    concat_ws(Sep, cols.map(c => coalesce(c.cast("string"), lit(""))): _*)
+    concat_ws(Sep, cols.map(c => coalesce(c.cast("string"), lit(NullSentinel))): _*)
 
   /** 32-bit signature, cheapest form (reference mechanism: download.py:133). */
   def crc32Sig(cols: Seq[Column]): Column = crc32(concatCols(cols).cast("binary"))

@@ -63,12 +63,27 @@ object Dedup {
   }
 
   /** Per-doc MinHash+LSH signature table: (id, band_0..band_{b-1}).
-    * All map-side; zero shuffles.
+    *
+    * Shape: explode shingles → k codegen'd salted md5s per shingle →
+    * groupBy(doc) min. The pure higher-order-function form ([[minhash]])
+    * is semantically identical but runs interpreted (HOFs are
+    * CodegenFallback) and re-evaluates the shingle array per permutation —
+    * ~50× slower in practice. The explode form is also the right shape at
+    * scale: map-side partial min reduces the shuffle to k×16 bytes per doc.
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, k: Int = 8, bands: Int = 2): DataFrame = {
-    val mh = minhash(wordShingles(col(textCol), shingleN), k)
-    docs.select(col(idCol) +: bandKeys(mh, k, bands): _*)
+    val sh = docs.select(col(idCol),
+      explode(wordShingles(col(textCol), shingleN)).as("__sh"))
+    val mhAggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i|"), col("__sh")))).as(s"__mh_$i"))
+    val m = sh.groupBy(col(idCol)).agg(mhAggs.head, mhAggs.tail: _*)
+    val rows = k / bands
+    val bandCols = (0 until bands).map { b =>
+      md5(concat_ws("|", (0 until rows).map(r => col(s"__mh_${b * rows + r}")): _*))
+        .as(s"band_$b")
+    }
+    m.select(col(idCol) +: bandCols: _*)
   }
 
   /** LSH candidate pairs: docs sharing at least one band bucket.
@@ -102,6 +117,24 @@ object Dedup {
          |  shiftleft(1L, __sh_bit), 0L))""".stripMargin)
   }
 
+  /** Bulk SimHash table (id, simhash): explode words → explode 64 bit
+    * positions → codegen'd sign sums → reassemble. Two tiny shuffles
+    * (keyed on (id, bit) then id, both with map-side combine) instead of
+    * the interpreted nested-aggregate expression — use this form for
+    * corpus-scale scans, [[simhash64]] for ad-hoc pairwise columns.
+    */
+  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs.select(col(idCol),
+      explode(split(col(textCol), " ")).as("__w"))
+      .select(col(idCol), xxhash64(col("__w")).as("__h"))
+    val bits = words.select(col(idCol), col("__h"),
+      explode(sequence(lit(0), lit(63))).as("__b"))
+    val signs = bits.groupBy(col(idCol), col("__b"))
+      .agg(sum(when(expr("(shiftright(__h, __b) & 1) = 1"), 1L).otherwise(-1L)).as("__s"))
+    signs.groupBy(col(idCol))
+      .agg(sum(when(col("__s") > 0, expr("shiftleft(1L, __b)")).otherwise(0L)).as("simhash"))
+  }
+
   /** Hamming distance between two simhashes (near-dup test: dist <= r). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
@@ -119,13 +152,16 @@ object Dedup {
     */
   def embeddingNearDups(embs: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, planes: Int = 8): DataFrame = {
+    import graft.functions.vectors
     val bucketed = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+      vectors.float_norm(col(vecCol)).as("nrm"),
       Similarity.hyperplaneBucket(col(vecCol), planes).as("bucket"))
     val a = bucketed.as("a")
     val b = bucketed.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(Similarity.cosine(col("a.v"), col("b.v")), 6).as("cos"))
+        round(vectors.float_dot(col("a.v"), col("b.v")) /
+          (col("a.nrm") * col("b.nrm")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.vectors
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`array<float>`) — extension beyond reference parity (SURVEY.md §7.5).
@@ -12,18 +13,18 @@ import org.apache.spark.sql.functions._
   * bucketing (the scale path: bucket key is computed map-side, the
   * candidate join shuffles only within buckets).
   *
-  * All vector math is `zip_with`/`aggregate`/`transform` higher-order
-  * built-ins — codegen-friendly, no UDFs.
+  * Vector math uses the codegen'd catalyst expressions in
+  * [[graft.functions.vectors]] (a native loop inside whole-stage codegen);
+  * the earlier `zip_with`/`aggregate` higher-order form ran interpreted
+  * (CodegenFallback) and was ~10× slower on the pairwise hot path. Norms
+  * are computed once per row, not once per pair.
   */
 object Similarity {
-  /** dot(a, b) with float→double widening. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = vectors.float_dot(a, b)
 
-  def l2norm(a: Column): Column = sqrt(dot(a, a))
+  def l2norm(a: Column): Column = vectors.float_norm(a)
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  def cosine(a: Column, b: Column): Column = vectors.float_cosine(a, b)
 
   /** Exact top-k by cosine for each query vector. `queries` must be small
     * (it is broadcast); the corpus side is scanned once, no shuffle until
@@ -31,35 +32,23 @@ object Similarity {
     */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv")))
-    val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("cv"))
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      vectors.float_norm(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("cv"),
+      vectors.float_norm(col(vecCol)).as("cn"))
     val scored = c.join(q, col("qid") =!= col("vid"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", vectors.float_dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("qid"), col("vid"), round(col("cos"), 6).as("cosim"), col("rk"))
   }
 
-  /** Deterministic pseudo-random ±1 hyperplane component for (plane, dim),
-    * derived from xxhash64 — no RNG state, reproducible across runs.
+  /** Random-hyperplane LSH bucket (int; bit per plane), computed map-side
+    * in one codegen'd pass over the vector.
     */
-  private def signComponent(plane: Int, dimIdx: Column): Column =
-    when(pmod(xxhash64(lit(plane.toLong * 1000003L) + dimIdx), lit(2)) === 0, lit(1.0))
-      .otherwise(lit(-1.0))
-
-  /** Random-hyperplane LSH bucket: one bit per plane = sign of the dot
-    * product with a ±1 hyperplane. Computed map-side per row.
-    */
-  def hyperplaneBucket(vec: Column, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      val d = aggregate(
-        transform(vec, (x, i) => x.cast("double") * signComponent(p, i.cast("long"))),
-        lit(0.0), (acc, v) => acc + v)
-      when(d >= 0, lit(1)).otherwise(lit(0)).cast("string")
-    }
-    concat(bits: _*)
-  }
+  def hyperplaneBucket(vec: Column, planes: Int): Column =
+    vectors.hyperplane_bucket(vec, planes)
 
   /** ANN top-k: restrict the candidate set to the query's LSH bucket, then
     * exact-rerank by cosine. Recall < 1 by construction; `planes` trades
@@ -68,11 +57,13 @@ object Similarity {
   def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, planes: Int = 6): DataFrame = {
     val bq = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      vectors.float_norm(col(vecCol)).as("qn"),
       hyperplaneBucket(col(vecCol), planes).as("bucket")))
     val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("cv"),
+      vectors.float_norm(col(vecCol)).as("cn"),
       hyperplaneBucket(col(vecCol), planes).as("bucket"))
     val scored = c.join(bq, Seq("bucket")).filter(col("qid") =!= col("vid"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", vectors.float_dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

@@ -354,9 +354,9 @@ object Catalog {
              |FROM m ORDER BY doc_id""".stripMargin)),
 
     Entry("dedup_simhash",
-      (s, d) => docs(s, d).select(col("doc_id"),
-        Dedup.simhash64("text").as("simhash"),
-        TextStats.rollingHash(col("text")).as("rolling_fp"))
+      (s, d) => Dedup.simhashTable(docs(s, d), "doc_id", "text")
+        .join(docs(s, d).select(col("doc_id"),
+          TextStats.rollingHash(col("text")).as("rolling_fp")), Seq("doc_id"))
         .orderBy("doc_id"),
       None), // xxhash64-based — not expressible in DuckDB
 

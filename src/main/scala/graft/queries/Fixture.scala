@@ -30,12 +30,24 @@ object Fixture {
 
   def dataCols(df: DataFrame): Seq[String] = DataCols
 
-  /** Key-unique base table: min() per data column per key. */
+  /** Key-unique base table: min() per data column per key.
+    *
+    * Memoized + persisted per (session, dir): every diff-family query
+    * derives both sides from base, and recomputing the dedup shuffle 2-3×
+    * per query dominated bench time. Analogous to the reference keeping
+    * its cached state in a side table rather than re-deriving it.
+    */
+  private val baseCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def base(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.load(spark, sfDir, "lineitem")
-      .groupBy(Key.map(col): _*)
-      .agg(DataCols.map(c => min(col(c)).as(c)).head,
-           DataCols.map(c => min(col(c)).as(c)).tail: _*)
+    baseCache.computeIfAbsent((spark, sfDir), { case (s, d) =>
+      Tables.load(s, d, "lineitem")
+        .groupBy(Key.map(col): _*)
+        .agg(DataCols.map(c => min(col(c)).as(c)).head,
+             DataCols.map(c => min(col(c)).as(c)).tail: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
 
   def external(spark: SparkSession, sfDir: String): DataFrame =
     base(spark, sfDir)

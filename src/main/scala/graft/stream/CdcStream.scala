@@ -20,8 +20,10 @@ object CdcStream {
       // decimal sum: exact & order-independent → identical across engines
       .agg(count(lit(1)).as("n"),
         round(sum(col("value").cast("decimal(18,2)")).cast("double"), 6).as("total_value"))
-      .select(col("window.start").as("hour_start"), col("event_type"),
-        col("n"), col("total_value"))
+      // timestamp_ntz: parquet-written tz-adjusted timestamps read back
+      // tz-aware, but the DuckDB oracle's date_trunc is naive (UTC session)
+      .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
+        col("event_type"), col("n"), col("total_value"))
 
   /** Streaming form: parquet micro-batch source → 1h watermark → tumbling
     * window agg → memory sink, drained synchronously (for tests).
@@ -48,8 +50,10 @@ object CdcStream {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total_value"))
-      .select(col("window.start").as("hour_start"), col("event_type"),
-        col("n"), col("total_value"))
+      // timestamp_ntz: parquet-written tz-adjusted timestamps read back
+      // tz-aware, but the DuckDB oracle's date_trunc is naive (UTC session)
+      .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
+        col("event_type"), col("n"), col("total_value"))
     val q = agg.writeStream
       .outputMode("complete")
       .format("memory")

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Converters between the public `Column` API and catalyst `Expression`s.
+  *
+  * Spark 4 moved these behind `private[sql]` (`ExpressionUtils`,
+  * columnNodeSupport.scala in the Spark source tree); placing this object
+  * inside the `org.apache.spark.sql` package tree is the standard way for
+  * libraries shipping custom catalyst expressions to reach them.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

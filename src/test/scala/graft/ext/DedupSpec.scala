@@ -49,6 +49,19 @@ class DedupSpec extends AnyFunSuite {
     assert(dists(1) < 20L, s"near-dup hamming was ${dists(1)}")
   }
 
+  test("simhashTable agrees with the expression form") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different words appear in this very sentence here"),
+      (3L, "spark group query row data slow small filter")
+    ).toDF("doc_id", "text")
+    val bulk = Dedup.simhashTable(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exprForm = docs.select(col("doc_id"), Dedup.simhash64("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bulk == exprForm)
+  }
+
   test("wordJaccard: identical=1, disjoint=0") {
     val df = Seq(("a b c", "a b c"), ("a b", "x y")).toDF("a", "b")
     val got = df.select(Dedup.wordJaccard(col("a"), col("b"))).collect().map(_.getDouble(0))
