@@ -1,0 +1,42 @@
+package graft.observe
+
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.collection.concurrent.TrieMap
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted, SparkListenerTaskEnd}
+
+/** Progress observability (reference: `PROGRESS` sampling every 5% of
+  * batches, src/download.py:10-11,178-187,304-313 — operational logging,
+  * not a relational operator, SURVEY.md §2.2 `filter_progress`).
+  *
+  * Spark-native form: a `SparkListener` reporting whenever a stage crosses
+  * another `everyPct` percent of completed tasks. Attach with
+  * `spark.sparkContext.addSparkListener(new ProgressListener())`; messages
+  * go to the provided sink (default stderr) and are retained in `events`
+  * for tests/inspection.
+  */
+class ProgressListener(everyPct: Int = 5, sink: String => Unit = s => System.err.println(s))
+    extends SparkListener {
+
+  private final case class StageProg(total: Int, var done: Int, var lastPct: Int)
+  private val stages = TrieMap.empty[Int, StageProg]
+
+  /** Emitted progress lines, newest last. */
+  val events = new ConcurrentLinkedQueue[String]()
+
+  override def onStageSubmitted(ev: SparkListenerStageSubmitted): Unit =
+    stages.put(ev.stageInfo.stageId, StageProg(math.max(ev.stageInfo.numTasks, 1), 0, 0))
+
+  override def onTaskEnd(ev: SparkListenerTaskEnd): Unit =
+    stages.get(ev.stageId).foreach { p =>
+      p.synchronized {
+        p.done += 1
+        val pct = p.done * 100 / p.total
+        if (pct >= p.lastPct + everyPct || p.done == p.total) {
+          p.lastPct = pct - pct % everyPct
+          val msg = s"[stage ${ev.stageId}] ${p.done}/${p.total} tasks ($pct%)"
+          events.add(msg)
+          sink(msg)
+        }
+      }
+    }
+}

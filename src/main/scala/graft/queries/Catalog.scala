@@ -53,6 +53,18 @@ object Catalog {
              | l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
              | l_returnflag, l_linestatus, l_shipdate""".stripMargin)),
 
+    Entry("scan_schema",
+      (s, d) => { // runtime schema discovery (reference table.py:66-75);
+        // with parquet the schema travels with the data
+        import s.implicits._
+        Seq("lineitem", "orders")
+          .flatMap(t => Tables.load(s, d, t).schema.fieldNames.map(c => (t, c)))
+          .toDF("table_name", "column_name")
+          .orderBy("table_name", "column_name")
+      },
+      Some("""SELECT DISTINCT table_name, column_name FROM information_schema.columns
+             |WHERE table_name IN ('lineitem', 'orders') ORDER BY 1, 2""".stripMargin)),
+
     Entry("count_star",
       (s, d) => li(s, d).agg(count(lit(1)).as("cnt")),
       Some("SELECT count(*) AS cnt FROM lineitem")),
