@@ -80,4 +80,70 @@ object Pipeline {
     r.newSnapshot.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/snapshot")
     r.newState.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/state")
   }
+
+  /** Crash-consistent variant of [[commit]]: snapshot/state land in fresh
+    * `v=N` directories and a VERSION pointer file is renamed into place
+    * LAST — the faithful generalization of the reference's double-buffered
+    * `_hashes_0/_hashes_1` + staging swap (download.py:572-604): readers
+    * follow the pointer and never observe a half-written version.
+    * Returns the committed version.
+    */
+  def commitVersioned(r: WarmResult, baseDir: String): Long = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val v = currentVersion(baseDir).getOrElse(0L) + 1
+    r.changelog.write.mode(SaveMode.Append).parquet(s"$baseDir/changelog")
+    r.newSnapshot.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/snapshot/v=$v")
+    r.newState.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/state/v=$v")
+    val tmp = Paths.get(s"$baseDir/VERSION.tmp")
+    Files.createDirectories(Paths.get(baseDir))
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, Paths.get(s"$baseDir/VERSION"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    v
+  }
+
+  def currentVersion(baseDir: String): Option[Long] = {
+    val p = java.nio.file.Paths.get(s"$baseDir/VERSION")
+    if (java.nio.file.Files.exists(p))
+      Some(java.nio.file.Files.readString(p).trim.toLong)
+    else None
+  }
+
+  /** Read the committed snapshot/state ("snapshot" | "state") at the
+    * version the pointer names.
+    */
+  def readLatest(spark: org.apache.spark.sql.SparkSession, baseDir: String,
+                 what: String): DataFrame = {
+    val v = currentVersion(baseDir).getOrElse(
+      throw new IllegalStateException(s"no committed version under $baseDir"))
+    spark.read.parquet(s"$baseDir/$what/v=$v")
+  }
+
+  /** Run per-table pipelines concurrently with fail-fast cancellation —
+    * the reference runs its three table extracts in one event loop and
+    * cancels the rest on first failure (start.py:55-59, download.py:38-42
+    * `asyncio.wait(FIRST_EXCEPTION)`). Spark analog: one job group per
+    * table on the fair scheduler; first failure cancels the group.
+    */
+  def runParallel(spark: org.apache.spark.sql.SparkSession,
+                  jobs: Seq[(String, () => Unit)]): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val groupId = s"graft-parallel-${System.nanoTime()}"
+    val futures = jobs.map { case (name, job) =>
+      Future {
+        spark.sparkContext.setJobGroup(s"$groupId-$name", s"pipeline $name",
+          interruptOnCancel = true)
+        try job() finally spark.sparkContext.clearJobGroup()
+      }
+    }
+    try Await.result(Future.sequence(futures), Duration.Inf)
+    catch {
+      case e: Throwable =>
+        jobs.foreach { case (name, _) =>
+          spark.sparkContext.cancelJobGroup(s"$groupId-$name") }
+        throw e
+    }
+  }
 }

@@ -1,0 +1,68 @@
+package graft.ext
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.array_to_vector
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.vectors
+
+/** IVF (inverted-file) approximate-nearest-neighbor index — the
+  * centroid-partitioned scale path complementing the hyperplane-LSH
+  * variant in [[Similarity]] (SURVEY.md §7.5).
+  *
+  * Build: k-means over (a sample of) the corpus → each vector assigned to
+  * its nearest centroid ("posting list"). Search: score the query against
+  * the centroid table (tiny, broadcast), keep the `nprobe` nearest lists,
+  * exact-rerank only those lists' vectors with the codegen'd dot kernel.
+  *
+  * Scale: the corpus is scanned once at build; at query time only
+  * corpus_size × nprobe / nlist vectors are touched, and the
+  * centroid-assignment table can be written bucketed by `list` so repeated
+  * query batches join without a shuffle.
+  */
+object IvfIndex {
+  final case class Index(centroids: Array[(Int, Array[Float])], assigned: DataFrame)
+
+  /** Train the coarse quantizer and assign every vector to a list. */
+  def build(spark: SparkSession, embs: DataFrame, idCol: String, vecCol: String,
+            nlist: Int, seed: Long = 42L): Index = {
+    val featurized = embs.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      array_to_vector(col(vecCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20).fit(featurized)
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => i -> c.toArray.map(_.toFloat) }
+    val assigned = model.transform(featurized)
+      .select(col("vid"), col("v"), col("prediction").as("list"))
+    Index(centroids, assigned)
+  }
+
+  /** ANN top-k through the index: probe the `nprobe` nearest posting lists
+    * per query, exact cosine rerank inside them.
+    */
+  def topK(spark: SparkSession, index: Index, queries: DataFrame, idCol: String,
+           vecCol: String, k: Int, nprobe: Int): DataFrame = {
+    import spark.implicits._
+    val cents = index.centroids.toSeq.toDF("list", "centroid")
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      vectors.float_norm(col(vecCol)).as("qn"))
+    // nearest nprobe centroids per query (centroid table is tiny)
+    val wc = Window.partitionBy("qid").orderBy(
+      (vectors.float_dot(col("qv"), col("centroid")) /
+        (col("qn") * vectors.float_norm(col("centroid")))).desc)
+    val probes = q.crossJoin(broadcast(cents))
+      .withColumn("__cr", row_number().over(wc))
+      .filter(col("__cr") <= nprobe)
+      .select(col("qid"), col("qv"), col("qn"), col("list"))
+    // rerank within the probed lists only
+    val scored = index.assigned.join(broadcast(probes), Seq("list"))
+      .filter(col("qid") =!= col("vid"))
+      .withColumn("cos", vectors.float_dot(col("qv"), col("v")) /
+        (col("qn") * vectors.float_norm(col("v"))))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("vid"), round(col("cos"), 6).as("cosim"), col("rk"))
+  }
+}

@@ -426,6 +426,17 @@ object Catalog {
       },
       None), // hyperplanes derived from xxhash64 — not expressible in DuckDB
 
+    Entry("sim_ivf",
+      (s, d) => {
+        val e = embs(s, d)
+        val idx = IvfIndex.build(s, e, "vec_id", "embedding", nlist = 8)
+        IvfIndex.topK(s, idx, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+          k = 5, nprobe = 2)
+          .withColumn("rk", col("rk").cast("long"))
+          .orderBy("qid", "rk")
+      },
+      None), // KMeans centroid training — not expressible in DuckDB
+
     // ----- §7.5 text analysis
     Entry("text_langid",
       (s, d) => docs(s, d)

@@ -43,6 +43,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(r2.kinds.filter(col("kind") =!= "unchanged").count() == 0)
   }
 
+  test("versioned commit: pointer advances, readers see the committed version") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vcommit").toString
+    val e = Fixture.external(spark, TestSpark.Sf)
+    val i = Fixture.internal(spark, TestSpark.Sf)
+    val r = Pipeline.warm(i, e, Fixture.Key, Fixture.DataCols)
+    assert(Pipeline.currentVersion(dir).isEmpty)
+    assert(Pipeline.commitVersioned(r, dir) == 1L)
+    assert(Pipeline.commitVersioned(r, dir) == 2L)
+    assert(Pipeline.currentVersion(dir).contains(2L))
+    assert(Pipeline.readLatest(spark, dir, "snapshot").count() == e.count())
+    assert(Pipeline.readLatest(spark, dir, "state").count() == e.count())
+  }
+
+  test("runParallel: all jobs run; first failure propagates") {
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    Pipeline.runParallel(spark, Seq(
+      "a" -> (() => { spark.range(10).count(); counter.incrementAndGet(); () }),
+      "b" -> (() => { spark.range(10).count(); counter.incrementAndGet(); () })))
+    assert(counter.get() == 2)
+    val ex = intercept[Exception] {
+      Pipeline.runParallel(spark, Seq(
+        "ok" -> (() => ()),
+        "boom" -> (() => throw new RuntimeException("table failed"))))
+    }
+    assert(ex.getMessage.contains("table failed"))
+  }
+
   test("cold load emits scored snapshot + signature state") {
     val e = Fixture.external(spark, TestSpark.Sf)
     val (scored, state) = Pipeline.cold(e, Fixture.Key, Fixture.DataCols)
