@@ -21,7 +21,10 @@ object Tables {
     import org.apache.spark.sql.functions._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      // truncating ns→µs with exact integral arithmetic (matches DuckDB): `/` would go through
+      // double, which cannot represent ~1.7e18 ns exactly (ulp ≈ 0.4 µs),
+      // making apparent rounding nondeterministic
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
   /** Dynamic column discovery (reference: src/table.py:66-93 builds select

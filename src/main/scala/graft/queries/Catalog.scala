@@ -333,6 +333,28 @@ object Catalog {
              | count(*) AS n, round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS total_value
              |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    Entry("stream_sliding_counts",
+      (s, d) => CdcStream.slidingCountsBatch(Tables.loadEvents(s, d))
+        .orderBy("win_start", "event_type"),
+      Some("""WITH ev AS (SELECT unnest([date_trunc('hour', ts),
+             |  date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS win_start,
+             |  event_type, value FROM events)
+             |SELECT win_start, event_type, count(*) AS n,
+             | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS total_value
+             |FROM ev GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    Entry("sessionize_users",
+      (s, d) => CdcStream.sessionizeBatch(Tables.loadEvents(s, d))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH o AS (SELECT user_id, ts, value,
+             |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) < INTERVAL 10 MINUTE
+             |       THEN 0 ELSE 1 END AS new_s FROM events),
+             |s AS (SELECT user_id, ts, value,
+             |  sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+             |SELECT min(ts) AS session_start, user_id, count(*) AS n,
+             | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS total_value
+             |FROM s GROUP BY user_id, sid ORDER BY 2, 1""".stripMargin)),
+
     Entry("json_props_agg",
       (s, d) => Tables.loadEvents(s, d)
         .groupBy(col("event_type"))

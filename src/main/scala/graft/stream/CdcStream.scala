@@ -25,6 +25,30 @@ object CdcStream {
       .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Sliding event-time windows (`width` every `slide`): each event lands
+    * in width/slide windows. Same determinism contract as the tumbling
+    * form (decimal sums, ntz window starts).
+    */
+  def slidingCountsBatch(events: DataFrame, width: String = "2 hours",
+                         slide: String = "1 hour"): DataFrame =
+    events.groupBy(window(col("ts"), width, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 6).as("total_value"))
+      .select(col("window.start").cast("timestamp_ntz").as("win_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Session windows per user: events closer than `gap` chain into one
+    * session (gaps-and-islands). Spark's `session_window` merges windows
+    * incrementally; the DuckDB oracle reproduces it with
+    * lag + cumulative-sum session ids.
+    */
+  def sessionizeBatch(events: DataFrame, gap: String = "10 minutes"): DataFrame =
+    events.groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 6).as("total_value"))
+      .select(col("session_window.start").cast("timestamp_ntz").as("session_start"),
+        col("user_id"), col("n"), col("total_value"))
+
   /** Streaming form: parquet micro-batch source → 1h watermark → tumbling
     * window agg → memory sink, drained synchronously (for tests).
     * In production the source/sink swap for Kafka/Delta; the plan is
@@ -45,11 +69,12 @@ object CdcStream {
       .option("maxFilesPerTrigger", 1)
       .parquet(dir.toString)
       // ts arrives as raw nanos (see Tables.loadEvents); event-time needs µs
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum(col("value")), 6).as("total_value"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 6).as("total_value"))
       // timestamp_ntz: parquet-written tz-adjusted timestamps read back
       // tz-aware, but the DuckDB oracle's date_trunc is naive (UTC session)
       .select(col("window.start").cast("timestamp_ntz").as("hour_start"),
