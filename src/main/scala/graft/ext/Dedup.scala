@@ -146,6 +146,52 @@ object Dedup {
     round(inter / (size(wa) + size(wb) - inter), 6)
   }
 
+  /** Duplicate-cluster resolution: connected components over candidate
+    * pairs (from LSH / simhash / cosine) by iterative min-label
+    * propagation — each doc converges to the smallest id reachable from
+    * it, which becomes the cluster's canonical representative.
+    *
+    * Scale: the classic Spark pattern for CC — per iteration one join +
+    * one aggregate on the edge list, O(diameter) iterations (near-dup
+    * clusters are shallow; 10 covers any realistic corpus). Label frame
+    * persisted per round, edges reused.
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    // localCheckpoint per round: without it the logical plan nests one
+    // full copy of itself per iteration and planning alone OOMs
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val propagated = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("id2")).agg(min("label").as("nbr_label"))
+      val relabeled = labels.join(propagated, labels("id") === col("id2"), "left_outer")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // pointer jumping (path halving): adopt the label OF my label —
+      // turns O(diameter) convergence into O(log diameter), which long
+      // duplicate chains need
+      val lut = relabeled.select(col("id").as("lid"), col("label").as("llabel"))
+      val updated = relabeled.as("x")
+        .join(lut, col("x.label") === col("lid"), "left_outer")
+        .select(col("x.id").as("id"),
+          least(col("x.label"), coalesce(col("llabel"), col("x.label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = updated.as("u").join(labels.as("l"), "id")
+        .filter(col("u.label") =!= col("l.label")).count()
+      labels = updated
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "cluster_id")
+  }
+
   /** Embedding near-dup: pairs with cosine above `threshold`. Candidates
     * from LSH buckets (see [[Similarity.hyperplaneBucket]]) to avoid the
     * quadratic cross join at scale; exact cosine verifies.

@@ -62,6 +62,14 @@ class DedupSpec extends AnyFunSuite {
     assert(bulk == exprForm)
   }
 
+  test("dupClusters: min-label connected components over pair chains") {
+    // chain 1-2, 2-3 and pair 10-11; singleton 99 not in any pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("wordJaccard: identical=1, disjoint=0") {
     val df = Seq(("a b c", "a b c"), ("a b", "x y")).toDF("a", "b")
     val got = df.select(Dedup.wordJaccard(col("a"), col("b"))).collect().map(_.getDouble(0))
