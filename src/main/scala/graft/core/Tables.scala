@@ -27,6 +27,17 @@ object Tables {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
+  val AllTables: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "documents", "embeddings")
+
+  /** Register every testdata table (+ `events`) as a temp view so the
+    * whole engine is reachable through the `spark.sql` text surface too.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Unit = {
+    AllTables.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    loadEvents(spark, sfDir).createOrReplaceTempView("events")
+  }
+
   /** Dynamic column discovery (reference: src/table.py:66-93 builds select
     * lists from discovered columns). Returns field names, optionally
     * filtered to numeric stat columns (used by the schema-driven aggregate

@@ -325,6 +325,19 @@ object Catalog {
               |FROM active a JOIN sums s ON s.n_nationkey = a.n_nationkey
               |ORDER BY a.n_nationkey""".stripMargin)),
 
+    Entry("sql_group_agg",
+      (s, d) => { // the spark.sql text surface over registered views
+        Tables.registerAll(s, d)
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                | CAST(ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS DOUBLE) AS sum_qty,
+                | COUNT(*) AS n
+                |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_qty,
+             | count(*) AS n
+             |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // ----- §2.8/7.5 streaming (batch form of the same window operator)
     Entry("stream_tumbling_counts",
       (s, d) => CdcStream.tumblingCountsBatch(Tables.loadEvents(s, d))
