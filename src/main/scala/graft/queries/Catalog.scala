@@ -138,11 +138,7 @@ object Catalog {
 
     // ----- §2.3/2.4 the CDC diff algebra
     Entry("hash_diff",
-      (s, d) => {
-        val e = Fixture.external(s, d)
-        Diff.classify(Fixture.internal(s, d), e, K, Fixture.dataCols(e))
-          .orderBy(keyCols: _*)
-      },
+      (s, d) => Fixture.kinds(s, d).orderBy(keyCols: _*),
       Some(s"""${Fixture.OracleCtes},
               |${Oracles.kindsCte}
               |SELECT l_orderkey, l_linenumber, kind FROM kinds
@@ -150,9 +146,9 @@ object Catalog {
 
     Entry("semi_join_changed",
       (s, d) => {
-        val e = Fixture.external(s, d)
-        val kinds = Diff.classify(Fixture.internal(s, d), e, K, Fixture.dataCols(e))
-        Diff.semiJoinChanged(e, kinds.filter(col("kind").isin("changed", "new")), K)
+        val kinds = Fixture.kinds(s, d)
+        Diff.semiJoinChanged(Fixture.external(s, d),
+          kinds.filter(col("kind").isin("changed", "new")), K)
           .orderBy(keyCols: _*)
       },
       Some(s"""${Fixture.OracleCtes},
@@ -173,10 +169,9 @@ object Catalog {
 
     Entry("changelog_join",
       (s, d) => {
-        val e = Fixture.external(s, d)
-        val internal = Fixture.internal(s, d)
-        val kinds = Diff.classify(internal, e, K, Fixture.dataCols(e))
-        Changelog.captureOld(internal, kinds.filter(col("kind") === "changed"), K)
+        val kinds = Fixture.kinds(s, d)
+        Changelog.captureOld(Fixture.internal(s, d),
+          kinds.filter(col("kind") === "changed"), K)
           .orderBy(keyCols: _*)
       },
       Some(s"""${Fixture.OracleCtes},
@@ -189,10 +184,9 @@ object Catalog {
     Entry("upsert_replace",
       (s, d) => {
         val e = Fixture.external(s, d)
-        val internal = Fixture.internal(s, d)
-        val kinds = Diff.classify(internal, e, K, Fixture.dataCols(e))
+        val kinds = Fixture.kinds(s, d)
         val fetched = Diff.semiJoinChanged(e, kinds.filter(col("kind").isin("changed", "new")), K)
-        Diff.upsertReplace(internal, fetched, K).orderBy(keyCols: _*)
+        Diff.upsertReplace(Fixture.internal(s, d), fetched, K).orderBy(keyCols: _*)
       },
       Some(s"""${Fixture.OracleCtes},
               |${Oracles.kindsCte},
@@ -220,7 +214,7 @@ object Catalog {
       (s, d) => {
         val e = Fixture.external(s, d)
         val internal = Fixture.internal(s, d)
-        val changedKeys = Diff.classify(internal, e, K, Fixture.dataCols(e))
+        val changedKeys = Fixture.kinds(s, d)
           .filter(col("kind") === "changed")
         val oldV = internal.join(changedKeys.select(keyCols: _*), K, "left_semi")
           .select(keyCols :+ col("l_quantity") :+ lit(1).as("version"): _*)
@@ -324,6 +318,36 @@ object Catalog {
               |SELECT a.n_nationkey, a.members, a.active, round(s.s / a.members_sqrt, 6) AS o_totalprice
               |FROM active a JOIN sums s ON s.n_nationkey = a.n_nationkey
               |ORDER BY a.n_nationkey""".stripMargin)),
+
+    // §2.5 "missing from reference, Spark covers natively": distinct aggs,
+    // exact percentiles, rollup/grouping sets — declared + oracled here
+    Entry("agg_percentiles",
+      (s, d) => Tables.load(s, d, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(round(expr("percentile(o_totalprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+             | round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+             | count(DISTINCT o_custkey) AS n_cust
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Entry("agg_rollup",
+      (s, d) => Tables.load(s, d, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 6).as("total"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"))
+        .orderBy(col("g_status"), col("g_prio"),
+          col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS total,
+             | CAST(grouping(o_orderstatus) AS INT) AS g_status,
+             | CAST(grouping(o_orderpriority) AS INT) AS g_prio
+             |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+             |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
 
     Entry("sql_group_agg",
       (s, d) => { // the spark.sql text surface over registered views
