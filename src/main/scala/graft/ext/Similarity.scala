@@ -44,6 +44,29 @@ object Similarity {
       .select(col("qid"), col("vid"), round(col("cos"), 6).as("cosim"), col("rk"))
   }
 
+  /** [[bruteTopK]] with the rerank running through the custom
+    * [[graft.plans.TopK]] bounded-heap operator instead of a window sort:
+    * same results (same oracle), O(n log k) and fixed memory per group
+    * instead of a full per-partition sort — the form that scales to a
+    * 100 TB corpus rerank. The rank column is recomputed on the k×queries
+    * result, which is tiny by construction.
+    */
+  def bruteTopKNative(corpus: DataFrame, queries: DataFrame, idCol: String,
+                      vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
+      vectors.float_norm(col(vecCol)).as("qn")))
+    val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("cv"),
+      vectors.float_norm(col(vecCol)).as("cn"))
+    val scored = c.join(q, col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"),
+        (vectors.float_dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+    val top = graft.plans.TopK.perGroup(scored, Seq("qid"),
+      Seq(("cos", false), ("vid", true)), k)
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
+    top.withColumn("rk", row_number().over(w))
+      .select(col("qid"), col("vid"), round(col("cos"), 6).as("cosim"), col("rk"))
+  }
+
   /** Random-hyperplane LSH bucket (int; bit per plane), computed map-side
     * in one codegen'd pass over the vector.
     */

@@ -497,17 +497,17 @@ object Catalog {
           .withColumn("rk", col("rk").cast("long"))
           .orderBy("qid", "rk")
       },
-      Some("""WITH e AS (SELECT vec_id, unnest(embedding) AS x,
-             |            unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
-             |n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e GROUP BY 1),
-             |q AS (SELECT vec_id AS qid, x AS qx, i FROM e WHERE vec_id < 10),
-             |dot AS (SELECT q.qid, e.vec_id AS vid, sum(q.qx * e.x) AS dp
-             |        FROM q JOIN e ON q.i = e.i WHERE e.vec_id <> q.qid GROUP BY 1, 2),
-             |c AS (SELECT qid, vid, dp / (nq.nrm * nv.nrm) AS cos
-             |      FROM dot JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = vid),
-             |r AS (SELECT qid, vid, round(cos, 6) AS cosim,
-             |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk FROM c)
-             |SELECT qid, vid, cosim, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)),
+      Some(Oracles.topkOracle)),
+
+    Entry("sim_topk_native",
+      (s, d) => { // same query through the custom TopKPerGroup operator —
+        // same oracle, different physical plan (bounded heaps, no sort)
+        val e = embs(s, d)
+        Similarity.bruteTopKNative(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+          .withColumn("rk", col("rk").cast("long"))
+          .orderBy("qid", "rk")
+      },
+      Some(Oracles.topkOracle)),
 
     Entry("sim_ann_lsh",
       (s, d) => {
