@@ -116,8 +116,16 @@ object Pipeline {
                  what: String): DataFrame = {
     val v = currentVersion(baseDir).getOrElse(
       throw new IllegalStateException(s"no committed version under $baseDir"))
-    spark.read.parquet(s"$baseDir/$what/v=$v")
+    readVersion(spark, baseDir, what, v)
   }
+
+  /** Time travel: read any still-retained committed version — every
+    * `commitVersioned` leaves its `v=N` directory in place, giving
+    * snapshot-level history on top of the row-level changelog.
+    */
+  def readVersion(spark: org.apache.spark.sql.SparkSession, baseDir: String,
+                  what: String, version: Long): DataFrame =
+    spark.read.parquet(s"$baseDir/$what/v=$version")
 
   /** Run per-table pipelines concurrently with fail-fast cancellation —
     * the reference runs its three table extracts in one event loop and
