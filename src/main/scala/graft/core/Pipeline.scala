@@ -43,6 +43,23 @@ object Pipeline {
     (scored, state)
   }
 
+  /** Cold-load commit: one source pass fanned out to the two sinks
+    * (reference's cold topology `fetch → {update, hash}`,
+    * download.py:29-42, the `fanout_split` at download.py:421-429) —
+    * persist once, write snapshot then signature state, release.
+    */
+  def commitCold(external: DataFrame, key: Seq[String], dataCols: Seq[String],
+                 baseDir: String): Unit = {
+    val (scored, _) = cold(external, key, dataCols)
+    val cached = scored.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      cached.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/snapshot")
+      cached.select(key.map(col) :+
+          Signatures.md5Sig(dataCols.map(col)).as(Diff.SigCol): _*)
+        .write.mode(SaveMode.Overwrite).parquet(s"$baseDir/state")
+    } finally cached.unpersist()
+  }
+
   /** Warm incremental run (reference download.py:44-63 + post_download
     * 532-604), as pure DataFrames. `internal` is the current snapshot,
     * `external` the live source; both share `key` + `dataCols`.

@@ -39,6 +39,32 @@ object StreamingCdc {
       Signatures.md5Sig(dataCols.map(col)).as("sig"),
       deleteCol.map(col(_).cast("boolean")).getOrElse(lit(false)).as("is_delete"))
 
+  /** Run [[changeEvents]] over a parquet file-stream directory with a
+    * durable checkpoint: the signature state lives in the checkpointed
+    * state store, so a stopped query resumes exactly where it left off —
+    * the streaming equivalent of the reference's persisted `_hashes_0`
+    * cache surviving between runs (table.py:107-117). Each call processes
+    * whatever files are new since the checkpoint and stops.
+    */
+  def runFileStream(spark: org.apache.spark.sql.SparkSession, inputDir: String,
+                    checkpointDir: String, outputDir: String, keyCol: String,
+                    dataCols: Seq[String]): DataFrame = {
+    val schema = spark.read.parquet(inputDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inputDir)
+    val events = changeEvents(withSignature(stream, keyCol, dataCols))
+    // parquet (file) sink: recoverable from the checkpoint, unlike the
+    // memory sink — each call appends only newly-derived change events
+    val q = events.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet")
+      .option("path", outputDir)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(outputDir)
+  }
+
   /** Stateful change classification. Emits `new` / `changed` / `deleted`
     * events; unchanged rows are swallowed (the reference drops matched
     * hashes the same way, download.py:193-195).

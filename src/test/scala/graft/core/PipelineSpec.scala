@@ -70,6 +70,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("table failed"))
   }
 
+  test("commitCold fans one pass out to snapshot + state sinks") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cold").toString
+    val e = Fixture.external(spark, TestSpark.Sf)
+    Pipeline.commitCold(e, Fixture.Key, Fixture.DataCols, dir)
+    val snap = spark.read.parquet(s"$dir/snapshot")
+    val state = spark.read.parquet(s"$dir/state")
+    assert(snap.count() == e.count() && state.count() == e.count())
+    assert(snap.columns.contains("score_overall"))
+    // a warm run against the cold-committed state finds nothing to do
+    val r = Pipeline.warm(snap.select(e.columns.map(col): _*), e,
+      Fixture.Key, Fixture.DataCols)
+    assert(r.kinds.filter(col("kind") =!= "unchanged").count() == 0)
+  }
+
   test("cold load emits scored snapshot + signature state") {
     val e = Fixture.external(spark, TestSpark.Sf)
     val (scored, state) = Pipeline.cold(e, Fixture.Key, Fixture.DataCols)

@@ -62,6 +62,31 @@ class DedupSpec extends AnyFunSuite {
     assert(bulk == exprForm)
   }
 
+  test("minhash jaccard estimate tracks true jaccard on fixture pairs") {
+    import graft.core.Tables
+    val docs = Tables.load(spark, graft.TestSpark.Sf, "documents").limit(200)
+    val k = 32
+    // truth = TRUE shingle-set jaccard (what MinHash estimates). Pair each
+    // doc with a mutated copy of itself (tail words re-appended) so pairs
+    // span genuinely high jaccard — consecutive fixture docs share words
+    // but almost no 3-shingles (random word order).
+    val mutated = docs.select(col("doc_id"),
+      concat_ws(" ", slice(split(col("text"), " "), 1, 40),
+        slice(split(col("text"), " "), 1, 40)).as("text2"))
+    val sh = docs.join(mutated, "doc_id").select(col("doc_id"),
+      Dedup.wordShingles(col("text"), 3).as("sa"),
+      Dedup.wordShingles(col("text2"), 3).as("sb"))
+    val pairs = sh.select(
+      (size(filter(zip_with(
+        Dedup.minhash(col("sa"), k), Dedup.minhash(col("sb"), k),
+        (x, y) => x === y), m => m)).cast("double") / k).as("est"),
+      (size(array_intersect(array_distinct(col("sa")), array_distinct(col("sb")))).cast("double") /
+        size(array_union(array_distinct(col("sa")), array_distinct(col("sb"))))).as("truth"))
+      .collect().toSeq
+    val mae = pairs.map(r => math.abs(r.getDouble(0) - r.getDouble(1))).sum / pairs.length
+    assert(mae < 0.15, s"mean abs error $mae over ${pairs.length} pairs")
+  }
+
   test("dupClusters: min-label connected components over pair chains") {
     // chain 1-2, 2-3 and pair 10-11; singleton 99 not in any pair
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
