@@ -464,17 +464,30 @@ object Catalog {
       },
       // oracle computes the same clusters with an independent algorithm:
       // gaps-and-islands over the consecutive-pair chain
-      Some("""WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents),
-             |c AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
-             |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-             |      FROM w a JOIN w b ON a.word = b.word AND b.doc_id = a.doc_id + 1 GROUP BY 1, 2),
-             |j AS (SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / (c1.n + c2.n - inter), 6) AS jaccard
-             |      FROM i JOIN c c1 ON c1.doc_id = id_a JOIN c c2 ON c2.doc_id = id_b),
-             |flags AS (SELECT d.doc_id, CASE WHEN coalesce(j.jaccard, 0) >= 0.5 THEN 0 ELSE 1 END AS brk
-             |          FROM documents d LEFT JOIN j ON j.id_b = d.doc_id),
-             |runs AS (SELECT doc_id, sum(brk) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS run_id FROM flags)
-             |SELECT doc_id AS id, min(doc_id) OVER (PARTITION BY run_id) AS cluster_id
-             |FROM runs ORDER BY 1""".stripMargin)),
+      Some(s"""WITH ${Oracles.clusterCtesBody}
+              |SELECT id, cluster_id FROM clusters ORDER BY 1""".stripMargin)),
+
+    Entry("dedup_keep_best",
+      (s, d) => { // resolve each dup cluster to its best-quality doc —
+        // the custom TopKPerGroup operator does the per-cluster argmax
+        val dd = docs(s, d)
+        val a = dd.select(col("doc_id").as("id_a"), col("text").as("ta"))
+        val b = dd.select(col("doc_id").as("id_b"), col("text").as("tb"))
+        val pairs = a.join(b, col("id_b") === col("id_a") + 1)
+          .filter(Dedup.wordJaccard(col("ta"), col("tb")) >= 0.5)
+          .select("id_a", "id_b")
+        val clustered = Dedup.dupClusters(pairs)
+        val withCluster = dd.select(col("doc_id").as("id"),
+            TextStats.qualityScore(col("text")).as("quality"))
+          .join(clustered, Seq("id"), "left_outer")
+          .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"),
+            col("quality"))
+        graft.plans.TopK.perGroup(withCluster, Seq("cluster_id"),
+          Seq(("quality", false), ("id", true)), 1)
+          .select(col("cluster_id"), col("id").as("kept_id"), col("quality"))
+          .orderBy("cluster_id")
+      },
+      Some(Oracles.keepBestOracle)),
 
     Entry("mm_frame_sample",
       (s, d) => Multimodal.frameSample(s,

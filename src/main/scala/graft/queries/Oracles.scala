@@ -112,4 +112,30 @@ object Oracles {
       |r AS (SELECT qid, vid, round(cos, 6) AS cosim,
       |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk FROM c)
       |SELECT qid, vid, cosim, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
+  /** Consecutive-pair jaccard-chain cluster derivation (CTE body, no
+    * leading WITH) — shared by `dedup_clusters` and `dedup_keep_best`.
+    */
+  val clusterCtesBody: String =
+    """w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents),
+      |c AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+      |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      |      FROM w a JOIN w b ON a.word = b.word AND b.doc_id = a.doc_id + 1 GROUP BY 1, 2),
+      |j AS (SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / (c1.n + c2.n - inter), 6) AS jaccard
+      |      FROM i JOIN c c1 ON c1.doc_id = id_a JOIN c c2 ON c2.doc_id = id_b),
+      |flags AS (SELECT d.doc_id, CASE WHEN coalesce(j.jaccard, 0) >= 0.5 THEN 0 ELSE 1 END AS brk
+      |          FROM documents d LEFT JOIN j ON j.id_b = d.doc_id),
+      |runs AS (SELECT doc_id, sum(brk) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS run_id FROM flags),
+      |clusters AS (SELECT doc_id AS id, min(doc_id) OVER (PARTITION BY run_id) AS cluster_id FROM runs)""".stripMargin
+
+  /** Cluster → best-quality representative (quality desc, id asc). */
+  val keepBestOracle: String =
+    s"""WITH $clusterCtesBody,
+       |q AS (SELECT doc_id, quality FROM ($qualitySql)),
+       |jn AS (SELECT clusters.id, clusters.cluster_id, q.quality
+       |       FROM clusters JOIN q ON q.doc_id = clusters.id)
+       |SELECT cluster_id, id AS kept_id, quality FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |    ORDER BY quality DESC, id) AS rn FROM jn) WHERE rn = 1
+       |ORDER BY cluster_id""".stripMargin
 }
