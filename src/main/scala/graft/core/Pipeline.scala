@@ -61,15 +61,27 @@ object Pipeline {
   }
 
   /** Warm incremental run (reference download.py:44-63 + post_download
-    * 532-604), as pure DataFrames. `internal` is the current snapshot,
-    * `external` the live source; both share `key` + `dataCols`.
+    * 532-604). `internal` is the current snapshot, `external` the live
+    * source; both share `key` + `dataCols`.
+    *
+    * `deriveFetched` re-applies the snapshot's derived columns (scores,
+    * reference download.py:437-441 injects score exprs into the keyed
+    * fetch) to incoming rows, so a snapshot written by [[commitCold]]
+    * (which carries score columns) round-trips through warm runs:
+    * pass `Scores.withOverall(Scores.withScores(_))` to match.
+    *
+    * `kinds` is persisted here: the classify join feeds four downstream
+    * consumers (delete count, changelog, fetch, state) and is the
+    * dominant cost — without the persist it re-executes per action.
     */
   def warm(internal: DataFrame, external: DataFrame,
            key: Seq[String], dataCols: Seq[String],
-           maxDeletes: Long = DefaultMaxDeletes): WarmResult = {
-    val kinds   = Diff.classify(internal, external, key, dataCols)
+           maxDeletes: Long = DefaultMaxDeletes,
+           deriveFetched: DataFrame => DataFrame = identity): WarmResult = {
+    val kinds = Diff.classify(internal, external, key, dataCols)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val touched = kinds.filter(col(Diff.KindCol).isin("changed", "new"))
-    val fetched = Diff.semiJoinChanged(external, touched, key)
+    val fetched = deriveFetched(Diff.semiJoinChanged(external, touched, key))
     val changedKeys = kinds.filter(col(Diff.KindCol) === "changed")
     val changelog   = Changelog.captureOld(internal, changedKeys, key)
 
@@ -82,6 +94,7 @@ object Pipeline {
       else internal.join(deletedKeys.select(key.map(col): _*), key, "left_anti")
 
     val newSnapshot = Diff.upsertReplace(afterDeletes, fetched, key)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newState    = newSnapshot.select(
       key.map(col) :+ Signatures.md5Sig(dataCols.map(col)).as(Diff.SigCol): _*)
     WarmResult(kinds, newSnapshot, changelog, newState)
@@ -92,8 +105,12 @@ object Pipeline {
     * TRUNCATE/REPLACE double-buffer swap — readers of the old directory
     * are unaffected until each write completes.
     */
-  def commit(r: WarmResult, baseDir: String): Unit = {
-    r.changelog.write.mode(SaveMode.Append).parquet(s"$baseDir/changelog")
+  def commit(r: WarmResult, baseDir: String,
+             runVersion: Long = System.currentTimeMillis()): Unit = {
+    // the version column makes Changelog.latest reconstructible from the
+    // durable multi-run changelog (parquet append preserves no order)
+    r.changelog.withColumn("version", lit(runVersion))
+      .write.mode(SaveMode.Append).parquet(s"$baseDir/changelog")
     r.newSnapshot.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/snapshot")
     r.newState.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/state")
   }
@@ -108,7 +125,10 @@ object Pipeline {
   def commitVersioned(r: WarmResult, baseDir: String): Long = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val v = currentVersion(baseDir).getOrElse(0L) + 1
-    r.changelog.write.mode(SaveMode.Append).parquet(s"$baseDir/changelog")
+    // changelog also lands under v=N: a crash before the pointer move
+    // leaves the orphan invisible to readChangelog (which filters v <=
+    // pointer), and a retry overwrites rather than duplicating history
+    r.changelog.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/changelog/v=$v")
     r.newSnapshot.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/snapshot/v=$v")
     r.newState.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/state/v=$v")
     val tmp = Paths.get(s"$baseDir/VERSION.tmp")
@@ -143,6 +163,16 @@ object Pipeline {
   def readVersion(spark: org.apache.spark.sql.SparkSession, baseDir: String,
                   what: String, version: Long): DataFrame =
     spark.read.parquet(s"$baseDir/$what/v=$version")
+
+  /** Committed changelog history: the `v=N` layout is read as a `v`
+    * partition column; rows of versions past the pointer (orphans of a
+    * crashed commit) are filtered out. `v` doubles as the version column
+    * for [[Changelog.latest]].
+    */
+  def readChangelog(spark: org.apache.spark.sql.SparkSession, baseDir: String): DataFrame = {
+    val current = currentVersion(baseDir).getOrElse(0L)
+    spark.read.parquet(s"$baseDir/changelog").filter(col("v") <= current)
+  }
 
   /** Run per-table pipelines concurrently with fail-fast cancellation —
     * the reference runs its three table extracts in one event loop and

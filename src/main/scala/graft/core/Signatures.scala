@@ -21,14 +21,14 @@ import org.apache.spark.sql.functions._
   *  - both are Spark built-ins → whole-stage codegen, no UDFs.
   */
 object Signatures {
-  val Sep = ""
+  val Sep = "\u0001"
 
   /** NULLs are replaced by a sentinel BEFORE concat: `concat_ws` silently
     * skips NULL inputs, so without this `(null, "a")` and `("a", null)`
     * would collide — a latent bug in the reference's CONCAT_WS('') scheme
     * we deliberately do not reproduce.
     */
-  private val NullSentinel = "\\u0000\\u2400\\u0000" // cannot occur in real data
+  private val NullSentinel = "\u0000\u2400\u0000" // NUL + SYMBOL-FOR-NULL + NUL
   private def concatCols(cols: Seq[Column]): Column =
     concat_ws(Sep, cols.map(c => coalesce(c.cast("string"), lit(NullSentinel))): _*)
 

@@ -60,15 +60,22 @@ object TribeAgg {
         val out = sums.join(broadcast(active), Seq(tribeKey), "inner")
         val statOut = statCols.map(n => (col(s"__sum_$n") / col("members_sqrt")).as(n))
         out.select(col(tribeKey) +: col("members") +: col("active") +: statOut: _*)
-      case None =>           // cold: counts inline + LEFT JOIN delta (post_update.py:44-49)
-        val withActive = base.join(
-          broadcast(activeKeys.withColumnRenamed(activeKeys.columns.head, "__active_key")),
-          col(factKey) === col("__active_key"), "left_outer")
-        val aggs =
-          count(col(memberKey)).as("members") +:
-          count(col("__active_key")).as("active") +:
-          statAggs.map { case (n, e) => (e / pow(count(col(memberKey)), 0.5)).as(n) }
-        withActive.groupBy(col(tribeKey)).agg(aggs.head, aggs.tail: _*)
+      case None =>
+        // cold: counts inline + LEFT JOIN delta (post_update.py:44-49).
+        // Member/active counts aggregate the tribe⋈member bridge BEFORE
+        // the facts join: with 1:N facts (a member with several fact
+        // rows) counting after the join would inflate members and the
+        // sqrt divisor. (In the reference member→player is 1:1 so the
+        // two orders coincide; here they must be kept distinct.)
+        val counts = tribeActive(tribe, members, activeKeys,
+          tribeKey, memberTribeFk, memberKey)
+        val sums = base.groupBy(col(tribeKey))
+          .agg(statAggs.map { case (n, e) => e.as(s"__sum_$n") }.head,
+               statAggs.map { case (n, e) => e.as(s"__sum_$n") }.tail: _*)
+        val statOut = statCols.map(n =>
+          (col(s"__sum_$n") / col("members_sqrt")).as(n))
+        sums.join(broadcast(counts), Seq(tribeKey), "inner")
+          .select(col(tribeKey) +: col("members") +: col("active") +: statOut: _*)
     }
   }
 }

@@ -156,7 +156,7 @@ object Dedup {
     * clusters are shallow; 10 covers any realistic corpus). Label frame
     * persisted per round, edges reused.
     */
-  def dupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .persist()

@@ -2,7 +2,7 @@ package graft.observe
 
 import java.util.concurrent.ConcurrentLinkedQueue
 import scala.collection.concurrent.TrieMap
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerStageSubmitted, SparkListenerTaskEnd}
 
 /** Progress observability (reference: `PROGRESS` sampling every 5% of
   * batches, src/download.py:10-11,178-187,304-313 — operational logging,
@@ -20,11 +20,17 @@ class ProgressListener(everyPct: Int = 5, sink: String => Unit = s => System.err
   private final case class StageProg(total: Int, var done: Int, var lastPct: Int)
   private val stages = TrieMap.empty[Int, StageProg]
 
-  /** Emitted progress lines, newest last. */
+  /** Emitted progress lines, newest last; bounded (oldest dropped) so a
+    * long-running continuous session cannot grow it without limit.
+    */
   val events = new ConcurrentLinkedQueue[String]()
+  private val MaxEvents = 10000
 
   override def onStageSubmitted(ev: SparkListenerStageSubmitted): Unit =
     stages.put(ev.stageInfo.stageId, StageProg(math.max(ev.stageInfo.numTasks, 1), 0, 0))
+
+  override def onStageCompleted(ev: SparkListenerStageCompleted): Unit =
+    stages.remove(ev.stageInfo.stageId) // bound memory across a long session
 
   override def onTaskEnd(ev: SparkListenerTaskEnd): Unit =
     stages.get(ev.stageId).foreach { p =>
@@ -35,6 +41,7 @@ class ProgressListener(everyPct: Int = 5, sink: String => Unit = s => System.err
           p.lastPct = pct - pct % everyPct
           val msg = s"[stage ${ev.stageId}] ${p.done}/${p.total} tasks ($pct%)"
           events.add(msg)
+          while (events.size > MaxEvents) events.poll()
           sink(msg)
         }
       }

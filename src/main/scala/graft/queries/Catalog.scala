@@ -440,13 +440,19 @@ object Catalog {
             Dedup.wordJaccard(col("ta"), col("tb")).as("jaccard"))
           .orderBy("id_a")
       },
+      // LEFT JOIN from the full consecutive-pair base: pairs sharing no
+      // word must still appear with jaccard = 0 (as the Spark query emits)
       Some("""WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents),
              |c AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+             |p AS (SELECT d1.doc_id AS id_a, d2.doc_id AS id_b FROM documents d1
+             |      JOIN documents d2 ON d2.doc_id = d1.doc_id + 1),
              |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
              |      FROM w a JOIN w b ON a.word = b.word AND b.doc_id = a.doc_id + 1 GROUP BY 1, 2)
-             |SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / (c1.n + c2.n - inter), 6) AS jaccard
-             |FROM i JOIN c c1 ON c1.doc_id = id_a JOIN c c2 ON c2.doc_id = id_b
-             |ORDER BY id_a""".stripMargin)),
+             |SELECT p.id_a, p.id_b,
+             | round(CAST(coalesce(i.inter, 0) AS DOUBLE) / (c1.n + c2.n - coalesce(i.inter, 0)), 6) AS jaccard
+             |FROM p LEFT JOIN i ON i.id_a = p.id_a
+             |JOIN c c1 ON c1.doc_id = p.id_a JOIN c c2 ON c2.doc_id = p.id_b
+             |ORDER BY p.id_a""".stripMargin)),
 
     Entry("dedup_clusters",
       (s, d) => {

@@ -54,6 +54,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(Pipeline.currentVersion(dir).contains(2L))
     assert(Pipeline.readLatest(spark, dir, "snapshot").count() == e.count())
     assert(Pipeline.readLatest(spark, dir, "state").count() == e.count())
+    // changelog history readable with the v partition as version column;
+    // orphan versions past the pointer are invisible
+    val clog = Pipeline.readChangelog(spark, dir)
+    assert(clog.count() == 2 * r.changelog.count())
+    r.changelog.limit(5).write.mode("overwrite").parquet(s"$dir/changelog/v=9")
+    assert(Pipeline.readChangelog(spark, dir).count() == 2 * r.changelog.count())
   }
 
   test("runParallel: all jobs run; first failure propagates") {
@@ -78,10 +84,12 @@ class PipelineSpec extends AnyFunSuite {
     val state = spark.read.parquet(s"$dir/state")
     assert(snap.count() == e.count() && state.count() == e.count())
     assert(snap.columns.contains("score_overall"))
-    // a warm run against the cold-committed state finds nothing to do
-    val r = Pipeline.warm(snap.select(e.columns.map(col): _*), e,
-      Fixture.Key, Fixture.DataCols)
+    // a warm run consumes the scored snapshot directly (deriveFetched
+    // re-applies the score columns to incoming rows) and finds no changes
+    val r = Pipeline.warm(snap, e, Fixture.Key, Fixture.DataCols,
+      deriveFetched = df => Scores.withOverall(Scores.withScores(df)))
     assert(r.kinds.filter(col("kind") =!= "unchanged").count() == 0)
+    assert(r.newSnapshot.columns.contains("score_overall"))
   }
 
   test("cold load emits scored snapshot + signature state") {

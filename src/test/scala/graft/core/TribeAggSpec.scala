@@ -23,9 +23,10 @@ class TribeAggSpec extends AnyFunSuite {
     assert(!got.contains(30)) // inner join: tribes without members drop (post_update.py:33-35)
   }
 
-  test("cold and warm stats shapes agree on sums") {
+  test("cold and warm stats shapes agree on sums (incl. 1:N facts)") {
     val (tribe, member, delta) = fixture
-    val facts = Seq((1, 100.0), (2, 10.0), (3, 1.0), (4, 5.0)).toDF("p_id", "stat")
+    // member 1 carries TWO fact rows: cold counts must not inflate
+    val facts = Seq((1, 100.0), (1, 50.0), (2, 10.0), (3, 1.0), (4, 5.0)).toDF("p_id", "stat")
     val active = TribeAgg.tribeActive(tribe, member, delta, "t_id", "m_tribe", "m_id")
     val warm = TribeAgg.tribeStats(tribe, member, facts, delta,
       "t_id", "m_tribe", "m_id", "p_id", Seq("stat"), Some(active))
@@ -35,6 +36,9 @@ class TribeAggSpec extends AnyFunSuite {
     val c = cold.collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
     assert(w.keySet == c.keySet)
     w.keySet.foreach(k => assert(math.abs(w(k) - c(k)) < 1e-12))
-    assert(math.abs(w(10) - 111.0 / math.pow(3, 0.5)) < 1e-12)
+    assert(math.abs(w(10) - 161.0 / math.pow(3, 0.5)) < 1e-12)
+    // counts must come from the bridge, not the fanned-out join
+    val cm = cold.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(cm(10) == 3L)
   }
 }
