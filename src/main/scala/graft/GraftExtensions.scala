@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft.{FloatArrayDot, HyperplaneBucket}
+import graft.plans.{PushFilterThroughTopK, TopKStrategy}
+
+/** The engine's canonical integration point:
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`) installs
+  *  - the [[graft.plans.TopKPerGroup]] planner strategy,
+  *  - the [[graft.plans.PushFilterThroughTopK]] optimizer rule,
+  *  - SQL bindings for the codegen'd vector kernels
+  *    (`float_dot(a, b)`, `hyperplane_bucket(v, planes)`).
+  *
+  * The library also works without it: [[graft.plans.TopK.perGroup]]
+  * self-registers through `spark.experimental` on first use.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectPlannerStrategy(_ => TopKStrategy)
+    e.injectOptimizerRule(_ => PushFilterThroughTopK)
+    e.injectFunction((
+      FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatArrayDot].getName, "float_dot"),
+      (exprs: Seq[Expression]) => FloatArrayDot(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("hyperplane_bucket"),
+      new ExpressionInfo(classOf[HyperplaneBucket].getName, "hyperplane_bucket"),
+      (exprs: Seq[Expression]) => exprs(1) match {
+        case Literal(p: Int, _) => HyperplaneBucket(exprs(0), p)
+        case other => throw new IllegalArgumentException(
+          s"hyperplane_bucket planes must be an int literal, got $other")
+      }))
+  }
+}

@@ -91,10 +91,14 @@ object TopKStrategy extends SparkStrategy {
 
 /** Column-level API. */
 object TopK {
-  private def ensureStrategy(spark: SparkSession): Unit =
+  private def ensureStrategy(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
+    if (!spark.experimental.extraOptimizations.contains(PushFilterThroughTopK))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFilterThroughTopK
+  }
 
   /** First `k` rows of each group under `orderBy` (name, ascending?)
     * ordering — semantically `ORDER BY ... LIMIT k` per group. Always
