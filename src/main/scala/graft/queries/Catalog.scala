@@ -564,6 +564,18 @@ object Catalog {
         .orderBy("doc_id"),
       Some(Oracles.qualitySql)),
 
+    Entry("text_top_words",
+      (s, d) => { // corpus-wide top-20 words: explode → partial-agg count
+        // (map-side combine) → global top-k
+        val counts = docs(s, d)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("n"))
+        counts.orderBy(col("n").desc, col("word")).limit(20)
+      },
+      Some("""SELECT word, count(*) AS n
+             |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+             |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin)),
+
     Entry("text_fingerprint",
       (s, d) => docs(s, d)
         .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))

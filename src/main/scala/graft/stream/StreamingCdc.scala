@@ -65,6 +65,40 @@ object StreamingCdc {
     spark.read.parquet(outputDir)
   }
 
+  /** The APPLY side of streaming CDC: continuously maintain the durable
+    * snapshot from a stream of row updates — the full "replica stays
+    * current" contract of the reference (start.py run loop) in streaming
+    * form. Each micro-batch upserts into the committed snapshot and
+    * commits a new version (changelog captured first, ordering per
+    * SURVEY §7.4.4). Exactly-once: the version pointer only advances
+    * after a batch's writes complete, and re-processing a batch
+    * overwrites its own v=N output rather than duplicating.
+    */
+  def continuousApply(spark: org.apache.spark.sql.SparkSession, inputDir: String,
+                      checkpointDir: String, snapshotDir: String, keyCol: String,
+                      dataCols: Seq[String]): Unit = {
+    import graft.core.{Diff, Pipeline}
+    val schema = spark.read.parquet(inputDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inputDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val updates = batch.dropDuplicates(keyCol) // last-write-wins per batch
+        val current = Pipeline.currentVersion(snapshotDir) match {
+          case Some(_) => Pipeline.readLatest(spark, snapshotDir, "snapshot")
+          case None    => updates.limit(0)
+        }
+        val r = Pipeline.warm(current, // incremental apply against committed state
+          Diff.upsertReplace(current, updates, Seq(keyCol)),
+          Seq(keyCol), dataCols)
+        Pipeline.commitVersioned(r, snapshotDir)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** Stateful change classification. Emits `new` / `changed` / `deleted`
     * events; unchanged rows are swallowed (the reference drops matched
     * hashes the same way, download.py:193-195).
