@@ -1,8 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.sqrt
-import org.apache.spark.sql.graft.{Bridge, FloatArrayDot, HyperplaneBucket}
+import org.apache.spark.sql.functions.{round, sqrt, transform}
+import org.apache.spark.sql.graft.{Bridge, ByteArrayDot, FloatArrayDot, HyperplaneBucket}
 
 /** Column-API wrappers over the codegen'd vector expressions
   * (see org.apache.spark.sql.graft.VectorExpressions).
@@ -18,4 +18,22 @@ object vectors {
 
   def hyperplane_bucket(v: Column, planes: Int): Column =
     Bridge.column(HyperplaneBucket(Bridge.expression(v), planes))
+
+  /** Symmetric int8 quantization of a unit-scale float vector:
+    * q = round(x * 127) as tinyint — 4× smaller at rest and in shuffle.
+    * Map-side HOF; runs once per row, off the pairwise hot path.
+    */
+  def quantize_int8(v: Column): Column =
+    transform(v, x => round(x.cast("double") * 127).cast("tinyint"))
+
+  /** Exact integer dot over int8-quantized vectors (codegen'd). */
+  def int8_dot(a: Column, b: Column): Column =
+    Bridge.column(ByteArrayDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Cosine over quantized vectors: integer dots, so bit-identical in
+    * any engine with the same quantizer.
+    */
+  def int8_cosine(a: Column, b: Column): Column =
+    int8_dot(a, b).cast("double") /
+      (sqrt(int8_dot(a, a).cast("double")) * sqrt(int8_dot(b, b).cast("double")))
 }

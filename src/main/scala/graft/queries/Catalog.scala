@@ -528,6 +528,39 @@ object Catalog {
       },
       Some(Oracles.topkOracle)),
 
+    Entry("sim_topk_int8",
+      (s, d) => { // int8-quantized cosine top-k: exact integer dots
+        // (ByteArrayDot) make this reproducible bit-for-bit in DuckDB
+        import graft.functions.vectors
+        import org.apache.spark.sql.expressions.Window
+        val e8 = embs(s, d).select(col("vec_id"),
+          vectors.quantize_int8(col("embedding")).as("q8"))
+        val withN = e8.withColumn("qq", vectors.int8_dot(col("q8"), col("q8")))
+        val q = broadcast(withN.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("q8").as("qv"), col("qq").as("qn")))
+        val c = withN.select(col("vec_id").as("vid"), col("q8").as("cv"), col("qq").as("cn"))
+        val scored = c.join(q, col("qid") =!= col("vid"))
+          .withColumn("cos", vectors.int8_dot(col("qv"), col("cv")).cast("double") /
+            (sqrt(col("qn").cast("double")) * sqrt(col("cn").cast("double"))))
+        val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
+        scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+          .select(col("qid"), col("vid"), round(col("cos"), 6).as("cosim"),
+            col("rk").cast("long").as("rk"))
+          .orderBy("qid", "rk")
+      },
+      Some("""WITH u AS (SELECT vec_id, unnest(embedding) AS x,
+             |            unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+             |e AS (SELECT vec_id, CAST(round(CAST(x AS DOUBLE) * 127) AS BIGINT) AS q, i FROM u),
+             |n AS (SELECT vec_id, sum(q*q) AS qq FROM e GROUP BY 1),
+             |qs AS (SELECT vec_id AS qid, q AS qx, i FROM e WHERE vec_id < 10),
+             |dot AS (SELECT qs.qid, e.vec_id AS vid, sum(qs.qx * e.q) AS dp
+             |        FROM qs JOIN e ON qs.i = e.i WHERE e.vec_id <> qs.qid GROUP BY 1, 2),
+             |c AS (SELECT qid, vid, CAST(dp AS DOUBLE) / (sqrt(CAST(nq.qq AS DOUBLE)) * sqrt(CAST(nv.qq AS DOUBLE))) AS cos
+             |      FROM dot JOIN n nq ON nq.vec_id = qid JOIN n nv ON nv.vec_id = vid),
+             |r AS (SELECT qid, vid, round(cos, 6) AS cosim,
+             |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk FROM c)
+             |SELECT qid, vid, cosim, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)),
+
     Entry("sim_ann_lsh",
       (s, d) => {
         val e = embs(s, d)

@@ -53,6 +53,47 @@ case class FloatArrayDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Exact int8 dot product over quantized vectors (`array<tinyint>`):
+  * integer arithmetic end-to-end, so results are bit-identical across
+  * engines — and 4× less memory traffic than float32 at scan time, the
+  * standard quantized-ANN trade (rerank survivors with full precision).
+  */
+case class ByteArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(ByteType), ArrayType(ByteType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "byte_array_dot"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getByte(i).toLong * b.getByte(i).toLong; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += (long) $a.getByte($i) * (long) $b.getByte($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Random-hyperplane LSH bucket id: bit p of the result is the sign of the
   * dot product with a pseudo-random ±1 hyperplane derived from xxhash64 of
   * (p * 1000003 + dimension) with Spark's standard seed 42 — deterministic,

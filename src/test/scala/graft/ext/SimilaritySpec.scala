@@ -32,6 +32,19 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("int8 quantized cosine stays close to float cosine") {
+    import graft.functions.vectors
+    val e = graft.core.Tables.load(spark, TestSpark.Sf, "embeddings").limit(50)
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val errs = a.join(b, col("ib") === col("ia") + 1)
+      .select(abs(vectors.int8_cosine(vectors.quantize_int8(col("va")),
+          vectors.quantize_int8(col("vb"))) -
+        vectors.float_cosine(col("va"), col("vb"))).as("err"))
+      .agg(max("err")).first().getDouble(0)
+    assert(errs < 0.02, s"max quantization error $errs")
+  }
+
   test("annTopK: results are a subset of brute-force candidates' quality") {
     val e = graft.core.Tables.load(spark, TestSpark.Sf, "embeddings")
     val q = e.filter(col("vec_id") < 3)
