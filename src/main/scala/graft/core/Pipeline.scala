@@ -164,6 +164,32 @@ object Pipeline {
                   what: String, version: Long): DataFrame =
     spark.read.parquet(s"$baseDir/$what/v=$version")
 
+  /** Retention: drop snapshot/state/changelog versions older than the
+    * newest `keepVersions` (never the current one). Time travel keeps
+    * working within the retained window; changelog history beyond it is
+    * gone — size the window to the audit requirement.
+    */
+  def vacuum(baseDir: String, keepVersions: Int): Unit = {
+    require(keepVersions >= 1)
+    val current = currentVersion(baseDir).getOrElse(return)
+    val cutoff = current - keepVersions + 1
+    for (what <- Seq("snapshot", "state", "changelog")) {
+      val root = java.nio.file.Paths.get(s"$baseDir/$what")
+      if (java.nio.file.Files.isDirectory(root)) {
+        val it = java.nio.file.Files.list(root).iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          val name = p.getFileName.toString
+          if (name.startsWith("v=") && name.drop(2).toLongOption.exists(_ < cutoff)) {
+            // recursive delete of the expired version directory
+            java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => java.nio.file.Files.delete(f))
+          }
+        }
+      }
+    }
+  }
+
   /** Committed changelog history: the `v=N` layout is read as a `v`
     * partition column; rows of versions past the pointer (orphans of a
     * crashed commit) are filtered out. `v` doubles as the version column

@@ -362,6 +362,36 @@ object Catalog {
              | count(*) AS n
              |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    Entry("group_tribe_stats_cold",
+      (s, d) => { // the reference's OTHER stats-query shape: cold start
+        // recomputes counts inline instead of reusing tribe_active
+        // (post_update.py:44-49 vs 50-55) — both shapes declared + oracled
+        val n = Tables.load(s, d, "nation")
+        val c = cust(s, d)
+        val o = Tables.load(s, d, "orders")
+          .withColumn("o_totalprice", col("o_totalprice").cast("decimal(18,2)"))
+        TribeAgg.tribeStats(n, c, o, activeDelta(s, d), "n_nationkey", "c_nationkey",
+            "c_custkey", "o_custkey", Seq("o_totalprice"), precomputed = None)
+          .select(col("n_nationkey"), col("members"), col("active"),
+            round(col("o_totalprice"), 6).as("o_totalprice"))
+          .orderBy("n_nationkey")
+      },
+      Some(s"""${Oracles.deltaCte},
+              |counts AS (
+              |  SELECT n.n_nationkey, count(c.c_custkey) AS members, count(d.o_custkey) AS active,
+              |    pow(count(c.c_custkey), 0.5) AS members_sqrt
+              |  FROM nation n JOIN customer c ON n.n_nationkey = c.c_nationkey
+              |  LEFT JOIN delta d ON c.c_custkey = d.o_custkey
+              |  GROUP BY n.n_nationkey),
+              |sums AS (
+              |  SELECT n.n_nationkey, sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS s
+              |  FROM nation n JOIN customer c ON n.n_nationkey = c.c_nationkey
+              |  JOIN orders o ON o.o_custkey = c.c_custkey
+              |  GROUP BY n.n_nationkey)
+              |SELECT ct.n_nationkey, ct.members, ct.active, round(s.s / ct.members_sqrt, 6) AS o_totalprice
+              |FROM counts ct JOIN sums s ON s.n_nationkey = ct.n_nationkey
+              |ORDER BY ct.n_nationkey""".stripMargin)),
+
     // ----- §2.8/7.5 streaming (batch form of the same window operator)
     Entry("stream_tumbling_counts",
       (s, d) => CdcStream.tumblingCountsBatch(Tables.loadEvents(s, d))

@@ -62,6 +62,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(Pipeline.readChangelog(spark, dir).count() == 2 * r.changelog.count())
   }
 
+  test("vacuum keeps the newest versions and time travel within the window") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vacuum").toString
+    val e = Fixture.external(spark, TestSpark.Sf)
+    val i = Fixture.internal(spark, TestSpark.Sf)
+    val r = Pipeline.warm(i, e, Fixture.Key, Fixture.DataCols)
+    (1 to 3).foreach(_ => Pipeline.commitVersioned(r, dir))
+    Pipeline.vacuum(dir, keepVersions = 2)
+    assert(Pipeline.readVersion(spark, dir, "snapshot", 3).count() == e.count())
+    assert(Pipeline.readVersion(spark, dir, "snapshot", 2).count() == e.count())
+    intercept[Exception] { Pipeline.readVersion(spark, dir, "snapshot", 1).count() }
+    // changelog reads only retained versions
+    assert(Pipeline.readChangelog(spark, dir).select("v").distinct().count() == 2)
+  }
+
   test("runParallel: all jobs run; first failure propagates") {
     val counter = new java.util.concurrent.atomic.AtomicInteger(0)
     Pipeline.runParallel(spark, Seq(
