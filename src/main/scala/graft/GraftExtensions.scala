@@ -24,14 +24,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("float_dot"),
       new ExpressionInfo(classOf[FloatArrayDot].getName, "float_dot"),
-      (exprs: Seq[Expression]) => FloatArrayDot(exprs(0), exprs(1))))
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2, s"float_dot takes 2 arguments, got ${exprs.length}")
+        FloatArrayDot(exprs(0), exprs(1))
+      }))
     e.injectFunction((
       FunctionIdentifier("hyperplane_bucket"),
       new ExpressionInfo(classOf[HyperplaneBucket].getName, "hyperplane_bucket"),
-      (exprs: Seq[Expression]) => exprs(1) match {
-        case Literal(p: Int, _) => HyperplaneBucket(exprs(0), p)
-        case other => throw new IllegalArgumentException(
-          s"hyperplane_bucket planes must be an int literal, got $other")
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 2,
+          s"hyperplane_bucket takes 2 arguments, got ${exprs.length}")
+        exprs(1) match {
+          case Literal(p: Int, _) => HyperplaneBucket(exprs(0), p)
+          case other => throw new IllegalArgumentException(
+            s"hyperplane_bucket planes must be an int literal, got $other")
+        }
       }))
   }
 }

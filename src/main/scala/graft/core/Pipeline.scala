@@ -30,7 +30,15 @@ object Pipeline {
     newSnapshot: DataFrame,  // post-apply table state
     changelog: DataFrame,    // old versions of changed rows
     newState: DataFrame      // (key*, sig) cache for the next run
-  )
+  ) {
+    /** Release the frames warm() pinned; call after committing. Repeated
+      * warm runs (continuous apply) leak cache entries without this.
+      */
+    def release(): Unit = {
+      kinds.unpersist()
+      newSnapshot.unpersist()
+    }
+  }
 
   /** Cold full load (reference download.py:29-42): scan the source once,
     * derive scores + signature in the same pass (table.py:79-93,
@@ -122,21 +130,30 @@ object Pipeline {
     * follow the pointer and never observe a half-written version.
     * Returns the committed version.
     */
-  def commitVersioned(r: WarmResult, baseDir: String): Long = {
+  def commitVersioned(r: WarmResult, baseDir: String): Long =
+    commitVersionedAt(r, baseDir, currentVersion(baseDir).getOrElse(0L) + 1)
+
+  /** Idempotent commit of a SPECIFIC version (e.g. streaming batchId+1):
+    * if `version` is already committed, this is a no-op — a replayed
+    * micro-batch cannot create a phantom extra version. Returns the
+    * version in effect.
+    */
+  def commitVersionedAt(r: WarmResult, baseDir: String, version: Long): Long = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
-    val v = currentVersion(baseDir).getOrElse(0L) + 1
+    val current = currentVersion(baseDir).getOrElse(0L)
+    if (version <= current) return current // already committed: replay no-op
     // changelog also lands under v=N: a crash before the pointer move
     // leaves the orphan invisible to readChangelog (which filters v <=
     // pointer), and a retry overwrites rather than duplicating history
-    r.changelog.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/changelog/v=$v")
-    r.newSnapshot.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/snapshot/v=$v")
-    r.newState.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/state/v=$v")
+    r.changelog.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/changelog/v=$version")
+    r.newSnapshot.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/snapshot/v=$version")
+    r.newState.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/state/v=$version")
     val tmp = Paths.get(s"$baseDir/VERSION.tmp")
     Files.createDirectories(Paths.get(baseDir))
-    Files.writeString(tmp, v.toString)
+    Files.writeString(tmp, version.toString)
     Files.move(tmp, Paths.get(s"$baseDir/VERSION"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    v
+    version
   }
 
   def currentVersion(baseDir: String): Option[Long] = {
@@ -176,16 +193,21 @@ object Pipeline {
     for (what <- Seq("snapshot", "state", "changelog")) {
       val root = java.nio.file.Paths.get(s"$baseDir/$what")
       if (java.nio.file.Files.isDirectory(root)) {
-        val it = java.nio.file.Files.list(root).iterator()
-        while (it.hasNext) {
-          val p = it.next()
-          val name = p.getFileName.toString
-          if (name.startsWith("v=") && name.drop(2).toLongOption.exists(_ < cutoff)) {
-            // recursive delete of the expired version directory
-            java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-              .forEach(f => java.nio.file.Files.delete(f))
+        val listing = java.nio.file.Files.list(root)
+        try {
+          val it = listing.iterator()
+          while (it.hasNext) {
+            val p = it.next()
+            val name = p.getFileName.toString
+            if (name.startsWith("v=") && name.drop(2).toLongOption.exists(_ < cutoff)) {
+              val walk = java.nio.file.Files.walk(p)
+              // streams hold open DirectoryStreams — close or leak fds
+              try walk.sorted(java.util.Comparator.reverseOrder())
+                .forEach(f => java.nio.file.Files.delete(f))
+              finally walk.close()
+            }
           }
-        }
+        } finally listing.close()
       }
     }
   }

@@ -21,6 +21,14 @@ import org.apache.spark.sql.functions._
   *  - both are Spark built-ins → whole-stage codegen, no UDFs.
   */
 object Signatures {
+  /** Bumped when Sep / NullSentinel / sig composition changes: persisted
+    * state tables and streaming checkpoints hold sigs of a specific
+    * version, and mixing versions misclassifies EVERY row as changed (a
+    * full refetch storm). Deployments must recompute state (cold run) on
+    * a bump. v2: explicit \u0001 separator + control-char null sentinel.
+    */
+  val SigVersion = 2
+
   val Sep = "\u0001"
 
   /** NULLs are replaced by a sentinel BEFORE concat: `concat_ws` silently

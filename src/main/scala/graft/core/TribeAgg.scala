@@ -51,31 +51,18 @@ object TribeAgg {
       .join(members, col(tribeKey) === col(memberTribeFk), "inner")
       .join(facts, col(memberKey) === col(factKey), "inner")
 
-    val statAggs: Seq[(String, Column)] = statCols.map(c => c -> sum(col(c)))
-
-    precomputed match {
-      case Some(active) =>   // warm: reuse tribe_active (post_update.py:50-55)
-        val aggs = statAggs.map { case (n, e) => e.as(s"__sum_$n") }
-        val sums = base.groupBy(col(tribeKey)).agg(aggs.head, aggs.tail: _*)
-        val out = sums.join(broadcast(active), Seq(tribeKey), "inner")
-        val statOut = statCols.map(n => (col(s"__sum_$n") / col("members_sqrt")).as(n))
-        out.select(col(tribeKey) +: col("members") +: col("active") +: statOut: _*)
-      case None =>
-        // cold: counts inline + LEFT JOIN delta (post_update.py:44-49).
-        // Member/active counts aggregate the tribe⋈member bridge BEFORE
-        // the facts join: with 1:N facts (a member with several fact
-        // rows) counting after the join would inflate members and the
-        // sqrt divisor. (In the reference member→player is 1:1 so the
-        // two orders coincide; here they must be kept distinct.)
-        val counts = tribeActive(tribe, members, activeKeys,
-          tribeKey, memberTribeFk, memberKey)
-        val sums = base.groupBy(col(tribeKey))
-          .agg(statAggs.map { case (n, e) => e.as(s"__sum_$n") }.head,
-               statAggs.map { case (n, e) => e.as(s"__sum_$n") }.tail: _*)
-        val statOut = statCols.map(n =>
-          (col(s"__sum_$n") / col("members_sqrt")).as(n))
-        sums.join(broadcast(counts), Seq(tribeKey), "inner")
-          .select(col(tribeKey) +: col("members") +: col("active") +: statOut: _*)
-    }
+    // warm reuses the precomputed tribe_active (post_update.py:50-55);
+    // cold recomputes it inline (post_update.py:44-49). Either way the
+    // member/active counts aggregate the tribe⋈member bridge BEFORE the
+    // facts join: with 1:N facts (a member with several fact rows)
+    // counting after the join would inflate members and the sqrt divisor.
+    // (In the reference member→player is 1:1 so the orders coincide.)
+    val active = precomputed.getOrElse(
+      tribeActive(tribe, members, activeKeys, tribeKey, memberTribeFk, memberKey))
+    val aggs = statCols.map(c => sum(col(c)).as(s"__sum_$c"))
+    val sums = base.groupBy(col(tribeKey)).agg(aggs.head, aggs.tail: _*)
+    val statOut = statCols.map(n => (col(s"__sum_$n") / col("members_sqrt")).as(n))
+    sums.join(broadcast(active), Seq(tribeKey), "inner")
+      .select(col(tribeKey) +: col("members") +: col("active") +: statOut: _*)
   }
 }

@@ -151,10 +151,11 @@ object Dedup {
     * propagation — each doc converges to the smallest id reachable from
     * it, which becomes the cluster's canonical representative.
     *
-    * Scale: the classic Spark pattern for CC — per iteration one join +
-    * one aggregate on the edge list, O(diameter) iterations (near-dup
-    * clusters are shallow; 10 covers any realistic corpus). Label frame
-    * persisted per round, edges reused.
+    * Scale: per iteration one join + one aggregate on the edge list plus
+    * a pointer-jump, giving O(log diameter) rounds — 20 covers chains of
+    * ~10^6 (sf0.1's 5000-doc corpus produced chains past the one-hop
+    * budget that a plain propagation loop needed). Label frame
+    * checkpointed per round, edges reused.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))

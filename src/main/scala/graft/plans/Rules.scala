@@ -13,10 +13,16 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object PushFilterThroughTopK extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case f @ Filter(cond, t @ TopKPerGroup(groupExprs, _, _, child)) =>
-      val groupAttrs = AttributeSet(groupExprs.flatMap(_.references))
-      val (pushable, rest) =
-        splitConjunctivePredicates(cond).partition(_.references.subsetOf(groupAttrs))
+    // Soundness guards: (1) only when groups are bare attributes — a
+    // predicate over the *references* of `x % 10` is not group-uniform,
+    // so pushing it would drop rows from inside groups; (2) only
+    // deterministic conjuncts — pushing rand() < p would resample the
+    // input instead of sampling the winners.
+    case f @ Filter(cond, t @ TopKPerGroup(groupExprs, _, _, child))
+        if groupExprs.forall(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.Attribute]) =>
+      val groupAttrs = AttributeSet(groupExprs)
+      val (pushable, rest) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(groupAttrs))
       if (pushable.isEmpty) f
       else {
         val pushed = t.copy(child = Filter(pushable.reduce(And), child))

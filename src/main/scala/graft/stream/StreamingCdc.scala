@@ -76,14 +76,25 @@ object StreamingCdc {
     */
   def continuousApply(spark: org.apache.spark.sql.SparkSession, inputDir: String,
                       checkpointDir: String, snapshotDir: String, keyCol: String,
-                      dataCols: Seq[String]): Unit = {
+                      dataCols: Seq[String], orderCol: Option[String] = None): Unit = {
     import graft.core.{Diff, Pipeline}
     val schema = spark.read.parquet(inputDir).schema
     val stream = spark.readStream.schema(schema).parquet(inputDir)
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        val updates = batch.dropDuplicates(keyCol) // last-write-wins per batch
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        // intra-batch dedup per key: deterministic last-write-wins when
+        // the source carries an ordering column (sequence/ts); without
+        // one, a file stream has no per-row arrival order — arbitrary-
+        // but-deterministic-per-retry via dropDuplicates
+        val updates = orderCol match {
+          case Some(oc) =>
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(keyCol).orderBy(col(oc).desc)
+            batch.withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+              .filter(col("__rn") === 1).drop("__rn")
+          case None => batch.dropDuplicates(keyCol)
+        }
         val current = Pipeline.currentVersion(snapshotDir) match {
           case Some(_) => Pipeline.readLatest(spark, snapshotDir, "snapshot")
           case None    => updates.limit(0)
@@ -91,7 +102,11 @@ object StreamingCdc {
         val r = Pipeline.warm(current, // incremental apply against committed state
           Diff.upsertReplace(current, updates, Seq(keyCol)),
           Seq(keyCol), dataCols)
-        Pipeline.commitVersioned(r, snapshotDir)
+        // version = batchId + 1: a replayed batch after a crash between
+        // pointer move and checkpoint commit is a no-op, not a phantom
+        // extra version
+        try Pipeline.commitVersionedAt(r, snapshotDir, batchId + 1)
+        finally r.release()
         ()
       }
       .start()

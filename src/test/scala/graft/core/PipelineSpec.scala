@@ -62,6 +62,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(Pipeline.readChangelog(spark, dir).count() == 2 * r.changelog.count())
   }
 
+  test("commitVersionedAt is idempotent: a replayed version is a no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idem").toString
+    val e = Fixture.external(spark, TestSpark.Sf)
+    val i = Fixture.internal(spark, TestSpark.Sf)
+    val r = Pipeline.warm(i, e, Fixture.Key, Fixture.DataCols)
+    assert(Pipeline.commitVersionedAt(r, dir, 1L) == 1L)
+    assert(Pipeline.commitVersionedAt(r, dir, 1L) == 1L) // replay: no-op
+    assert(Pipeline.currentVersion(dir).contains(1L))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/snapshot/v=2")))
+    r.release()
+  }
+
   test("vacuum keeps the newest versions and time travel within the window") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vacuum").toString
     val e = Fixture.external(spark, TestSpark.Sf)

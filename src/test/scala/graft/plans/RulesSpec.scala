@@ -24,6 +24,18 @@ class RulesSpec extends AnyFunSuite {
     assert(filtered.exceptAll(expected).isEmpty && expected.exceptAll(filtered).isEmpty)
   }
 
+  test("nondeterministic predicates are not pushed") {
+    val top = TopK.perGroup(scored, Seq("l_suppkey"), Seq(("l_extendedprice", false)), 3)
+    val filtered = top.filter(rand(42) < 0.99)
+    val physical = filtered.queryExecution.executedPlan.toString
+    // rand must evaluate ABOVE TopKPerGroup (sampling winners, not input);
+    // plans print parents first, so the Filter's index must be smaller
+    val topKIdx = physical.indexOf("TopKPerGroup")
+    val randIdx = physical.indexOf("rand(")
+    assert(randIdx >= 0 && topKIdx > randIdx,
+      s"rand filter must stay above the operator:\n$physical")
+  }
+
   test("non-group filters stay above the operator") {
     val top = TopK.perGroup(scored, Seq("l_suppkey"), Seq(("l_extendedprice", false)), 3)
     val filtered = top.filter(col("l_extendedprice") > 1000.0)
