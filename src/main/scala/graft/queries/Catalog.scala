@@ -392,6 +392,35 @@ object Catalog {
               |FROM counts ct JOIN sums s ON s.n_nationkey = ct.n_nationkey
               |ORDER BY ct.n_nationkey""".stripMargin)),
 
+    Entry("join_asof",
+      (s, d) => { // as-of join: each event matched to the user's latest
+        // order at or before the event time (operator absent from both
+        // the reference and Spark SQL; composed per AsOfJoin)
+        import org.apache.spark.sql.expressions.Window
+        val ev = Tables.loadEvents(s, d).select(col("event_id"), col("user_id"), col("ts"))
+        // dedup right side to one order per (custkey, orderdate): max
+        // orderkey — keeps the as-of match deterministic on both engines
+        val wDedup = Window.partitionBy("o_custkey", "o_orderdate")
+          .orderBy(col("o_orderkey").desc)
+        val ord = Tables.load(s, d, "orders")
+          .withColumn("__rn", row_number().over(wDedup))
+          .filter(col("__rn") === 1)
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+        AsOfJoin.asofLE(ev, ord, leftKey = "user_id", rightKey = "o_custkey",
+            leftTime = "ts", rightTime = "o_orderdate",
+            rightCols = Seq("o_orderkey", "o_totalprice"))
+          .select(col("event_id"), col("user_id"), col("o_orderkey"), col("o_totalprice"))
+          .orderBy("event_id")
+      },
+      Some("""WITH ded AS (
+             |  SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY o_custkey, o_orderdate
+             |      ORDER BY o_orderkey DESC) AS rn FROM orders) WHERE rn = 1)
+             |SELECT e.event_id, e.user_id, o.o_orderkey, o.o_totalprice
+             |FROM events e ASOF LEFT JOIN ded o
+             |  ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+             |ORDER BY e.event_id""".stripMargin)),
+
     // ----- §2.8/7.5 streaming (batch form of the same window operator)
     Entry("stream_tumbling_counts",
       (s, d) => CdcStream.tumblingCountsBatch(Tables.loadEvents(s, d))
