@@ -49,6 +49,33 @@ object CdcStream {
       .select(col("session_window.start").cast("timestamp_ntz").as("session_start"),
         col("user_id"), col("n"), col("total_value"))
 
+  /** Streaming session windows: same operator as [[sessionizeBatch]] with
+    * a watermark bounding session state (complete mode for the in-memory
+    * drain; production would use append + sink).
+    */
+  def runSessionize(spark: SparkSession, sfDir: String,
+                    queryName: String = "sessionize_stream"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_sess")
+    java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,2)")).cast("double"), 6).as("total_value"))
+      .select(col("session_window.start").cast("timestamp_ntz").as("session_start"),
+        col("user_id"), col("n"), col("total_value"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming form: parquet micro-batch source → 1h watermark → tumbling
     * window agg → memory sink, drained synchronously (for tests).
     * In production the source/sink swap for Kafka/Delta; the plan is

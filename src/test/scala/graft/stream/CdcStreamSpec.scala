@@ -13,4 +13,11 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(stream.count() == batch.count())
     assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
   }
+
+  test("streaming session windows equal the batch form") {
+    val batch = CdcStream.sessionizeBatch(Tables.loadEvents(spark, TestSpark.Sf))
+    val stream = CdcStream.runSessionize(spark, TestSpark.Sf, "t_sessions_spec")
+    assert(stream.count() == batch.count())
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
+  }
 }
