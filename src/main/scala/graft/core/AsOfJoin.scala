@@ -18,19 +18,31 @@ import org.apache.spark.sql.functions._
   * keys behave like any windowed aggregation (AQE/salting apply).
   */
 object AsOfJoin {
+  /** Timestamps normalize to ntz (so tz-aware and naive inputs compare);
+    * any other orderable time type (long sequence numbers, ints) passes
+    * through unchanged.
+    */
+  private def asTime(df: DataFrame, c: String) = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema(c).dataType match {
+      case TimestampType | TimestampNTZType => col(c).cast("timestamp_ntz")
+      case _                                => col(c)
+    }
+  }
+
   def asofLE(left: DataFrame, right: DataFrame, leftKey: String,
              rightKey: String, leftTime: String, rightTime: String,
              rightCols: Seq[String]): DataFrame = {
     val l2 = left.select(
       col(leftKey).as("__k"),
-      col(leftTime).cast("timestamp_ntz").as("__t"),
+      asTime(left, leftTime).as("__t"),
       lit(1).as("__il"),
       struct(left.columns.map(col): _*).as("__l"),
       lit(null).cast(
         right.select(struct(rightCols.map(col): _*)).schema.head.dataType).as("__r"))
     val r2 = right.select(
       col(rightKey).as("__k"),
-      col(rightTime).cast("timestamp_ntz").as("__t"),
+      asTime(right, rightTime).as("__t"),
       lit(0).as("__il"),
       lit(null).cast(
         left.select(struct(left.columns.map(col): _*)).schema.head.dataType).as("__l"),
