@@ -136,6 +136,45 @@ object Catalog {
       Some("""SELECT * FROM orders WHERE o_custkey IN (1,2,3,5,8,13,21,34,55,89)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    Entry("sample_hash",
+      (s, d) => // reproducible ~10% sample: md5-prefix predicate, not
+        // rand() — the same rows are sampled on every engine and run
+        docs(s, d)
+          .filter(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 2) < "1a")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, n_chars FROM documents
+             |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+             |ORDER BY doc_id""".stripMargin)),
+
+    Entry("profile_columns",
+      (s, d) => { // schema-driven data profiling: the stat list is
+        // derived from the discovered schema (table.py:66-93 pattern),
+        // one aggregate pass per column unioned long-format
+        import org.apache.spark.sql.types._
+        val df = li(s, d)
+        val numeric = df.schema.fields
+          .filter(f => f.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
+        numeric.map { c =>
+          df.agg(
+            lit(c).as("column_name"),
+            (count(lit(1)) - count(col(c))).as("n_nulls"),
+            countDistinct(col(c)).as("n_distinct"),
+            round(min(col(c)).cast("double"), 6).as("min_val"),
+            round(max(col(c)).cast("double"), 6).as("max_val"))
+        }.reduce(_ unionByName _).orderBy("column_name")
+      },
+      Some {
+        val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+          "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        cols.map(c =>
+          s"""SELECT '$c' AS column_name, count(*) - count($c) AS n_nulls,
+             | count(DISTINCT $c) AS n_distinct,
+             | round(CAST(min($c) AS DOUBLE), 6) AS min_val,
+             | round(CAST(max($c) AS DOUBLE), 6) AS max_val FROM lineitem""".stripMargin)
+          .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+      }),
+
     // ----- §2.3/2.4 the CDC diff algebra
     Entry("hash_diff",
       (s, d) => Fixture.kinds(s, d).orderBy(keyCols: _*),
