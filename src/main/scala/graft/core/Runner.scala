@@ -1,0 +1,60 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's full run lifecycle (start.py:44-60): extract every
+  * table concurrently with fail-fast cancellation, then materialize the
+  * derived aggregates (`post_update`). Each table is cold-or-warm
+  * automatically: no committed version → everything classifies "new" and
+  * the first commit IS the cold load; later runs diff against the
+  * committed snapshot and transfer only the delta.
+  */
+object Runner {
+  /** Per-table extraction config. */
+  final case class Source(name: String, load: () => DataFrame,
+                          key: Seq[String], dataCols: Seq[String],
+                          deriveFetched: DataFrame => DataFrame = identity)
+
+  /** Run all extracts in parallel, committing each as a new version under
+    * `$baseDir/$table`. Returns committed versions per table.
+    */
+  def extractAll(spark: SparkSession, sources: Seq[Source], baseDir: String,
+                 maxDeletes: Long = Pipeline.DefaultMaxDeletes): Map[String, Long] = {
+    val versions = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    Pipeline.runParallel(spark, sources.map { src =>
+      src.name -> (() => {
+        val external = src.load()
+        val dir = s"$baseDir/${src.name}"
+        val internal = Pipeline.currentVersion(dir) match {
+          case Some(_) => Pipeline.readLatest(spark, dir, "snapshot")
+          case None    => src.deriveFetched(external).limit(0) // cold: empty replica
+        }
+        val r = Pipeline.warm(internal, external, src.key, src.dataCols,
+          maxDeletes, src.deriveFetched)
+        try versions.put(src.name, Pipeline.commitVersioned(r, dir))
+        finally r.release()
+        ()
+      })
+    })
+    import scala.jdk.CollectionConverters._
+    versions.asScala.toMap
+  }
+
+  /** post_update (reference post_update.py): rebuild the per-tribe
+    * aggregate tables from the freshly committed snapshots. `activeKeys`
+    * is the per-run delta (the `player_new` analog).
+    */
+  def postUpdate(spark: SparkSession, baseDir: String,
+                 tribe: DataFrame, members: DataFrame, facts: DataFrame,
+                 activeKeys: DataFrame, tribeKey: String, memberTribeFk: String,
+                 memberKey: String, factKey: String, statCols: Seq[String]): Unit = {
+    val active = TribeAgg.tribeActive(tribe, members, activeKeys,
+      tribeKey, memberTribeFk, memberKey)
+    active.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/tribe_active")
+    TribeAgg.tribeStats(tribe, members, facts, activeKeys, tribeKey,
+        memberTribeFk, memberKey, factKey, statCols,
+        precomputed = Some(spark.read.parquet(s"$baseDir/tribe_active")))
+      .write.mode(SaveMode.Overwrite).parquet(s"$baseDir/tribe_stats")
+  }
+}

@@ -1,0 +1,57 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.queries.Fixture
+
+/** End-to-end lifecycle: cold parallel extract of three tables, warm
+  * incremental second run, post-update aggregates — the reference's whole
+  * `run()` (start.py:44-60) in one flow.
+  */
+class RunnerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("cold run, warm delta run, and post-update aggregates") {
+    val base = java.nio.file.Files.createTempDirectory("graft_run").toString
+    val d = TestSpark.Sf
+
+    def sources(liQuantityBump: Boolean) = Seq(
+      Runner.Source("lineitem",
+        () => {
+          val e = Fixture.external(spark, d)
+          if (liQuantityBump) e.withColumn("l_quantity", col("l_quantity") + 1) else e
+        },
+        Fixture.Key, Fixture.DataCols),
+      Runner.Source("orders", () => Tables.load(spark, d, "orders"),
+        Seq("o_orderkey"), Seq("o_custkey", "o_orderstatus", "o_totalprice")),
+      Runner.Source("customer", () => Tables.load(spark, d, "customer"),
+        Seq("c_custkey"), Seq("c_name", "c_nationkey", "c_acctbal")))
+
+    // run 1: cold — everything lands as v1
+    val v1 = Runner.extractAll(spark, sources(liQuantityBump = false), base)
+    assert(v1 == Map("lineitem" -> 1L, "orders" -> 1L, "customer" -> 1L))
+    val liSnap = Pipeline.readLatest(spark, base + "/lineitem", "snapshot")
+    assert(liSnap.count() == Fixture.external(spark, d).count())
+
+    // run 2: warm — lineitem rows all changed, other tables unchanged
+    val v2 = Runner.extractAll(spark, sources(liQuantityBump = true), base)
+    assert(v2 == Map("lineitem" -> 2L, "orders" -> 2L, "customer" -> 2L))
+    val clog = Pipeline.readChangelog(spark, base + "/lineitem").filter("v = 2")
+    assert(clog.count() == liSnap.count()) // every row's old version captured
+    assert(Pipeline.readChangelog(spark, base + "/orders").filter("v = 2").count() == 0)
+
+    // post-update: per-nation aggregates over the committed customer snapshot
+    val delta = Tables.load(spark, d, "orders")
+      .filter(col("o_orderkey") % 10 === 0).select("o_custkey").distinct()
+    Runner.postUpdate(spark, base,
+      Tables.load(spark, d, "nation"),
+      Pipeline.readLatest(spark, base + "/customer", "snapshot"),
+      Pipeline.readLatest(spark, base + "/orders", "snapshot"),
+      delta, "n_nationkey", "c_nationkey", "c_custkey", "o_custkey",
+      Seq("o_totalprice"))
+    val stats = spark.read.parquet(base + "/tribe_stats")
+    assert(stats.count() == 25)
+    assert(stats.columns.toSet == Set("n_nationkey", "members", "active", "o_totalprice"))
+  }
+}
