@@ -193,6 +193,40 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster_id")
   }
 
+  /** Jaccard-verified LSH candidate pairs: the production near-dup edge
+    * generator. MinHash band buckets propose candidates ([[minhashSignatures]]
+    * → [[lshCandidatePairs]]); exact word-set Jaccard verifies each, killing
+    * LSH false positives. Only candidate pairs are ever compared — never
+    * all pairs — so the verify cost is ∝ collisions, not corpus².
+    */
+  def lshVerifiedPairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, shingleN: Int = 3, k: Int = 8,
+                       bands: Int = 4): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleN, k, bands)
+    val cands = lshCandidatePairs(sigs, idCol)
+    val a = docs.select(col(idCol).as("id_a"), col(textCol).as("__ta"))
+    val b = docs.select(col(idCol).as("id_b"), col(textCol).as("__tb"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .filter(wordJaccard(col("__ta"), col("__tb")) >= threshold)
+      .select("id_a", "id_b")
+  }
+
+  /** Full near-dup clustering: MinHash+LSH candidates → Jaccard verify →
+    * connected components, with every doc assigned a cluster (singletons
+    * label themselves). This is the end-to-end dedup path a training-data
+    * pipeline runs at scale; [[dupClusters]] does the O(log diameter)
+    * label propagation over the verified edge list.
+    */
+  def lshDedupClusters(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, shingleN: Int = 3, k: Int = 8,
+                       bands: Int = 4): DataFrame = {
+    val verified = lshVerifiedPairs(docs, idCol, textCol, threshold, shingleN, k, bands)
+    val clustered = dupClusters(verified)
+    docs.select(col(idCol).as("id"))
+      .join(clustered, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+  }
+
   /** Embedding near-dup: pairs with cosine above `threshold`. Candidates
     * from LSH buckets (see [[Similarity.hyperplaneBucket]]) to avoid the
     * quadratic cross join at scale; exact cosine verifies.

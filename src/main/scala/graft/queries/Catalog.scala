@@ -38,6 +38,22 @@ object Catalog {
 
   private val allStopwords: Seq[String] = TextStats.LangStopwords.flatMap(_._2)
 
+  /** Memoized end-to-end LSH near-dup clusters over `documents` —
+    * minhash → band buckets → candidate pairs → Jaccard ≥ 0.5 verify →
+    * connected components. Computed once per (session, dir) and shared by
+    * `dedup_clusters` and `dedup_keep_best` (compute-once-consume-many,
+    * same shape as [[Fixture.kinds]]).
+    */
+  private val lshClusterCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def lshClusters(s: SparkSession, d: String): DataFrame =
+    lshClusterCache.computeIfAbsent((s, d), { case (ss, dd) =>
+      Dedup.lshDedupClusters(docs(ss, dd), "doc_id", "text",
+          threshold = 0.5, shingleN = 3, k = 8, bands = 4)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    })
+
   // ---------------------------------------------------------------- entries
 
   final case class Entry(name: String, q: Q, oracle: Option[String])
@@ -553,39 +569,22 @@ object Catalog {
              |ORDER BY p.id_a""".stripMargin)),
 
     Entry("dedup_clusters",
-      (s, d) => {
-        val dd = docs(s, d)
-        val a = dd.select(col("doc_id").as("id_a"), col("text").as("ta"))
-        val b = dd.select(col("doc_id").as("id_b"), col("text").as("tb"))
-        val pairs = a.join(b, col("id_b") === col("id_a") + 1)
-          .filter(Dedup.wordJaccard(col("ta"), col("tb")) >= 0.5)
-          .select("id_a", "id_b")
-        val clustered = Dedup.dupClusters(pairs)
-        dd.select(col("doc_id").as("id"))
-          .join(clustered, Seq("id"), "left_outer")
-          .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
-          .orderBy("id")
-      },
-      // oracle computes the same clusters with an independent algorithm:
-      // gaps-and-islands over the consecutive-pair chain
-      Some(s"""WITH ${Oracles.clusterCtesBody}
+      // the PRODUCTION dedup path end-to-end: minhashSignatures →
+      // lshCandidatePairs → Jaccard verify → dupClusters (never all-pairs)
+      (s, d) => lshClusters(s, d).orderBy("id"),
+      // oracle recomputes the same LSH pipeline independently, with
+      // connected components via recursive-CTE BFS reachability (a
+      // different CC algorithm from the Spark side's label propagation)
+      Some(s"""WITH RECURSIVE ${Oracles.lshClusterCtesBody}
               |SELECT id, cluster_id FROM clusters ORDER BY 1""".stripMargin)),
 
     Entry("dedup_keep_best",
-      (s, d) => { // resolve each dup cluster to its best-quality doc —
+      (s, d) => { // resolve each LSH dup cluster to its best-quality doc —
         // the custom TopKPerGroup operator does the per-cluster argmax
-        val dd = docs(s, d)
-        val a = dd.select(col("doc_id").as("id_a"), col("text").as("ta"))
-        val b = dd.select(col("doc_id").as("id_b"), col("text").as("tb"))
-        val pairs = a.join(b, col("id_b") === col("id_a") + 1)
-          .filter(Dedup.wordJaccard(col("ta"), col("tb")) >= 0.5)
-          .select("id_a", "id_b")
-        val clustered = Dedup.dupClusters(pairs)
-        val withCluster = dd.select(col("doc_id").as("id"),
+        val withCluster = docs(s, d).select(col("doc_id").as("id"),
             TextStats.qualityScore(col("text")).as("quality"))
-          .join(clustered, Seq("id"), "left_outer")
-          .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"),
-            col("quality"))
+          .join(lshClusters(s, d), Seq("id"))
+          .select(col("id"), col("cluster_id"), col("quality"))
         graft.plans.TopK.perGroup(withCluster, Seq("cluster_id"),
           Seq(("quality", false), ("id", true)), 1)
           .select(col("cluster_id"), col("id").as("kept_id"), col("quality"))

@@ -113,24 +113,51 @@ object Oracles {
       |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk FROM c)
       |SELECT qid, vid, cosim, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
 
-  /** Consecutive-pair jaccard-chain cluster derivation (CTE body, no
-    * leading WITH) — shared by `dedup_clusters` and `dedup_keep_best`.
+  /** Full-LSH near-dup cluster derivation (CTE body; the consuming query
+    * must open with `WITH RECURSIVE`) — shared by `dedup_clusters` and
+    * `dedup_keep_best`. Replicates the production path independently:
+    * minhash (8 salted md5 mins over 3-shingles) → 4 bands of 2 →
+    * bucket-collision candidates → exact word-Jaccard ≥ 0.5 verification →
+    * connected components. Components are computed by BFS reachability
+    * (recursive CTE) — a different algorithm from Spark's min-label
+    * propagation + pointer jumping, so agreement is evidence, not echo.
     */
-  val clusterCtesBody: String =
-    """w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents),
+  val lshClusterCtesBody: String =
+    """dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM dd),
+      |sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM x),
+      |m AS (SELECT doc_id,
+      |  min(md5('0|' || s)) AS mh0, min(md5('1|' || s)) AS mh1,
+      |  min(md5('2|' || s)) AS mh2, min(md5('3|' || s)) AS mh3,
+      |  min(md5('4|' || s)) AS mh4, min(md5('5|' || s)) AS mh5,
+      |  min(md5('6|' || s)) AS mh6, min(md5('7|' || s)) AS mh7
+      | FROM sh GROUP BY doc_id),
+      |bkt AS (SELECT doc_id, unnest([md5(mh0||'|'||mh1), md5(mh2||'|'||mh3),
+      |                               md5(mh4||'|'||mh5), md5(mh6||'|'||mh7)]) AS bucket FROM m),
+      |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+      |w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents),
       |c AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
-      |i AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-      |      FROM w a JOIN w b ON a.word = b.word AND b.doc_id = a.doc_id + 1 GROUP BY 1, 2),
-      |j AS (SELECT id_a, id_b, round(CAST(inter AS DOUBLE) / (c1.n + c2.n - inter), 6) AS jaccard
-      |      FROM i JOIN c c1 ON c1.doc_id = id_a JOIN c c2 ON c2.doc_id = id_b),
-      |flags AS (SELECT d.doc_id, CASE WHEN coalesce(j.jaccard, 0) >= 0.5 THEN 0 ELSE 1 END AS brk
-      |          FROM documents d LEFT JOIN j ON j.id_b = d.doc_id),
-      |runs AS (SELECT doc_id, sum(brk) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS run_id FROM flags),
-      |clusters AS (SELECT doc_id AS id, min(doc_id) OVER (PARTITION BY run_id) AS cluster_id FROM runs)""".stripMargin
+      |ix AS (SELECT cand.id_a, cand.id_b, count(*) AS inter
+      |       FROM cand JOIN w wa ON wa.doc_id = cand.id_a
+      |                 JOIN w wb ON wb.doc_id = cand.id_b AND wb.word = wa.word
+      |       GROUP BY 1, 2),
+      |ed AS (SELECT ix.id_a, ix.id_b
+      |       FROM ix JOIN c c1 ON c1.doc_id = ix.id_a JOIN c c2 ON c2.doc_id = ix.id_b
+      |       WHERE round(CAST(inter AS DOUBLE) / (c1.n + c2.n - inter), 6) >= 0.5),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM ed
+      |          UNION ALL SELECT id_b, id_a FROM ed),
+      |reach(rid, rlabel) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, reach.rlabel FROM reach JOIN edges e ON e.src = reach.rid),
+      |comp AS (SELECT rid, min(rlabel) AS cluster_id FROM reach GROUP BY rid),
+      |clusters AS (SELECT d.doc_id AS id, coalesce(comp.cluster_id, d.doc_id) AS cluster_id
+      |             FROM documents d LEFT JOIN comp ON comp.rid = d.doc_id)""".stripMargin
 
   /** Cluster → best-quality representative (quality desc, id asc). */
   val keepBestOracle: String =
-    s"""WITH $clusterCtesBody,
+    s"""WITH RECURSIVE $lshClusterCtesBody,
        |q AS (SELECT doc_id, quality FROM ($qualitySql)),
        |jn AS (SELECT clusters.id, clusters.cluster_id, q.quality
        |       FROM clusters JOIN q ON q.doc_id = clusters.id)

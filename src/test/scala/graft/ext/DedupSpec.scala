@@ -95,6 +95,37 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("lshDedupClusters: planted near-dups recovered through the full LSH path") {
+    // three planted groups: exact dup pair, near-dup pair (one word
+    // changed out of 12 → jaccard ≈ 0.85), and an unrelated singleton.
+    // Texts are word-distinct so shingle sets are clean.
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val near = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo zulu"
+    val docs = Seq(
+      (1L, base), (2L, base),                      // exact dups
+      (5L, near),                                   // near-dup of 1/2
+      (9L, "one two three four five six seven eight nine ten eleven twelve"),
+      (10L, "one two three four five six seven eight nine ten eleven thirteen"),
+      (42L, "entirely unrelated content with zero overlap whatsoever anywhere present")
+    ).toDF("doc_id", "text")
+    val got = Dedup.lshDedupClusters(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 1L && got(2L) == 1L, "exact dups must cluster")
+    assert(got(5L) == 1L, "near-dup must be recovered via LSH candidates")
+    assert(got(9L) == got(10L) && got(9L) == 9L, "second planted group")
+    assert(got(42L) == 42L, "unrelated doc stays a singleton")
+  }
+
+  test("lshVerifiedPairs: jaccard verification kills low-sim band collisions") {
+    val base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val docs = Seq((1L, base), (2L, base),
+      (3L, "unrelated words entirely different from anything else in this corpus")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.lshVerifiedPairs(docs, "doc_id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
   test("wordJaccard: identical=1, disjoint=0") {
     val df = Seq(("a b c", "a b c"), ("a b", "x y")).toDF("a", "b")
     val got = df.select(Dedup.wordJaccard(col("a"), col("b"))).collect().map(_.getDouble(0))
