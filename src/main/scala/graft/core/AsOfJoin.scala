@@ -40,7 +40,11 @@ object AsOfJoin {
       struct(left.columns.map(col): _*).as("__l"),
       lit(null).cast(
         right.select(struct(rightCols.map(col): _*)).schema.head.dataType).as("__r"))
-    val r2 = right.select(
+    // drop null-key right rows: Window.partitionBy groups NULLs into one
+    // partition, which would let a null-key left row match a null-key
+    // right row — DuckDB ASOF (the semantics mirrored here) never matches
+    // on NULL equality, so null-key left rows must surface unmatched
+    val r2 = right.filter(col(rightKey).isNotNull).select(
       col(rightKey).as("__k"),
       asTime(right, rightTime).as("__t"),
       lit(0).as("__il"),

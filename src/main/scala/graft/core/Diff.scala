@@ -28,6 +28,21 @@ object Diff {
   val KindCol = "kind"
   val SigCol  = "sig"
 
+  /** Null-safe equi condition between `left`'s key columns and the
+    * `__dk_`-renamed key columns of a right side built by [[rightKeys]].
+    * `<=>` keeps every operator in the algebra consistent for nullable
+    * keys: a null-key row matches its null-key counterpart (instead of an
+    * internal null-key row classifying 'deleted' while the external
+    * null-key row appends as 'new', which broke the documented
+    * apply(diff(i,e),i)==e round-trip). `<=>` is still an equi-join key
+    * for Catalyst — hash/sort-merge strategies and AQE apply unchanged.
+    */
+  private def nsCond(key: Seq[String]): Column =
+    key.map(k => col(k) <=> col(s"__dk_$k")).reduce(_ && _)
+
+  private def rightKeys(df: DataFrame, key: Seq[String]): DataFrame =
+    df.select(key.map(k => col(k).as(s"__dk_$k")): _*)
+
   /** hash_diff: classify every key as changed/new/deleted/unchanged.
     * Output: key columns + `kind` string.
     * internal = cached state (reference's `{t}_hashes_0` side,
@@ -35,17 +50,19 @@ object Diff {
     */
   def classify(internal: DataFrame, external: DataFrame,
                key: Seq[String], dataCols: Seq[String]): DataFrame = {
-    def sigSide(df: DataFrame, as: String): DataFrame =
-      df.select(key.map(col) :+ Signatures.md5Sig(dataCols.map(col)).as(as): _*)
-    val i = sigSide(internal, "sig_i")
-    val e = sigSide(external, "sig_e")
-    i.join(e, key, "full_outer")
+    val i = internal.select(key.map(k => col(k).as(s"__ki_$k"))
+      :+ Signatures.md5Sig(dataCols.map(col)).as("sig_i"): _*)
+    val e = external.select(key.map(k => col(k).as(s"__ke_$k"))
+      :+ Signatures.md5Sig(dataCols.map(col)).as("sig_e"): _*)
+    val cond = key.map(k => col(s"__ki_$k") <=> col(s"__ke_$k")).reduce(_ && _)
+    i.join(e, cond, "full_outer")
       .withColumn(KindCol,
         when(col("sig_i").isNull, "new")                 // download.py:276-315
           .when(col("sig_e").isNull, "deleted")          // download.py:326-336
           .when(col("sig_i") =!= col("sig_e"), "changed")// download.py:195-206
           .otherwise("unchanged"))                       // download.py:193-195
-      .select(key.map(col) :+ col(KindCol): _*)
+      .select(key.map(k =>
+        coalesce(col(s"__ki_$k"), col(s"__ke_$k")).as(k)) :+ col(KindCol): _*)
   }
 
   /** semi_join_changed: fetch full rows only for the given key set
@@ -53,21 +70,21 @@ object Diff {
     * `keys` is typically small (the delta) → AQE broadcast.
     */
   def semiJoinChanged(source: DataFrame, keys: DataFrame, key: Seq[String]): DataFrame =
-    source.join(keys.select(key.map(col): _*).distinct(), key, "left_semi")
+    source.join(rightKeys(keys, key).distinct(), nsCond(key), "left_semi")
 
   /** anti_join_deleted: rows present in `snapshot` but absent from
     * `source` (reference collects internal-only residue then issues
     * batched DELETEs, download.py:326-366).
     */
   def antiJoinDeleted(snapshot: DataFrame, source: DataFrame, key: Seq[String]): DataFrame =
-    snapshot.join(source.select(key.map(col): _*), key, "left_anti")
+    snapshot.join(rightKeys(source, key), nsCond(key), "left_anti")
 
   /** upsert_replace: REPLACE INTO semantics — new rows supersede old by
     * key, unmatched old rows survive (reference: download.py:572-577,
     * 597-604). anti-join + union keeps this a pure column-pruned plan.
     */
   def upsertReplace(old: DataFrame, replacements: DataFrame, key: Seq[String]): DataFrame =
-    old.join(replacements.select(key.map(col): _*), key, "left_anti")
+    old.join(rightKeys(replacements, key), nsCond(key), "left_anti")
       .unionByName(replacements)
 
   /** diff_apply: the end-to-end CDC contract —
@@ -81,7 +98,7 @@ object Diff {
     val touched = kinds.filter(col(KindCol).isin("changed", "new"))
     val fetched = semiJoinChanged(external, touched, key)
     val deleted = kinds.filter(col(KindCol) === "deleted")
-    val kept    = internal.join(deleted.select(key.map(col): _*), key, "left_anti")
+    val kept    = internal.join(rightKeys(deleted, key), nsCond(key), "left_anti")
     upsertReplace(kept, fetched, key)
   }
 }

@@ -99,7 +99,7 @@ object Pipeline {
     val deleteCount  = deletedKeys.count()
     val afterDeletes =
       if (deleteCount >= maxDeletes) internal
-      else internal.join(deletedKeys.select(key.map(col): _*), key, "left_anti")
+      else Diff.antiJoinDeleted(internal, deletedKeys, key)
 
     val newSnapshot = Diff.upsertReplace(afterDeletes, fetched, key)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -112,15 +112,37 @@ object Pipeline {
     * overwrite of separate directories stands in for the reference's
     * TRUNCATE/REPLACE double-buffer swap — readers of the old directory
     * are unaffected until each write completes.
+    *
+    * When `runVersion` is not supplied it comes from a monotonic
+    * per-directory counter (NOT wall-clock time: two commits within one
+    * millisecond, or a clock regression, would write duplicate or
+    * out-of-order changelog versions and make Changelog.latest ambiguous).
     */
   def commit(r: WarmResult, baseDir: String,
-             runVersion: Long = System.currentTimeMillis()): Unit = {
+             runVersion: Option[Long] = None): Unit = {
+    val v = runVersion.getOrElse(nextRunVersion(baseDir))
     // the version column makes Changelog.latest reconstructible from the
     // durable multi-run changelog (parquet append preserves no order)
-    r.changelog.withColumn("version", lit(runVersion))
+    r.changelog.withColumn("version", lit(v))
       .write.mode(SaveMode.Append).parquet(s"$baseDir/changelog")
     r.newSnapshot.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/snapshot")
     r.newState.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/state")
+  }
+
+  /** Monotonic run-version counter, durable per directory: strictly
+    * greater than any version this directory has seen, seeded from (and
+    * usually tracking) wall-clock millis so versions stay human-readable.
+    */
+  private def nextRunVersion(baseDir: String): Long = synchronized {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(s"$baseDir/_last_run_version")
+    val last =
+      if (Files.exists(p)) Files.readString(p).trim.toLongOption.getOrElse(0L)
+      else 0L
+    val next = math.max(System.currentTimeMillis(), last + 1)
+    Files.createDirectories(Paths.get(baseDir))
+    Files.writeString(p, next.toString)
+    next
   }
 
   /** Crash-consistent variant of [[commit]]: snapshot/state land in fresh

@@ -33,10 +33,14 @@ class ProgressListener(everyPct: Int = 5, sink: String => Unit = s => System.err
     stages.remove(ev.stageInfo.stageId) // bound memory across a long session
 
   override def onTaskEnd(ev: SparkListenerTaskEnd): Unit =
+    // count only successful attempts: failed and killed attempts re-run,
+    // and counting them would push `done` past `total`; speculative
+    // duplicates that both succeed are caught by the clamp below
+    if (ev.taskInfo != null && ev.taskInfo.successful)
     stages.get(ev.stageId).foreach { p =>
       p.synchronized {
         p.done += 1
-        val pct = p.done * 100 / p.total
+        val pct = math.min(100, p.done * 100 / p.total)
         if (pct >= p.lastPct + everyPct || p.done == p.total) {
           p.lastPct = pct - pct % everyPct
           val msg = s"[stage ${ev.stageId}] ${p.done}/${p.total} tasks ($pct%)"

@@ -29,15 +29,26 @@ import graft.core.Signatures
 object StreamingCdc {
   final case class ChangeEvent(key: String, kind: String, sig: String)
 
-  /** Attach (key, sig, isDelete) to an update stream. `dataCols` drive the
-    * signature exactly as in the batch diff ([[graft.core.Diff.classify]]).
+  /** Attach (key, sig, isDelete, seq) to an update stream. `dataCols`
+    * drive the signature exactly as in the batch diff
+    * ([[graft.core.Diff.classify]]).
+    *
+    * `seqCol` (any long-castable column: sequence number, epoch millis) is
+    * the intra-batch order for [[changeEvents]]: Spark gives NO ordering
+    * guarantee for a group's iterator after the groupByKey shuffle, so
+    * multiple updates to one key inside a single micro-batch are folded in
+    * `seq` order, not arrival order. Without a `seqCol`, keys updated at
+    * most once per micro-batch are still deterministic; multi-update keys
+    * are not (same caveat as any CDC source without a sequence field).
     */
   def withSignature(updates: DataFrame, keyCol: String, dataCols: Seq[String],
-                    deleteCol: Option[String] = None): DataFrame =
+                    deleteCol: Option[String] = None,
+                    seqCol: Option[String] = None): DataFrame =
     updates.select(
       col(keyCol).cast("string").as("key"),
       Signatures.md5Sig(dataCols.map(col)).as("sig"),
-      deleteCol.map(col(_).cast("boolean")).getOrElse(lit(false)).as("is_delete"))
+      deleteCol.map(col(_).cast("boolean")).getOrElse(lit(false)).as("is_delete"),
+      seqCol.map(col(_).cast("long")).getOrElse(lit(0L)).as("seq"))
 
   /** Run [[changeEvents]] over a parquet file-stream directory with a
     * durable checkpoint: the signature state lives in the checkpointed
@@ -121,13 +132,15 @@ object StreamingCdc {
   def changeEvents(sigStream: DataFrame): Dataset[ChangeEvent] = {
     val spark = sigStream.sparkSession
     import spark.implicits._
-    sigStream.as[(String, String, Boolean)]
+    sigStream.as[(String, String, Boolean, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, rows: Iterator[(String, String, Boolean)], state: GroupState[String]) =>
-          // fold the micro-batch in arrival order; last write per key wins
+        (key: String, rows: Iterator[(String, String, Boolean, Long)], state: GroupState[String]) =>
+          // fold the micro-batch in `seq` order (stable sort: ties keep
+          // iterator order) — the post-shuffle iterator order itself is
+          // NOT guaranteed, see withSignature; last write per key wins
           var events = List.empty[ChangeEvent]
-          rows.foreach { case (_, sig, isDelete) =>
+          rows.toSeq.sortBy(_._4).foreach { case (_, sig, isDelete, _) =>
             val prev = state.getOption
             if (isDelete) {
               if (prev.isDefined) {

@@ -28,4 +28,19 @@ class AsOfJoinSpec extends AnyFunSuite {
       (2L, "2024-01-01 10:01:00.0", None),
       (3L, "2024-01-01 12:00:00.0", None)))
   }
+
+  test("null keys never match (DuckDB ASOF equality semantics)") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val right = Seq(
+      (Some(1L), t("2024-01-01 10:00:00"), 100.0),
+      (None,     t("2024-01-01 09:00:00"), 666.0) // null-key right row
+    ).toDF("qk", "qt", "px")
+    val left = Seq(
+      (Some(1L), t("2024-01-01 11:00:00")),
+      (None,     t("2024-01-01 11:00:00")) // null-key left row: no match
+    ).toDF("tk", "tt")
+    val got = AsOfJoin.asofLE(left, right, "tk", "qk", "tt", "qt", Seq("px"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(2)))).toSet
+    assert(got == Set((Some(1L), Some(100.0)), (None, None)))
+  }
 }

@@ -48,6 +48,20 @@ class DiffSpec extends AnyFunSuite {
     assert(sa != sb)
   }
 
+  test("null keys: round trip holds and null-key rows match null-safely") {
+    // one null-key row on each side with the same payload: must classify
+    // 'unchanged' (not deleted+new), and the round trip must hold
+    val internal = Seq((Some(1), "a", 1.0), (None, "n", 5.0))
+      .toDF("id", "v", "w")
+    val external = Seq((Some(1), "a", 1.0), (None, "n2", 5.0))
+      .toDF("id", "v", "w")
+    val kinds = Diff.classify(internal, external, key, cols)
+      .collect().map(r => (if (r.isNullAt(0)) -99 else r.getInt(0)) -> r.getString(1)).toMap
+    assert(kinds == Map(1 -> "unchanged", -99 -> "changed"))
+    val applied = Diff.diffApply(internal, external, key, cols)
+    assert(applied.exceptAll(external).isEmpty && external.exceptAll(applied).isEmpty)
+  }
+
   test("upsertReplace: new version wins, unmatched rows survive") {
     val old = df((1, "a", 1.0), (2, "b", 2.0))
     val repl = df((2, "B", 9.0), (3, "c", 3.0))

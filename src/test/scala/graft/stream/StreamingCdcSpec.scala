@@ -46,4 +46,40 @@ class StreamingCdcSpec extends AnyFunSuite {
 
     q.stop()
   }
+
+  test("multi-update keys within one micro-batch fold in seq order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Boolean, Long)] // (id, payload, isDelete, seq)
+
+    val sigs = StreamingCdc.withSignature(
+      input.toDF().toDF("id", "payload", "del", "seq"), "id", Seq("payload"),
+      Some("del"), Some("seq"))
+    val events = StreamingCdc.changeEvents(sigs)
+    val q = events.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("cdc_seq_events").start()
+
+    // one batch, three updates to key 7 added in SCRAMBLED order: the
+    // seq column (not arrival order) must drive the fold, so the final
+    // state is seq=3's payload and the emitted kinds are new+changed+changed
+    input.addData((7L, "v3", false, 3L), (7L, "v1", false, 1L), (7L, "v2", false, 2L))
+    q.processAllAvailable()
+    val kinds = spark.table("cdc_seq_events").collect().map(_.getString(1)).toSeq.sorted
+    assert(kinds == Seq("changed", "changed", "new"))
+
+    // next batch: re-sending seq=3's payload must be unchanged (swallowed),
+    // proving state holds the seq-max version, not an arbitrary one
+    input.addData((7L, "v3", false, 4L))
+    q.processAllAvailable()
+    assert(spark.table("cdc_seq_events").count() == 3)
+
+    // tombstone then re-insert inside ONE batch, added scrambled: seq
+    // order folds the delete (seq=5) before the insert (seq=6), so the
+    // key emits deleted + new — not a single 'changed'
+    input.addData((7L, "v5", false, 6L), (7L, "old", true, 5L))
+    q.processAllAvailable()
+    val later = spark.table("cdc_seq_events").collect().map(_.getString(1)).toSeq.sorted
+    assert(later == Seq("changed", "changed", "deleted", "new", "new"))
+    q.stop()
+  }
 }
