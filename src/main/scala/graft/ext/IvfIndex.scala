@@ -25,12 +25,27 @@ import graft.functions.vectors
 object IvfIndex {
   final case class Index(centroids: Array[(Int, Array[Float])], assigned: DataFrame)
 
-  /** Train the coarse quantizer and assign every vector to a list. */
+  /** Train the coarse quantizer and assign every vector to a list.
+    *
+    * The quantizer trains on a bounded sample — `trainPerList × nlist`
+    * vectors (the standard IVF training budget), selected by a
+    * deterministic id-hash stride so the index is reproducible across
+    * runs and partitionings. Training k-means on the FULL corpus would be
+    * 20 full passes through Spark ML before the index exists — at 100 TB
+    * that is the build's entire cost; centroid quality saturates long
+    * before that. Only the single assignment pass touches every vector.
+    */
   def build(spark: SparkSession, embs: DataFrame, idCol: String, vecCol: String,
-            nlist: Int, seed: Long = 42L): Index = {
+            nlist: Int, seed: Long = 42L, trainPerList: Int = 256): Index = {
     val featurized = embs.select(col(idCol).as("vid"), col(vecCol).as("v"),
       array_to_vector(col(vecCol).cast("array<double>")).as("features"))
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20).fit(featurized)
+    val target = nlist.toLong * trainPerList
+    val n = featurized.count()
+    val trainSet =
+      if (n <= target) featurized
+      else featurized.filter(
+        pmod(xxhash64(col("vid").cast("string")), lit(math.max(1L, n / target))) === 0)
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(20).fit(trainSet)
     val centroids = model.clusterCenters.zipWithIndex
       .map { case (c, i) => i -> c.toArray.map(_.toFloat) }
     val assigned = model.transform(featurized)

@@ -165,20 +165,28 @@ object Catalog {
 
     Entry("profile_columns",
       (s, d) => { // schema-driven data profiling: the stat list is
-        // derived from the discovered schema (table.py:66-93 pattern),
-        // one aggregate pass per column unioned long-format
+        // derived from the discovered schema (table.py:66-93 pattern).
+        // ONE aggregate emits every per-column stat wide — a single scan
+        // of the table (the per-column countDistincts share one Expand) —
+        // then stack() unpivots to the long schema. The previous shape
+        // (one agg per column, unioned) scanned the table N_cols times.
         import org.apache.spark.sql.types._
         val df = li(s, d)
         val numeric = df.schema.fields
           .filter(f => f.dataType.isInstanceOf[NumericType]).map(_.name).toSeq
-        numeric.map { c =>
-          df.agg(
-            lit(c).as("column_name"),
-            (count(lit(1)) - count(col(c))).as("n_nulls"),
-            countDistinct(col(c)).as("n_distinct"),
-            round(min(col(c)).cast("double"), 6).as("min_val"),
-            round(max(col(c)).cast("double"), 6).as("max_val"))
-        }.reduce(_ unionByName _).orderBy("column_name")
+        val aggs = numeric.flatMap { c => Seq(
+          (count(lit(1)) - count(col(c))).as(s"${c}__n_nulls"),
+          countDistinct(col(c)).as(s"${c}__n_distinct"),
+          round(min(col(c)).cast("double"), 6).as(s"${c}__min_val"),
+          round(max(col(c)).cast("double"), 6).as(s"${c}__max_val"))
+        }
+        val wide = df.agg(aggs.head, aggs.tail: _*)
+        val stackArgs = numeric.map(c =>
+          s"'$c', `${c}__n_nulls`, `${c}__n_distinct`, `${c}__min_val`, `${c}__max_val`")
+          .mkString(", ")
+        wide.select(expr(s"stack(${numeric.size}, $stackArgs) AS " +
+            "(column_name, n_nulls, n_distinct, min_val, max_val)"))
+          .orderBy("column_name")
       },
       Some {
         val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
