@@ -43,15 +43,35 @@ object Diff {
   private def rightKeys(df: DataFrame, key: Seq[String]): DataFrame =
     df.select(key.map(k => col(k).as(s"__dk_$k")): _*)
 
+  /** (key, sig) projection — the persisted signature cache the reference
+    * keeps in its `{t}_hashes_0/1` side tables (table.py:107-117).
+    */
+  def sigTable(df: DataFrame, key: Seq[String], dataCols: Seq[String]): DataFrame =
+    df.select(key.map(col) :+ Signatures.md5Sig(dataCols.map(col)).as(SigCol): _*)
+
   /** hash_diff: classify every key as changed/new/deleted/unchanged.
     * Output: key columns + `kind` string.
-    * internal = cached state (reference's `{t}_hashes_0` side,
-    * download.py:89-111); external = live source (download.py:130-141).
+    * internal = cached replica rows; external = live source
+    * (download.py:130-141). Prefer [[classifyState]] for recurring runs.
     */
   def classify(internal: DataFrame, external: DataFrame,
-               key: Seq[String], dataCols: Seq[String]): DataFrame = {
-    val i = internal.select(key.map(k => col(k).as(s"__ki_$k"))
-      :+ Signatures.md5Sig(dataCols.map(col)).as("sig_i"): _*)
+               key: Seq[String], dataCols: Seq[String]): DataFrame =
+    classifyState(sigTable(internal, key, dataCols), external, key, dataCols)
+
+  /** [[classify]] against a PRECOMPUTED signature state (key, sig) — the
+    * reference-faithful protocol: it diffs its persisted hash side-table
+    * (`{t}_hashes_0`, download.py:89-111) against the live source, never
+    * the replica's stored rows. Two properties matter at scale:
+    * (a) the internal side of the join scans a 2-column table instead of
+    * re-hashing the full snapshot; (b) derived columns written to the
+    * snapshot (scores, normalized names — download.py:534-555) cannot
+    * feed back into change detection, so a derivation that rewrites a
+    * data column does not re-classify every row 'changed' forever.
+    */
+  def classifyState(state: DataFrame, external: DataFrame,
+                    key: Seq[String], dataCols: Seq[String]): DataFrame = {
+    val i = state.select(key.map(k => col(k).as(s"__ki_$k"))
+      :+ col(SigCol).as("sig_i"): _*)
     val e = external.select(key.map(k => col(k).as(s"__ke_$k"))
       :+ Signatures.md5Sig(dataCols.map(col)).as("sig_e"): _*)
     val cond = key.map(k => col(s"__ki_$k") <=> col(s"__ke_$k")).reduce(_ && _)

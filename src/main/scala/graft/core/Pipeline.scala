@@ -81,15 +81,28 @@ object Pipeline {
     * `kinds` is persisted here: the classify join feeds four downstream
     * consumers (delete count, changelog, fetch, state) and is the
     * dominant cost — without the persist it re-executes per action.
+    *
+    * `state`: the committed (key, sig) signature cache from the previous
+    * run. When provided, the diff runs against IT (the reference's hash
+    * side-table protocol, download.py:89-111) — the snapshot's data
+    * columns are never re-hashed, and the next state is maintained
+    * incrementally from the RAW source rows of touched keys, so derived
+    * columns (normalized names) never churn the diff. When absent
+    * (legacy/cold), the snapshot itself is hashed and the next state is
+    * derived from the new snapshot — only valid when `deriveFetched`
+    * leaves `dataCols` untouched.
     */
   def warm(internal: DataFrame, external: DataFrame,
            key: Seq[String], dataCols: Seq[String],
            maxDeletes: Long = DefaultMaxDeletes,
-           deriveFetched: DataFrame => DataFrame = identity): WarmResult = {
-    val kinds = Diff.classify(internal, external, key, dataCols)
+           deriveFetched: DataFrame => DataFrame = identity,
+           state: Option[DataFrame] = None): WarmResult = {
+    val kinds = state.map(Diff.classifyState(_, external, key, dataCols))
+      .getOrElse(Diff.classify(internal, external, key, dataCols))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val touched = kinds.filter(col(Diff.KindCol).isin("changed", "new"))
-    val fetched = deriveFetched(Diff.semiJoinChanged(external, touched, key))
+    val touched  = kinds.filter(col(Diff.KindCol).isin("changed", "new"))
+    val rawFetch = Diff.semiJoinChanged(external, touched, key)
+    val fetched  = deriveFetched(rawFetch)
     val changedKeys = kinds.filter(col(Diff.KindCol) === "changed")
     val changelog   = Changelog.captureOld(internal, changedKeys, key)
 
@@ -97,14 +110,25 @@ object Pipeline {
     // lost too many keys, treat it as a source fault and skip deletes.
     val deletedKeys  = kinds.filter(col(Diff.KindCol) === "deleted")
     val deleteCount  = deletedKeys.count()
+    val skipDeletes  = deleteCount >= maxDeletes
     val afterDeletes =
-      if (deleteCount >= maxDeletes) internal
+      if (skipDeletes) internal
       else Diff.antiJoinDeleted(internal, deletedKeys, key)
 
     val newSnapshot = Diff.upsertReplace(afterDeletes, fetched, key)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val newState    = newSnapshot.select(
-      key.map(col) :+ Signatures.md5Sig(dataCols.map(col)).as(Diff.SigCol): _*)
+    val newState = state match {
+      case Some(st) =>
+        // incremental state maintenance ∝ delta: previous state minus
+        // deleted keys, upserted with RAW-source sigs of touched keys
+        // (the reference updates `{t}_hashes` from downloaded rows,
+        // download.py:577-583 — never from the post-derive replica)
+        val afterDelState =
+          if (skipDeletes) st else Diff.antiJoinDeleted(st, deletedKeys, key)
+        Diff.upsertReplace(afterDelState, Diff.sigTable(rawFetch, key, dataCols), key)
+      case None =>
+        Diff.sigTable(newSnapshot, key, dataCols)
+    }
     WarmResult(kinds, newSnapshot, changelog, newState)
   }
 

@@ -26,12 +26,18 @@ object Runner {
       src.name -> (() => {
         val external = src.load()
         val dir = s"$baseDir/${src.name}"
-        val internal = Pipeline.currentVersion(dir) match {
-          case Some(_) => Pipeline.readLatest(spark, dir, "snapshot")
-          case None    => src.deriveFetched(external).limit(0) // cold: empty replica
+        // the diff always runs against the committed signature STATE
+        // (cold: an empty one), never the snapshot's stored rows — so
+        // deriveFetched may rewrite data columns (name normalization)
+        // without re-classifying those rows 'changed' on every run
+        val (internal, state) = Pipeline.currentVersion(dir) match {
+          case Some(_) => (Pipeline.readLatest(spark, dir, "snapshot"),
+            Pipeline.readLatest(spark, dir, "state"))
+          case None => (src.deriveFetched(external).limit(0), // cold: empty replica
+            Diff.sigTable(external, src.key, src.dataCols).limit(0))
         }
         val r = Pipeline.warm(internal, external, src.key, src.dataCols,
-          maxDeletes, src.deriveFetched)
+          maxDeletes, src.deriveFetched, state = Some(state))
         try versions.put(src.name, Pipeline.commitVersioned(r, dir))
         finally r.release()
         ()

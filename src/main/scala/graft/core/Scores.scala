@@ -74,4 +74,15 @@ object Scores {
     */
   def normalizeName(name: Column): Column =
     when(!name.contains("#"), concat(name, lit("#0000"))).otherwise(name)
+
+  /** Pipeline-composable normalization for [[Runner.Source.deriveFetched]]:
+    * the reference applies name normalization inside extract, right after
+    * download (download.py:546-555) — so a committed snapshot must already
+    * carry normalized names. Compose with the score derivation, e.g.
+    * `deriveFetched = Scores.normalizeNames(Seq("name")) andThen
+    * (Scores.withOverall _ compose Scores.withScores)` for score-bearing
+    * tables, or alone for dimension tables.
+    */
+  def normalizeNames(nameCols: Seq[String])(df: DataFrame): DataFrame =
+    nameCols.foldLeft(df)((acc, n) => acc.withColumn(n, normalizeName(col(n))))
 }

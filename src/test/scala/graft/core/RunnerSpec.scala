@@ -54,4 +54,34 @@ class RunnerSpec extends AnyFunSuite {
     assert(stats.count() == 25)
     assert(stats.columns.toSet == Set("n_nationkey", "members", "active", "o_totalprice"))
   }
+
+  test("name normalization inside extract: committed, and never churns the diff") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_norm").toString
+    def src(aliceElo: Int) = Seq(Runner.Source("player",
+      () => Seq((1L, "alice", aliceElo), (2L, "bob#1234", 20), (3L, "carol", 30))
+        .toDF("pid", "name", "elo"),
+      key = Seq("pid"), dataCols = Seq("name", "elo"),
+      // reference normalizes post-download INSIDE extract
+      // (download.py:546-555), not as a separate query
+      deriveFetched = Scores.normalizeNames(Seq("name"))))
+
+    Runner.extractAll(spark, src(10), base)
+    val cold = Pipeline.readLatest(spark, base + "/player", "snapshot")
+      .select("name").as[String].collect().sorted
+    assert(cold.toSeq == Seq("alice#0000", "bob#1234", "carol#0000"))
+
+    // identical second run: the diff runs against the signature STATE
+    // (raw source sigs), so the normalized snapshot names must NOT
+    // re-classify anything changed — zero changelog rows at v=2
+    Runner.extractAll(spark, src(10), base)
+    assert(Pipeline.readChangelog(spark, base + "/player").filter("v = 2").count() == 0)
+
+    // real change: alice's elo moves; the re-fetched row re-normalizes
+    Runner.extractAll(spark, src(99), base)
+    val warm = Pipeline.readLatest(spark, base + "/player", "snapshot")
+    assert(Pipeline.readChangelog(spark, base + "/player").filter("v = 3").count() == 1)
+    assert(warm.filter(col("name") === "alice#0000").select("elo").as[Int].head() == 99)
+    assert(warm.count() == 3)
+  }
 }
