@@ -22,8 +22,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // optional comma-separated subset for fast local iteration; the
-    // driver never sets this so the gate always runs everything
+    // driver never sets this so the gate always runs everything. A subset
+    // run is loud + leaves a marker file so stale parquet from a previous
+    // full run can never masquerade as a full verification.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    only.foreach { names =>
+      System.err.println(s"[verify] *** PARTIAL RUN (SPARK_GRAFT_ONLY=${names.mkString(",")}) — NOT a full verification ***")
+      Files.writeString(Paths.get(s"$outDir/_PARTIAL_RUN"), names.mkString(","))
+    }
+    if (only.isEmpty) Files.deleteIfExists(Paths.get(s"$outDir/_PARTIAL_RUN"))
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

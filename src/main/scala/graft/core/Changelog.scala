@@ -19,7 +19,10 @@ object Changelog {
     * are ever materialized (narrower shuffle at scale).
     */
   def captureOld(oldSnapshot: DataFrame, changed: DataFrame, key: Seq[String]): DataFrame =
-    oldSnapshot.join(changed.select(key.map(col): _*).distinct(), key, "left_semi")
+    // null-safe (<=>) like the rest of the diff algebra: a null-key row
+    // classified 'changed' must have its old version captured too, or the
+    // upsert rewrites it with no history trail
+    oldSnapshot.join(Diff.rightKeys(changed, key).distinct(), Diff.nsCond(key), "left_semi")
 
   /** changelog_latest: reconstruct latest-version-per-key from an
     * append-only changelog. The reference keeps history implicitly ordered

@@ -37,10 +37,10 @@ object Diff {
     * apply(diff(i,e),i)==e round-trip). `<=>` is still an equi-join key
     * for Catalyst — hash/sort-merge strategies and AQE apply unchanged.
     */
-  private def nsCond(key: Seq[String]): Column =
+  private[core] def nsCond(key: Seq[String]): Column =
     key.map(k => col(k) <=> col(s"__dk_$k")).reduce(_ && _)
 
-  private def rightKeys(df: DataFrame, key: Seq[String]): DataFrame =
+  private[core] def rightKeys(df: DataFrame, key: Seq[String]): DataFrame =
     df.select(key.map(k => col(k).as(s"__dk_$k")): _*)
 
   /** (key, sig) projection — the persisted signature cache the reference

@@ -165,7 +165,13 @@ object Pipeline {
       else 0L
     val next = math.max(System.currentTimeMillis(), last + 1)
     Files.createDirectories(Paths.get(baseDir))
-    Files.writeString(p, next.toString)
+    // tmp + ATOMIC_MOVE (same protocol as the VERSION pointer): a crash
+    // mid-write must not corrupt the counter — toLongOption would fall
+    // back to 0 and a regressed clock could then reissue a used version
+    val tmp = Paths.get(s"$baseDir/_last_run_version.tmp")
+    Files.writeString(tmp, next.toString)
+    Files.move(tmp, p, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     next
   }
 

@@ -172,7 +172,7 @@ object Dedup {
       val propagated = edges.join(labels, edges("src") === labels("id"))
         .groupBy(col("dst").as("id2")).agg(min("label").as("nbr_label"))
       val relabeled = labels.join(propagated, labels("id") === col("id2"), "left_outer")
-        .select(col("id"),
+        .select(col("id"), col("label").as("__old"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
       // pointer jumping (path halving): adopt the label OF my label —
       // turns O(diameter) convergence into O(log diameter), which long
@@ -180,13 +180,14 @@ object Dedup {
       val lut = relabeled.select(col("id").as("lid"), col("label").as("llabel"))
       val updated = relabeled.as("x")
         .join(lut, col("x.label") === col("lid"), "left_outer")
-        .select(col("x.id").as("id"),
+        .select(col("x.id").as("id"), col("__old"),
           least(col("x.label"), coalesce(col("llabel"), col("x.label"))).as("label"))
         .localCheckpoint(true)
-      val changed = updated.as("u").join(labels.as("l"), "id")
-        .filter(col("u.label") =!= col("l.label")).count()
-      labels = updated
-      converged = changed == 0
+      // convergence piggybacks on the checkpointed frame (old label is
+      // threaded through the round) — a cached-block agg, not an extra
+      // join + shuffle per iteration
+      converged = updated.filter(col("label") =!= col("__old")).isEmpty
+      labels = updated.drop("__old")
       iter += 1
     }
     edges.unpersist()

@@ -44,15 +44,13 @@ object Catalog {
     * `dedup_clusters` and `dedup_keep_best` (compute-once-consume-many,
     * same shape as [[Fixture.kinds]]).
     */
-  private val lshClusterCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val lshClusterCache = new QueryCache("documents.parquet")
 
   private def lshClusters(s: SparkSession, d: String): DataFrame =
-    lshClusterCache.computeIfAbsent((s, d), { case (ss, dd) =>
+    lshClusterCache.get(s, d) { (ss, dd) =>
       Dedup.lshDedupClusters(docs(ss, dd), "doc_id", "text",
-          threshold = 0.5, shingleN = 3, k = 8, bands = 4)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+        threshold = 0.5, shingleN = 3, k = 8, bands = 4)
+    }
 
   // ---------------------------------------------------------------- entries
 

@@ -37,17 +37,15 @@ object Fixture {
     * per query dominated bench time. Analogous to the reference keeping
     * its cached state in a side table rather than re-deriving it.
     */
-  private val baseCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val baseCache = new QueryCache("lineitem.parquet")
 
   def base(spark: SparkSession, sfDir: String): DataFrame =
-    baseCache.computeIfAbsent((spark, sfDir), { case (s, d) =>
+    baseCache.get(spark, sfDir) { (s, d) =>
       Tables.load(s, d, "lineitem")
         .groupBy(Key.map(col): _*)
         .agg(DataCols.map(c => min(col(c)).as(c)).head,
              DataCols.map(c => min(col(c)).as(c)).tail: _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   def external(spark: SparkSession, sfDir: String): DataFrame =
     base(spark, sfDir)
@@ -58,14 +56,12 @@ object Fixture {
     * that compute-once-consume-many shape instead of re-classifying per
     * query.
     */
-  private val kindsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val kindsCache = new QueryCache("lineitem.parquet")
 
   def kinds(spark: SparkSession, sfDir: String): DataFrame =
-    kindsCache.computeIfAbsent((spark, sfDir), { case (s, d) =>
+    kindsCache.get(spark, sfDir) { (s, d) =>
       graft.core.Diff.classify(internal(s, d), external(s, d), Key, DataCols)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
+    }
 
   def internal(spark: SparkSession, sfDir: String): DataFrame = {
     val b = base(spark, sfDir)

@@ -1,0 +1,51 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Session-scoped memoization of persisted derived DataFrames, keyed on
+  * (session, dir) and invalidated by a fingerprint of the source parquet
+  * (file names + sizes + mtimes): reloading a dir whose data changed
+  * recomputes instead of serving stale clusters, and every eviction or
+  * invalidation unpersists so executor storage is bounded — entries never
+  * leak across many dirs in one long-lived session.
+  */
+private[queries] final class QueryCache(sourceFile: String, maxEntries: Int = 4) {
+  private case class Entry(fp: String, df: DataFrame)
+  private val cache =
+    scala.collection.mutable.LinkedHashMap.empty[(SparkSession, String), Entry]
+
+  private def fingerprint(dir: String): String = {
+    val p = Paths.get(dir, sourceFile)
+    if (!Files.exists(p)) "absent"
+    else if (Files.isDirectory(p)) {
+      val s = Files.list(p)
+      try s.iterator.asScala.toSeq.sortBy(_.toString)
+        .map(f => s"$f:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}")
+        .mkString("|")
+      finally s.close()
+    } else s"$p:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+  }
+
+  def get(s: SparkSession, dir: String)
+         (compute: (SparkSession, String) => DataFrame): DataFrame = synchronized {
+    val key = (s, dir)
+    val fp = fingerprint(dir)
+    cache.get(key) match {
+      case Some(e) if e.fp == fp => e.df
+      case stale =>
+        stale.foreach(_.df.unpersist())
+        cache.remove(key)
+        if (cache.size >= maxEntries) {
+          val (k0, e0) = cache.head // eldest-inserted
+          e0.df.unpersist()
+          cache.remove(k0)
+        }
+        val df = compute(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+        cache.put(key, Entry(fp, df))
+        df
+    }
+  }
+}

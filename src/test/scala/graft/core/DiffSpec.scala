@@ -60,6 +60,13 @@ class DiffSpec extends AnyFunSuite {
     assert(kinds == Map(1 -> "unchanged", -99 -> "changed"))
     val applied = Diff.diffApply(internal, external, key, cols)
     assert(applied.exceptAll(external).isEmpty && external.exceptAll(applied).isEmpty)
+    // the changed null-key row's OLD version must land in the changelog:
+    // captureOld joins null-safely like the rest of the algebra, or the
+    // upsert overwrites it with no history trail
+    val changed = Diff.classify(internal, external, key, cols)
+      .filter(col("kind") === "changed")
+    val old = Changelog.captureOld(internal, changed, key).collect()
+    assert(old.length == 1 && old.head.isNullAt(0) && old.head.getString(1) == "n")
   }
 
   test("upsertReplace: new version wins, unmatched rows survive") {
