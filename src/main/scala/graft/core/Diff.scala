@@ -28,17 +28,28 @@ object Diff {
   val KindCol = "kind"
   val SigCol  = "sig"
 
-  /** Null-safe equi condition between `left`'s key columns and the
+  /** Key equi condition between `left`'s key columns and the
     * `__dk_`-renamed key columns of a right side built by [[rightKeys]].
-    * `<=>` keeps every operator in the algebra consistent for nullable
-    * keys: a null-key row matches its null-key counterpart (instead of an
-    * internal null-key row classifying 'deleted' while the external
-    * null-key row appends as 'new', which broke the documented
-    * apply(diff(i,e),i)==e round-trip). `<=>` is still an equi-join key
-    * for Catalyst — hash/sort-merge strategies and AQE apply unchanged.
+    *
+    * Null-safe (`<=>`, the default) keeps every operator in the algebra
+    * consistent for nullable keys: a null-key row matches its null-key
+    * counterpart (instead of an internal null-key row classifying
+    * 'deleted' while the external null-key row appends as 'new', which
+    * broke the documented apply(diff(i,e),i)==e round-trip).
+    *
+    * `nullSafe = false` (for keys declared non-null — every CDC primary
+    * key in the reference is a MySQL NOT NULL PK) uses plain `===`. This
+    * is not just cosmetic: Catalyst rewrites `a <=> b` join keys into
+    * `(coalesce(a, d), isnull(a))`, whose hash partitioning a bucketed
+    * table's layout does NOT satisfy — the planner disables the bucketed
+    * scan and shuffles the 100 TB side. Plain `===` on the raw key keeps
+    * the snapshot/state side of every warm-diff join exchange-free over
+    * [[Bucketing]] tables (proven in WarmBucketedPlanSpec).
     */
-  private[core] def nsCond(key: Seq[String]): Column =
-    key.map(k => col(k) <=> col(s"__dk_$k")).reduce(_ && _)
+  private[core] def nsCond(key: Seq[String], nullSafe: Boolean = true): Column =
+    key.map(k =>
+      if (nullSafe) col(k) <=> col(s"__dk_$k") else col(k) === col(s"__dk_$k"))
+      .reduce(_ && _)
 
   private[core] def rightKeys(df: DataFrame, key: Seq[String]): DataFrame =
     df.select(key.map(k => col(k).as(s"__dk_$k")): _*)
@@ -55,8 +66,9 @@ object Diff {
     * (download.py:130-141). Prefer [[classifyState]] for recurring runs.
     */
   def classify(internal: DataFrame, external: DataFrame,
-               key: Seq[String], dataCols: Seq[String]): DataFrame =
-    classifyState(sigTable(internal, key, dataCols), external, key, dataCols)
+               key: Seq[String], dataCols: Seq[String],
+               nullSafe: Boolean = true): DataFrame =
+    classifyState(sigTable(internal, key, dataCols), external, key, dataCols, nullSafe)
 
   /** [[classify]] against a PRECOMPUTED signature state (key, sig) — the
     * reference-faithful protocol: it diffs its persisted hash side-table
@@ -69,12 +81,15 @@ object Diff {
     * data column does not re-classify every row 'changed' forever.
     */
   def classifyState(state: DataFrame, external: DataFrame,
-                    key: Seq[String], dataCols: Seq[String]): DataFrame = {
+                    key: Seq[String], dataCols: Seq[String],
+                    nullSafe: Boolean = true): DataFrame = {
     val i = state.select(key.map(k => col(k).as(s"__ki_$k"))
       :+ col(SigCol).as("sig_i"): _*)
     val e = external.select(key.map(k => col(k).as(s"__ke_$k"))
       :+ Signatures.md5Sig(dataCols.map(col)).as("sig_e"): _*)
-    val cond = key.map(k => col(s"__ki_$k") <=> col(s"__ke_$k")).reduce(_ && _)
+    val cond = key.map(k =>
+      if (nullSafe) col(s"__ki_$k") <=> col(s"__ke_$k")
+      else col(s"__ki_$k") === col(s"__ke_$k")).reduce(_ && _)
     i.join(e, cond, "full_outer")
       .withColumn(KindCol,
         when(col("sig_i").isNull, "new")                 // download.py:276-315
@@ -89,22 +104,25 @@ object Diff {
     * (reference: batched `WHERE pk IN (...)`, download.py:435-476).
     * `keys` is typically small (the delta) → AQE broadcast.
     */
-  def semiJoinChanged(source: DataFrame, keys: DataFrame, key: Seq[String]): DataFrame =
-    source.join(rightKeys(keys, key).distinct(), nsCond(key), "left_semi")
+  def semiJoinChanged(source: DataFrame, keys: DataFrame, key: Seq[String],
+                      nullSafe: Boolean = true): DataFrame =
+    source.join(rightKeys(keys, key).distinct(), nsCond(key, nullSafe), "left_semi")
 
   /** anti_join_deleted: rows present in `snapshot` but absent from
     * `source` (reference collects internal-only residue then issues
     * batched DELETEs, download.py:326-366).
     */
-  def antiJoinDeleted(snapshot: DataFrame, source: DataFrame, key: Seq[String]): DataFrame =
-    snapshot.join(rightKeys(source, key), nsCond(key), "left_anti")
+  def antiJoinDeleted(snapshot: DataFrame, source: DataFrame, key: Seq[String],
+                      nullSafe: Boolean = true): DataFrame =
+    snapshot.join(rightKeys(source, key), nsCond(key, nullSafe), "left_anti")
 
   /** upsert_replace: REPLACE INTO semantics — new rows supersede old by
     * key, unmatched old rows survive (reference: download.py:572-577,
     * 597-604). anti-join + union keeps this a pure column-pruned plan.
     */
-  def upsertReplace(old: DataFrame, replacements: DataFrame, key: Seq[String]): DataFrame =
-    old.join(rightKeys(replacements, key), nsCond(key), "left_anti")
+  def upsertReplace(old: DataFrame, replacements: DataFrame, key: Seq[String],
+                    nullSafe: Boolean = true): DataFrame =
+    old.join(rightKeys(replacements, key), nsCond(key, nullSafe), "left_anti")
       .unionByName(replacements)
 
   /** diff_apply: the end-to-end CDC contract —
@@ -113,12 +131,13 @@ object Diff {
     * Pure function; commit ordering lives in [[Pipeline]].
     */
   def diffApply(internal: DataFrame, external: DataFrame,
-                key: Seq[String], dataCols: Seq[String]): DataFrame = {
-    val kinds   = classify(internal, external, key, dataCols)
+                key: Seq[String], dataCols: Seq[String],
+                nullSafe: Boolean = true): DataFrame = {
+    val kinds   = classify(internal, external, key, dataCols, nullSafe)
     val touched = kinds.filter(col(KindCol).isin("changed", "new"))
-    val fetched = semiJoinChanged(external, touched, key)
+    val fetched = semiJoinChanged(external, touched, key, nullSafe)
     val deleted = kinds.filter(col(KindCol) === "deleted")
-    val kept    = internal.join(rightKeys(deleted, key), nsCond(key), "left_anti")
-    upsertReplace(kept, fetched, key)
+    val kept    = internal.join(rightKeys(deleted, key), nsCond(key, nullSafe), "left_anti")
+    upsertReplace(kept, fetched, key, nullSafe)
   }
 }

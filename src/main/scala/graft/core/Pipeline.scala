@@ -96,15 +96,16 @@ object Pipeline {
            key: Seq[String], dataCols: Seq[String],
            maxDeletes: Long = DefaultMaxDeletes,
            deriveFetched: DataFrame => DataFrame = identity,
-           state: Option[DataFrame] = None): WarmResult = {
-    val kinds = state.map(Diff.classifyState(_, external, key, dataCols))
-      .getOrElse(Diff.classify(internal, external, key, dataCols))
+           state: Option[DataFrame] = None,
+           nullSafeKeys: Boolean = true): WarmResult = {
+    val kinds = state.map(Diff.classifyState(_, external, key, dataCols, nullSafeKeys))
+      .getOrElse(Diff.classify(internal, external, key, dataCols, nullSafeKeys))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val touched  = kinds.filter(col(Diff.KindCol).isin("changed", "new"))
-    val rawFetch = Diff.semiJoinChanged(external, touched, key)
+    val rawFetch = Diff.semiJoinChanged(external, touched, key, nullSafeKeys)
     val fetched  = deriveFetched(rawFetch)
     val changedKeys = kinds.filter(col(Diff.KindCol) === "changed")
-    val changelog   = Changelog.captureOld(internal, changedKeys, key)
+    val changelog   = Changelog.captureOld(internal, changedKeys, key, nullSafeKeys)
 
     // Deleted-rows circuit breaker (download.py:326-330): if the source
     // lost too many keys, treat it as a source fault and skip deletes.
@@ -113,9 +114,9 @@ object Pipeline {
     val skipDeletes  = deleteCount >= maxDeletes
     val afterDeletes =
       if (skipDeletes) internal
-      else Diff.antiJoinDeleted(internal, deletedKeys, key)
+      else Diff.antiJoinDeleted(internal, deletedKeys, key, nullSafeKeys)
 
-    val newSnapshot = Diff.upsertReplace(afterDeletes, fetched, key)
+    val newSnapshot = Diff.upsertReplace(afterDeletes, fetched, key, nullSafeKeys)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val newState = state match {
       case Some(st) =>
@@ -124,8 +125,8 @@ object Pipeline {
         // (the reference updates `{t}_hashes` from downloaded rows,
         // download.py:577-583 — never from the post-derive replica)
         val afterDelState =
-          if (skipDeletes) st else Diff.antiJoinDeleted(st, deletedKeys, key)
-        Diff.upsertReplace(afterDelState, Diff.sigTable(rawFetch, key, dataCols), key)
+          if (skipDeletes) st else Diff.antiJoinDeleted(st, deletedKeys, key, nullSafeKeys)
+        Diff.upsertReplace(afterDelState, Diff.sigTable(rawFetch, key, dataCols), key, nullSafeKeys)
       case None =>
         Diff.sigTable(newSnapshot, key, dataCols)
     }
