@@ -28,7 +28,9 @@ object Jdbc {
     numPartitions: Int = 32,
     fetchSize: Int = 10000,
     user: Option[String] = None,
-    password: Option[String] = None
+    password: Option[String] = None,
+    driver: Option[String] = None // explicit JDBC driver class when the
+                                  // URL scheme isn't auto-registered
   )
 
   def options(p: PartitionedRead): Map[String, String] =
@@ -42,7 +44,8 @@ object Jdbc {
       "fetchsize" -> p.fetchSize.toString,
       "pushDownPredicate" -> "true",
       "pushDownAggregate" -> "true"
-    ) ++ p.user.map("user" -> _) ++ p.password.map("password" -> _)
+    ) ++ p.user.map("user" -> _) ++ p.password.map("password" -> _) ++
+      p.driver.map("driver" -> _)
 
   def read(spark: SparkSession, p: PartitionedRead): DataFrame =
     spark.read.format("jdbc").options(options(p)).load()
