@@ -269,10 +269,87 @@ object Pipeline {
     * partition column; rows of versions past the pointer (orphans of a
     * crashed commit) are filtered out. `v` doubles as the version column
     * for [[Changelog.latest]].
+    *
+    * Compacted directories ([[compactChangelog]]) carry each row's TRUE
+    * version in a `v_row` data column; it takes precedence over the
+    * directory version, so version attribution survives compaction.
     */
   def readChangelog(spark: org.apache.spark.sql.SparkSession, baseDir: String): DataFrame = {
     val current = currentVersion(baseDir).getOrElse(0L)
-    spark.read.parquet(s"$baseDir/changelog").filter(col("v") <= current)
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(s"$baseDir/changelog").filter(col("v") <= current)
+    if (raw.columns.contains("v_row"))
+      raw.withColumn("v", coalesce(col("v_row"), col("v").cast("long"))).drop("v_row")
+    else raw
+  }
+
+  /** Changelog compaction: rewrite every changelog version ≤ the pointer
+    * into ONE latest-per-key partition at `v=current`, keeping each
+    * surviving row's true version in `v_row`.
+    *
+    * Multi-run history grows one `v=N` directory per commit and
+    * [[Changelog.latest]] over years of appends is a full scan of all of
+    * them; after compaction it reads one directory whose row count is
+    * bounded by the key cardinality, and [[readChangelog]] /
+    * [[Changelog.latest]] results for the latest-per-key consumer are
+    * IDENTICAL (superseded intermediate versions are dropped — that loss
+    * of audit granularity is the point of compaction; vacuum already
+    * bounds it in time). Run it after [[vacuum]], from the same
+    * maintenance cadence. Reference analog: the `{t}_changelog` table
+    * grows per-run with no compaction at all (download.py:585-595).
+    *
+    * Crash safety: the rewrite lands in a dot-prefixed staging dir
+    * (invisible to partition discovery), the old `v=current` is moved
+    * aside, staging moves in (both ATOMIC_MOVE), then the superseded
+    * version dirs are deleted. A crash mid-sequence leaves either the
+    * staging dir (ignored) or the aside dir; the recovery sweep at the
+    * start of the next compaction restores the aside dir if the target
+    * vanished.
+    */
+  def compactChangelog(spark: org.apache.spark.sql.SparkSession, baseDir: String,
+                       key: Seq[String]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val current = currentVersion(baseDir).getOrElse(return)
+    val clogRoot = Paths.get(s"$baseDir/changelog")
+    if (!Files.isDirectory(clogRoot)) return
+    val aside = clogRoot.resolve(".compact_aside")
+    val target = clogRoot.resolve(s"v=$current")
+    // recovery: a previous compaction crashed after moving v=current aside
+    if (Files.isDirectory(aside) && !Files.isDirectory(target))
+      Files.move(aside, target, StandardCopyOption.ATOMIC_MOVE)
+    val versions = listVersionDirs(clogRoot).filter(_._1 <= current)
+    if (versions.size <= 1) return
+    val compacted = Changelog.latest(
+      readChangelog(spark, baseDir).withColumn("v_row", col("v").cast("long")),
+      key, "v_row").drop("v")
+    val staging = clogRoot.resolve(".compact_staging")
+    deleteRecursively(staging)
+    compacted.write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    deleteRecursively(aside)
+    if (Files.isDirectory(target))
+      Files.move(target, aside, StandardCopyOption.ATOMIC_MOVE)
+    Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
+    versions.filter(_._1 < current).foreach(v => deleteRecursively(v._2))
+    deleteRecursively(aside)
+  }
+
+  private def listVersionDirs(root: java.nio.file.Path): Seq[(Long, java.nio.file.Path)] = {
+    import scala.jdk.CollectionConverters._
+    if (!java.nio.file.Files.isDirectory(root)) return Seq.empty
+    val listing = java.nio.file.Files.list(root)
+    try listing.iterator.asScala.flatMap { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("v=")) n.drop(2).toLongOption.map(_ -> p) else None
+    }.toVector
+    finally listing.close()
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (!java.nio.file.Files.exists(p)) return
+    val walk = java.nio.file.Files.walk(p)
+    try walk.sorted(java.util.Comparator.reverseOrder())
+      .forEach(f => java.nio.file.Files.delete(f))
+    finally walk.close()
   }
 
   /** Run per-table pipelines concurrently with fail-fast cancellation —

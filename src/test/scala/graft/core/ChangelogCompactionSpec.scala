@@ -1,0 +1,100 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class ChangelogCompactionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val key = Seq("id")
+  private val cols = Seq("name", "elo")
+
+  private def df(rows: (Long, String, Int)*) = rows.toDF("id", "name", "elo")
+
+  /** Commit a warm run moving `elo` of the given ids. */
+  private def commitRun(dir: String, prev: org.apache.spark.sql.DataFrame,
+                        next: org.apache.spark.sql.DataFrame): Long = {
+    val r = Pipeline.warm(prev, next, key, cols)
+    try Pipeline.commitVersioned(r, dir) finally r.release()
+  }
+
+  private def parquetFiles(dir: String): Int = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir)
+    val walk = java.nio.file.Files.walk(root)
+    try walk.iterator.asScala.count(_.toString.endsWith(".parquet"))
+    finally walk.close()
+  }
+
+  test("compaction: identical latest-per-key, fewer files, attribution preserved") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val v0 = df((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+    val v1 = df((1L, "a", 11), (2L, "b", 20), (3L, "c", 30)) // 1 changes @v2
+    val v2 = df((1L, "a", 11), (2L, "b", 22), (3L, "c", 33)) // 2,3 change @v3
+    val v3 = df((1L, "a", 13), (2L, "b", 22), (3L, "c", 33)) // 1 changes @v4
+    commitRun(dir, v0.limit(0), v0) // v1: cold, empty changelog
+    commitRun(dir, v0, v1)          // v2: old row of 1 (elo 10)
+    commitRun(dir, v1, v2)          // v3: old rows of 2 (20), 3 (30)
+    commitRun(dir, v2, v3)          // v4: old row of 1 (elo 11)
+
+    def latest() = Changelog.latest(Pipeline.readChangelog(spark, dir), key, "v")
+      .select(col("id"), col("name"), col("elo"), col("v").cast("long").as("v"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3)))
+      .toSet
+
+    val before = latest()
+    // latest-per-key: 1 -> (elo 11, v4), 2 -> (elo 20, v3), 3 -> (elo 30, v3)
+    assert(before == Set((1L, "a", 11, 4L), (2L, "b", 20, 3L), (3L, "c", 30, 3L)))
+    val filesBefore = parquetFiles(s"$dir/changelog")
+
+    Pipeline.compactChangelog(spark, dir, key)
+
+    assert(latest() == before, "latest-per-key changed under compaction")
+    val filesAfter = parquetFiles(s"$dir/changelog")
+    assert(filesAfter < filesBefore,
+      s"expected fewer changelog files after compaction ($filesAfter vs $filesBefore)")
+    // exactly one retained version directory
+    val dirs = new java.io.File(s"$dir/changelog").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v=")).map(_.getName).toSet
+    assert(dirs == Set("v=4"))
+    // full history row count collapsed to latest-per-key (3 keys, each
+    // with its true version label — superseded v2 row of key 1 is gone)
+    val all = Pipeline.readChangelog(spark, dir)
+      .select(col("id"), col("elo"), col("v").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(all == Set((1L, 11, 4L), (2L, 20, 3L), (3L, 30, 3L)))
+
+    // history keeps accruing after compaction and supersedes compacted rows
+    val v4 = df((1L, "a", 13), (2L, "b", 24), (3L, "c", 33)) // 2 changes @v5
+    commitRun(dir, v3, v4)
+    val after = latest()
+    // changelog rows are OLD versions: key 2's pre-update row (elo 22)
+    // lands at v5; keys 1 and 3 keep their compacted entries
+    assert(after == Set((1L, "a", 11, 4L), (2L, "b", 22, 5L), (3L, "c", 30, 3L)))
+
+    // second compaction over mixed (compacted + fresh) layout
+    Pipeline.compactChangelog(spark, dir, key)
+    assert(latest() == after)
+  }
+
+  test("compaction recovery: aside dir restored when target vanished mid-swap") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_rec").toString
+    val v0 = df((1L, "a", 10))
+    val v1 = df((1L, "a", 11))
+    commitRun(dir, v0.limit(0), v0)
+    commitRun(dir, v0, v1)
+    val before = Changelog.latest(Pipeline.readChangelog(spark, dir), key, "v")
+      .select("id", "elo").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // simulate the crash window: v=2 moved aside, staging never moved in
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = Paths.get(s"$dir/changelog")
+    Files.move(root.resolve("v=2"), root.resolve(".compact_aside"),
+      StandardCopyOption.ATOMIC_MOVE)
+    Pipeline.compactChangelog(spark, dir, key) // recovery sweep runs first
+    val after = Changelog.latest(Pipeline.readChangelog(spark, dir), key, "v")
+      .select("id", "elo").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(after == before)
+  }
+}
