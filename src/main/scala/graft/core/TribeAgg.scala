@@ -43,13 +43,25 @@ object TribeAgg {
     * precomputed `tribe_active` (post_update.py:50-55,84). One
     * implementation with `precomputed: Option[DataFrame]` (SURVEY §7.4.6).
     */
+  /** `factSkewSalts > 0` routes the member⋈fact join through
+    * [[Skew.autoSaltJoin]]: the fact side is the one large⋈large join of
+    * this stage and the one place key skew is structural in production (a
+    * hot member with millions of fact rows pins a task; the dim and delta
+    * joins broadcast, so they cannot skew). Uniform key histograms take
+    * the plain join unchanged — identical results either way.
+    */
   def tribeStats(tribe: DataFrame, members: DataFrame, facts: DataFrame,
                  activeKeys: DataFrame, tribeKey: String, memberTribeFk: String,
                  memberKey: String, factKey: String, statCols: Seq[String],
-                 precomputed: Option[DataFrame]): DataFrame = {
-    val base = broadcast(tribe.select(col(tribeKey)))
+                 precomputed: Option[DataFrame],
+                 factSkewSalts: Int = 0): DataFrame = {
+    val bridge = broadcast(tribe.select(col(tribeKey)))
       .join(members, col(tribeKey) === col(memberTribeFk), "inner")
-      .join(facts, col(memberKey) === col(factKey), "inner")
+    val base =
+      if (factSkewSalts > 0)
+        Skew.autoSaltJoin(facts.withColumnRenamed(factKey, memberKey),
+          bridge, Seq(memberKey), factSkewSalts)
+      else bridge.join(facts, col(memberKey) === col(factKey), "inner")
 
     // warm reuses the precomputed tribe_active (post_update.py:50-55);
     // cold recomputes it inline (post_update.py:44-49). Either way the
