@@ -67,6 +67,22 @@ object Similarity {
       .select(col("qid"), col("vid"), round(col("cos"), 6).as("cosim"), col("rk"))
   }
 
+  /** recall@k of an ANN result against the exact result: per query, the
+    * fraction of the true top-k the approximate search recovered. Both
+    * inputs are (qid, vid, ...) frames of ≤ k rows per qid. Declared as a
+    * recurring query so ANN quality is tracked round-over-round in the
+    * CORRECTNESS/BENCH artifacts, not only in specs — a recall regression
+    * (bad plane count, broken quantizer) shows up as a changed result.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
+    val hits = exact.select(col("qid"), col("vid"))
+      .join(approx.select(col("qid"), col("vid")).withColumn("__hit", lit(1)),
+        Seq("qid", "vid"), "left_outer")
+    hits.groupBy(col("qid"))
+      .agg(round(sum(coalesce(col("__hit"), lit(0))) / lit(k.toDouble), 6)
+        .as(s"recall_at_$k"))
+  }
+
   /** Random-hyperplane LSH bucket (int; bit per plane), computed map-side
     * in one codegen'd pass over the vector.
     */

@@ -718,6 +718,28 @@ object Catalog {
       },
       None), // KMeans centroid training — not expressible in DuckDB
 
+    Entry("sim_recall_lsh",
+      (s, d) => { // ANN quality as a first-class tracked metric: recall@5
+        // of the hyperplane-LSH path vs the exact brute-force top-k
+        val e = embs(s, d)
+        val q = e.filter(col("vec_id") < 10)
+        val exact = Similarity.bruteTopK(e, q, "vec_id", "embedding", k = 5)
+        val approx = Similarity.annTopK(e, q, "vec_id", "embedding", k = 5, planes = 4)
+        Similarity.recallAtK(exact, approx, 5).orderBy("qid")
+      },
+      None), // approx side uses xxhash64 hyperplanes — not DuckDB-expressible
+
+    Entry("sim_recall_ivf",
+      (s, d) => { // recall@5 of the IVF path (nprobe=2 of nlist=8) vs brute
+        val e = embs(s, d)
+        val q = e.filter(col("vec_id") < 10)
+        val exact = Similarity.bruteTopK(e, q, "vec_id", "embedding", k = 5)
+        val idx = IvfIndex.build(s, e, "vec_id", "embedding", nlist = 8)
+        val approx = IvfIndex.topK(s, idx, q, "vec_id", "embedding", k = 5, nprobe = 2)
+        Similarity.recallAtK(exact, approx, 5).orderBy("qid")
+      },
+      None), // KMeans quantizer — not DuckDB-expressible
+
     // ----- §7.5 text analysis
     Entry("text_langid",
       (s, d) => docs(s, d)

@@ -56,4 +56,25 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     rows.foreach(r => assert(r.getDouble(2) <= brute1(r.getLong(0)) + 1e-9))
   }
+
+  test("recallAtK: 1.0 for itself, 0.0 for disjoint, fractional for partial") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L), (1L, 14L))
+      .toDF("qid", "vid")
+    val identical = Similarity.recallAtK(exact, exact, 5).collect()
+    assert(identical.map(r => (r.getLong(0), r.getDouble(1))).toSet == Set((1L, 1.0)))
+    val disjoint = Seq((1L, 99L)).toDF("qid", "vid")
+    assert(Similarity.recallAtK(exact, disjoint, 5).first().getDouble(1) == 0.0)
+    val partial = Seq((1L, 10L), (1L, 11L), (1L, 99L)).toDF("qid", "vid")
+    assert(Similarity.recallAtK(exact, partial, 5).first().getDouble(1) == 0.4)
+    // a full probe of the IVF index must recover the exact result: recall 1
+    val e = graft.core.Tables.load(spark, TestSpark.Sf, "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+    val brute = Similarity.bruteTopK(e, q, "vec_id", "embedding", 5)
+    val idx = IvfIndex.build(spark, e, "vec_id", "embedding", nlist = 4)
+    val full = IvfIndex.topK(spark, idx, q, "vec_id", "embedding", k = 5, nprobe = 4)
+    val recalls = Similarity.recallAtK(brute, full, 5)
+      .collect().map(_.getDouble(1))
+    assert(recalls.forall(_ == 1.0), recalls.mkString(","))
+  }
 }
