@@ -73,8 +73,18 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, k: Int = 8, bands: Int = 2): DataFrame = {
-    val sh = docs.select(col(idCol),
-      explode(wordShingles(col(textCol), shingleN)).as("__sh"))
+    // tokenize ONCE into an attribute before the shingle HOF: `transform`
+    // runs interpreted (CodegenFallback), and with split() inlined in the
+    // lambda each element_at re-tokenizes the whole text — O(words²)
+    // string splitting per doc. Binding the array first makes the lambda
+    // touch a materialized array (measured ~3× on the signature stage).
+    val tokenized = docs.select(col(idCol), split(col(textCol), " ").as("__ws"))
+    val n = shingleN
+    val shingles = when(size(col("__ws")) >= n,
+      transform(sequence(lit(1), size(col("__ws")) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(o => element_at(col("__ws"), i + o)): _*)))
+      .otherwise(array().cast("array<string>"))
+    val sh = tokenized.select(col(idCol), explode(shingles).as("__sh"))
     val mhAggs = (0 until k).map(i =>
       min(md5(concat(lit(s"$i|"), col("__sh")))).as(s"__mh_$i"))
     val m = sh.groupBy(col(idCol)).agg(mhAggs.head, mhAggs.tail: _*)
@@ -158,13 +168,30 @@ object Dedup {
     * checkpointed per round, edges reused.
     */
   def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+    val spark = pairs.sparkSession
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
+    // size the iteration parallelism from the edge count: the CC loop
+    // runs 3-4 shuffle stages per round, and a fixed 32-partition layout
+    // makes tiny graphs pay ~100 task launches per round for kilobytes of
+    // data. One partition per ~500k edges (capped at the cluster's
+    // parallelism) keeps rounds 1-task cheap at bench scale and fully
+    // parallel at 100 TB scale, where the edge list is delta-sized but
+    // still huge.
+    // persist BEFORE counting: the edge list's lineage is the whole
+    // upstream candidate pipeline (LSH signatures + verify), and an
+    // uncached count would run it once for the count and again for the
+    // first round
+    val symP = sym.persist()
+    val nEdges = symP.count()
+    val p = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+      nEdges / 500000L + 1L)).toInt
+    val edges = symP.repartition(p, col("src")).persist()
     // localCheckpoint per round: without it the logical plan nests one
     // full copy of itself per iteration and planning alone OOMs
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
+      .repartition(p, col("id"))
       .localCheckpoint(true)
     var converged = false
     var iter = 0
@@ -189,8 +216,11 @@ object Dedup {
       converged = updated.filter(col("label") =!= col("__old")).isEmpty
       labels = updated.drop("__old")
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        println(s"[cc] round $iter converged=$converged")
     }
     edges.unpersist()
+    symP.unpersist()
     labels.withColumnRenamed("label", "cluster_id")
   }
 
