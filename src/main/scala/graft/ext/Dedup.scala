@@ -64,33 +64,29 @@ object Dedup {
 
   /** Per-doc MinHash+LSH signature table: (id, band_0..band_{b-1}).
     *
-    * Shape: explode shingles → k codegen'd salted md5s per shingle →
-    * groupBy(doc) min. The pure higher-order-function form ([[minhash]])
-    * is semantically identical but runs interpreted (HOFs are
-    * CodegenFallback) and re-evaluates the shingle array per permutation —
-    * ~50× slower in practice. The explode form is also the right shape at
-    * scale: map-side partial min reduces the shuffle to k×16 bytes per doc.
+    * Three implementations were measured; this uses the third:
+    *  1. pure higher-order functions ([[minhash]]) — interpreted
+    *     (CodegenFallback), re-evaluates the shingle array per
+    *     permutation, ~50× slower;
+    *  2. explode shingles → k codegen'd salted md5s → groupBy(doc) min —
+    *     codegen'd but materializes words×1 rows and shuffles k partial
+    *     minima per doc;
+    *  3. the native [[graft.functions.text.minhash_sig]] expression —
+    *     the whole signature computed map-side inside the scan stage,
+    *     ZERO shuffle at any corpus size (DedupSpec asserts the plan has
+    *     no Exchange). Identical output to both (same md5 semantics,
+    *     proven by the shared DuckDB oracle and DedupSpec equivalence).
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, k: Int = 8, bands: Int = 2): DataFrame = {
-    // tokenize ONCE into an attribute before the shingle HOF: `transform`
-    // runs interpreted (CodegenFallback), and with split() inlined in the
-    // lambda each element_at re-tokenizes the whole text — O(words²)
-    // string splitting per doc. Binding the array first makes the lambda
-    // touch a materialized array (measured ~3× on the signature stage).
-    val tokenized = docs.select(col(idCol), split(col(textCol), " ").as("__ws"))
-    val n = shingleN
-    val shingles = when(size(col("__ws")) >= n,
-      transform(sequence(lit(1), size(col("__ws")) - (n - 1)), i =>
-        concat_ws(" ", (0 until n).map(o => element_at(col("__ws"), i + o)): _*)))
-      .otherwise(array().cast("array<string>"))
-    val sh = tokenized.select(col(idCol), explode(shingles).as("__sh"))
-    val mhAggs = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i|"), col("__sh")))).as(s"__mh_$i"))
-    val m = sh.groupBy(col(idCol)).agg(mhAggs.head, mhAggs.tail: _*)
+    val m = docs
+      .select(col(idCol),
+        graft.functions.text.minhash_sig(col(textCol), shingleN, k).as("__mh"))
+      .filter(col("__mh").isNotNull) // < n words = no shingles: the doc
+                                     // vanishes, as in the explode form
     val rows = k / bands
     val bandCols = (0 until bands).map { b =>
-      md5(concat_ws("|", (0 until rows).map(r => col(s"__mh_${b * rows + r}")): _*))
+      md5(concat_ws("|", (0 until rows).map(r => element_at(col("__mh"), b * rows + r + 1)): _*))
         .as(s"band_$b")
     }
     m.select(col(idCol) +: bandCols: _*)

@@ -1,0 +1,16 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.graft.{Bridge, MinHashSig}
+
+/** Column-API wrappers over the codegen'd text-sketch expressions
+  * (see org.apache.spark.sql.graft.TextExpressions).
+  */
+object text {
+  /** k-permutation MinHash signature (array of lowercase md5 hex minima)
+    * of the word `n`-gram shingle set; null when the text has fewer than
+    * `n` words. Map-side, zero shuffle — see [[MinHashSig]].
+    */
+  def minhash_sig(textCol: Column, n: Int, k: Int): Column =
+    Bridge.column(MinHashSig(Bridge.expression(textCol), n, k))
+}

@@ -1,0 +1,119 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd text-sketch kernels.
+  *
+  * [[MinHashSig]] computes a document's whole k-permutation MinHash
+  * signature in ONE map-side pass: word n-gram shingles → per salt i the
+  * lexicographic minimum of md5("i|" + shingle). Semantics are exactly
+  * those of the SQL form `min(md5(concat('i|', shingle)))` over exploded
+  * shingles (same hex-string ordering — lowercase hex is order-isomorphic
+  * to the unsigned digest bytes), so the DuckDB oracle for
+  * `dedup_minhash_lsh` reproduces it verbatim (reference for the overall
+  * dedup pipeline shape: cheeseformice/updater keeps no dedup at all;
+  * this is a §7.5 extension).
+  *
+  * Why an expression instead of the explode → groupBy(min×k) plan: the
+  * relational form materializes words×1 shingle rows and shuffles k
+  * partial minima per doc; this kernel touches each shingle's bytes once
+  * per salt, allocates nothing per row beyond the k digests, and keeps
+  * the whole dedup signature stage inside the scan's codegen stage —
+  * zero shuffle at any corpus size. The md5 loop itself lives in a
+  * static helper invoked from generated code (the JIT-compiled Scala
+  * loop beats generated Java for digest-heavy code).
+  */
+case class MinHashSig(child: Expression, shingleN: Int, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(shingleN > 0 && k > 0)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = true // null on < n words (no shingles)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[UTF8String], shingleN, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = MinHashSig.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, t => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $cls.compute($t, $shingleN, $k);
+         |if (${ev.value} == null) { ${ev.isNull} = true; }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def hex(bytes: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = hexDigits((bytes(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = hexDigits(bytes(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Unsigned lexicographic compare of two 16-byte digests. */
+  private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  /** Returns the k-minhash signature as ArrayData of lowercase hex
+    * strings, or null when the text has fewer than `n` words (no
+    * shingles — matching the explode form, where such docs vanish).
+    * Split semantics match Spark's `split(text, " ")` (regex, limit -1:
+    * trailing empty strings kept).
+    */
+  def compute(text: UTF8String, n: Int, k: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    if (words.length < n) return null
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val prefixes = Array.tabulate(k)(i => (i + "|").getBytes("UTF-8"))
+    val mins = new Array[Array[Byte]](k)
+    val sb = new java.lang.StringBuilder
+    var s = 0
+    val nShingles = words.length - n + 1
+    while (s < nShingles) {
+      sb.setLength(0)
+      var o = 0
+      while (o < n) {
+        if (o > 0) sb.append(' ')
+        sb.append(words(s + o))
+        o += 1
+      }
+      val shingleBytes = sb.toString.getBytes("UTF-8")
+      var i = 0
+      while (i < k) {
+        md.reset()
+        md.update(prefixes(i))
+        md.update(shingleBytes)
+        val d = md.digest()
+        if (mins(i) == null || less(d, mins(i))) mins(i) = d
+        i += 1
+      }
+      s += 1
+    }
+    new GenericArrayData(mins.map(hex(_).asInstanceOf[Any]))
+  }
+}

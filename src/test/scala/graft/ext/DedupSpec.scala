@@ -38,6 +38,38 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("minhash_sig expression: equals the SQL explode+min form, plan is shuffle-free") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "pack my box with five dozen liquor jugs right now"),
+      (3L, "a b"), // < 3 words: no shingles -> null signature
+      (4L, "sphinx of black quartz judge my vow said the wizard")
+    ).toDF("doc_id", "text")
+    val k = 8
+    // independent re-derivation through Spark built-ins: explode word
+    // 3-grams (from a bound token array) -> min(md5('i|'||shingle))
+    val tok = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val sh = tok.filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(ws) - 2), __i -> " +
+          "concat_ws(' ', element_at(ws, __i), element_at(ws, __i + 1), element_at(ws, __i + 2)))"))
+        .as("sh"))
+    val mhAggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i|"), col("sh")))).as(s"mh_$i"))
+    val expected = sh.groupBy("doc_id").agg(mhAggs.head, mhAggs.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to k).map(r.getString)).toMap
+    val got = docs.select(col("doc_id"),
+        graft.functions.text.minhash_sig(col("text"), 3, k).as("mh"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[String](1))).toMap
+    assert(got(3L) == null)
+    for (id <- Seq(1L, 2L, 4L)) assert(got(id) == expected(id), s"doc $id")
+    // zero shuffle: the whole signature stage must live inside the scan
+    val plan = Dedup.minhashSignatures(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"minhash signatures shuffled:\n$plan")
+  }
+
   test("simhash: identical texts agree, hamming distance is small for near-dups") {
     val df = Seq(
       ("the quick brown fox jumps over the lazy dog", "the quick brown fox jumps over the lazy dog"),
