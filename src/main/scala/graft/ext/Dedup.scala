@@ -123,23 +123,16 @@ object Dedup {
          |  shiftleft(1L, __sh_bit), 0L))""".stripMargin)
   }
 
-  /** Bulk SimHash table (id, simhash): explode words → explode 64 bit
-    * positions → codegen'd sign sums → reassemble. Two tiny shuffles
-    * (keyed on (id, bit) then id, both with map-side combine) instead of
-    * the interpreted nested-aggregate expression — use this form for
-    * corpus-scale scans, [[simhash64]] for ad-hoc pairwise columns.
+  /** Bulk SimHash table (id, simhash) via the native codegen'd
+    * [[graft.functions.text.simhash64]] expression — the whole sketch
+    * computed map-side inside the scan stage, zero shuffle. (Two earlier
+    * forms measured and replaced: the interpreted nested-aggregate
+    * [[simhash64]] HOF, and an explode(words) → explode(64 bits) → two
+    * groupBy plan that blew each doc up 64× through two shuffles.)
     */
-  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val words = docs.select(col(idCol),
-      explode(split(col(textCol), " ")).as("__w"))
-      .select(col(idCol), xxhash64(col("__w")).as("__h"))
-    val bits = words.select(col(idCol), col("__h"),
-      explode(sequence(lit(0), lit(63))).as("__b"))
-    val signs = bits.groupBy(col(idCol), col("__b"))
-      .agg(sum(when(expr("(shiftright(__h, __b) & 1) = 1"), 1L).otherwise(-1L)).as("__s"))
-    signs.groupBy(col(idCol))
-      .agg(sum(when(col("__s") > 0, expr("shiftleft(1L, __b)")).otherwise(0L)).as("simhash"))
-  }
+  def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.text.simhash64(col(textCol)).as("simhash"))
 
   /** Hamming distance between two simhashes (near-dup test: dist <= r). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

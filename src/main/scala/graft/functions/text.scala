@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{Bridge, MinHashSig}
+import org.apache.spark.sql.graft.{Bridge, MinHashSig, SimHash64}
 
 /** Column-API wrappers over the codegen'd text-sketch expressions
   * (see org.apache.spark.sql.graft.TextExpressions).
@@ -13,4 +13,10 @@ object text {
     */
   def minhash_sig(textCol: Column, n: Int, k: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(textCol), n, k))
+
+  /** 64-bit SimHash of the whitespace token multiset; bit-compatible with
+    * the xxhash64-based SQL derivation. Map-side, zero shuffle.
+    */
+  def simhash64(textCol: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(textCol)))
 }

@@ -53,6 +53,59 @@ case class MinHashSig(child: Expression, shingleN: Int, k: Int)
     copy(child = newChild)
 }
 
+/** 64-bit SimHash over whitespace tokens, one map-side pass: per word,
+  * xxhash64 (Spark's own XXH64, seed 42 — bit-identical to the built-in
+  * `xxhash64` function); per bit, a ±1 vote across words; output bit set
+  * where the vote is positive. Replaces the explode(words) →
+  * explode(64 bits) → two groupBy plan of the bulk form — a 64× row
+  * blow-up and two shuffles — with zero shuffle. Same semantics as the
+  * interpreted [[graft.ext.Dedup.simhash64]] HOF (DedupSpec parity).
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = SimHash64.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, t => s"${ev.value} = $cls.compute($t);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  private val Seed = 42L // spark.sql.functions.xxhash64 default seed
+
+  def compute(text: UTF8String): Long = {
+    val words = text.toString.split(" ", -1)
+    val votes = new Array[Int](64)
+    var w = 0
+    while (w < words.length) {
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(UTF8String.fromString(words(w)), Seed)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      w += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+}
+
 object MinHashSig {
   private val hexDigits = "0123456789abcdef".toCharArray
 

@@ -92,6 +92,10 @@ class DedupSpec extends AnyFunSuite {
     val exprForm = docs.select(col("doc_id"), Dedup.simhash64("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(bulk == exprForm)
+    // the native form must be map-side only
+    val plan = Dedup.simhashTable(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"simhash table shuffled:\n$plan")
   }
 
   test("minhash jaccard estimate tracks true jaccard on fixture pairs") {
