@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import org.apache.spark.sql.graft.{FloatArrayDot, HyperplaneBucket}
+import org.apache.spark.sql.graft.{FloatArrayDot, HyperplaneBucket, MinHashSig, SimHash64}
 import graft.plans.{PushFilterThroughTopK, TopKStrategy}
 
 /** The engine's canonical integration point:
@@ -39,6 +39,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"hyperplane_bucket planes must be an int literal, got $other")
         }
+      }))
+    e.injectFunction((
+      FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 3,
+          s"minhash_sig takes (text, n, k), got ${exprs.length} arguments")
+        (exprs(1), exprs(2)) match {
+          case (Literal(n: Int, _), Literal(k: Int, _)) => MinHashSig(exprs(0), n, k)
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig n and k must be int literals, got $other")
+        }
+      }))
+    e.injectFunction((
+      FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == 1, s"simhash64 takes 1 argument, got ${exprs.length}")
+        SimHash64(exprs(0))
       }))
   }
 }

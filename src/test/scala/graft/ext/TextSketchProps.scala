@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+/** Property checks: the native text-sketch expressions agree with
+  * independent Spark-built-in derivations on random texts (including
+  * empty words from repeated spaces, unicode, and short texts).
+  */
+class TextSketchProps extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val wordGen: Gen[String] =
+    Gen.oneOf(Gen.alphaNumStr.map(_.take(6)), Gen.const(""),
+      Gen.oneOf("naïve", "Ωmega", "日本", "a#b"))
+  private val textGen: Gen[String] =
+    Gen.listOfN(8, wordGen).map(_.mkString(" ")).flatMap(t =>
+      Gen.oneOf(t, t.trim, ""))
+
+  private def assertHolds(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("MinHashSig == explode+min(md5) built-in derivation on random texts") {
+    assertHolds(Prop.forAll(Gen.listOfN(5, textGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = docs.select(col("doc_id"),
+          graft.functions.text.minhash_sig(col("text"), 2, 4).as("mh"))
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) null else r.getSeq[String](1).toList)).toMap
+      val tok = docs.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val sh = tok.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 1), __i -> " +
+            "concat_ws(' ', element_at(ws, __i), element_at(ws, __i + 1)))")).as("sh"))
+      val aggs = (0 until 4).map(i =>
+        min(md5(concat(lit(s"$i|"), col("sh")))).as(s"m$i"))
+      val expected = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+        .collect().map(r => r.getLong(0) -> (1 to 4).map(r.getString).toList).toMap
+      docs.collect().forall { r =>
+        val id = r.getLong(0)
+        expected.get(id) match {
+          case Some(e) => got(id) == e
+          case None    => got(id) == null // < n words
+        }
+      }
+    })
+  }
+
+  test("SimHash64 == xxhash64 bit-vote built-in derivation on random texts") {
+    assertHolds(Prop.forAll(Gen.listOfN(5, textGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = docs.select(col("doc_id"),
+          graft.functions.text.simhash64(col("text")).as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val expected = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .select(col("doc_id"), xxhash64(col("w")).as("h"),
+          explode(sequence(lit(0), lit(63))).as("b"))
+        .groupBy("doc_id", "b")
+        .agg(sum(when(expr("(shiftright(h, b) & 1) = 1"), 1L).otherwise(-1L)).as("s"))
+        .groupBy("doc_id")
+        .agg(sum(when(col("s") > 0, expr("shiftleft(1L, b)")).otherwise(0L)).as("sim"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == expected
+    })
+  }
+}

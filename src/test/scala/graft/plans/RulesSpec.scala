@@ -58,4 +58,17 @@ class RulesSpec extends AnyFunSuite {
       "SELECT float_dot(embedding, embedding) AS d FROM emb_sql WHERE vec_id = 0").first().getDouble(0)
     assert(d > 0.0)
   }
+
+  test("text sketch kernels callable from SQL text") {
+    org.apache.spark.sql.graft.Bridge.registerFunction(spark, "minhash_sig",
+      exprs => org.apache.spark.sql.graft.MinHashSig(exprs(0),
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]))
+    org.apache.spark.sql.graft.Bridge.registerFunction(spark, "simhash64",
+      exprs => org.apache.spark.sql.graft.SimHash64(exprs(0)))
+    val r = spark.sql(
+      """SELECT minhash_sig('the quick brown fox jumps over it', 3, 4) AS mh,
+        |       simhash64('the quick brown fox') AS sh""".stripMargin).first()
+    assert(r.getSeq[String](0).length == 4 && r.getSeq[String](0).forall(_.length == 32))
+    assert(r.getLong(1) != 0L)
+  }
 }
