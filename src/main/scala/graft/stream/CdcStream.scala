@@ -76,6 +76,23 @@ object CdcStream {
     spark.table(queryName)
   }
 
+  /** Streaming exact dedup: admit only the FIRST occurrence of each
+    * content signature, with state bounded by the watermark horizon —
+    * the streaming form of [[graft.ext.Dedup.exactFlags]]'s keep-first
+    * semantics. Exact dedup over an unbounded stream needs unbounded
+    * state; `dropDuplicatesWithinWatermark` is the standard trade: a
+    * duplicate arriving within the horizon is dropped, state for
+    * signatures older than the watermark is reclaimed. At 100 TB/day the
+    * signature state shards by hash across the state store exactly like
+    * the CDC signature cache ([[StreamingCdc]]).
+    */
+  def dedupStream(docs: DataFrame, textCol: String, tsCol: String,
+                  watermark: String = "1 hour"): DataFrame =
+    docs.withColumn("__sig", md5(col(textCol).cast("binary")))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__sig")
+      .drop("__sig")
+
   /** Streaming form: parquet micro-batch source → 1h watermark → tumbling
     * window agg → memory sink, drained synchronously (for tests).
     * In production the source/sink swap for Kafka/Delta; the plan is
