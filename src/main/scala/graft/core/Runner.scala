@@ -47,6 +47,19 @@ object Runner {
     versions.asScala.toMap
   }
 
+  /** Maintenance cadence for a table directory: retention first
+    * ([[Pipeline.vacuum]] drops versions past the window), then changelog
+    * compaction ([[Pipeline.compactChangelog]] collapses the retained
+    * window to latest-per-key). Run after extracts, e.g. nightly — the
+    * reference has no analog (its changelog grows forever,
+    * download.py:585-595).
+    */
+  def maintain(spark: SparkSession, tableDir: String, key: Seq[String],
+               keepVersions: Int): Unit = {
+    Pipeline.vacuum(tableDir, keepVersions)
+    Pipeline.compactChangelog(spark, tableDir, key)
+  }
+
   /** post_update (reference post_update.py): rebuild the per-tribe
     * aggregate tables from the freshly committed snapshots. `activeKeys`
     * is the per-run delta (the `player_new` analog).

@@ -79,6 +79,28 @@ class ChangelogCompactionSpec extends AnyFunSuite {
     assert(latest() == after)
   }
 
+  test("Runner.maintain: vacuum + compaction leave identical latest within the window") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_maintain").toString
+    val v0 = df((1L, "a", 10), (2L, "b", 20))
+    val v1 = df((1L, "a", 11), (2L, "b", 20))
+    val v2 = df((1L, "a", 11), (2L, "b", 22))
+    commitRun(dir, v0.limit(0), v0)
+    commitRun(dir, v0, v1) // changelog v2: old row of 1
+    commitRun(dir, v1, v2) // changelog v3: old row of 2
+    val windowLatest = Changelog.latest(
+      Pipeline.readChangelog(spark, dir).filter(col("v") >= 2), key, "v")
+      .select("id", "elo").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    Runner.maintain(spark, dir, key, keepVersions = 2)
+    // versions 1 dropped by vacuum; compaction over the retained window
+    assert(Pipeline.currentVersion(dir).contains(3L))
+    val after = Changelog.latest(Pipeline.readChangelog(spark, dir), key, "v")
+      .select("id", "elo").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(after == windowLatest)
+    val dirs = new java.io.File(s"$dir/changelog").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v=")).map(_.getName).toSet
+    assert(dirs == Set("v=3"))
+  }
+
   test("compaction recovery: aside dir restored when target vanished mid-swap") {
     val dir = java.nio.file.Files.createTempDirectory("graft_compact_rec").toString
     val v0 = df((1L, "a", 10))
