@@ -76,4 +76,46 @@ object Runner {
         precomputed = Some(spark.read.parquet(s"$baseDir/tribe_active")))
       .write.mode(SaveMode.Overwrite).parquet(s"$baseDir/tribe_stats")
   }
+
+  /** Incremental post_update: recompute only tribes invalidated by this
+    * run's member delta ([[TribeAgg.incrementalUpdate]]); everything else
+    * carries over from the committed aggregate tables. Falls back to the
+    * full [[postUpdate]] when no previous aggregates exist. Per-run cost
+    * ∝ delta instead of corpus — the shape the reference's full rebuild
+    * (post_update.py) cannot take.
+    */
+  def postUpdateIncremental(spark: SparkSession, baseDir: String,
+                            tribe: DataFrame, oldMembers: DataFrame,
+                            members: DataFrame, facts: DataFrame,
+                            activeKeys: DataFrame, touchedKeys: DataFrame,
+                            tribeKey: String, memberTribeFk: String,
+                            memberKey: String, factKey: String,
+                            statCols: Seq[String]): Unit = {
+    val activeDir = s"$baseDir/tribe_active"
+    val statsDir = s"$baseDir/tribe_stats"
+    if (!new java.io.File(activeDir).isDirectory || !new java.io.File(statsDir).isDirectory) {
+      postUpdate(spark, baseDir, tribe, members, facts, activeKeys,
+        tribeKey, memberTribeFk, memberKey, factKey, statCols)
+      return
+    }
+    val affected = TribeAgg.affectedTribes(oldMembers, members, touchedKeys,
+      memberTribeFk, memberKey)
+    val (newActive, newStats) = TribeAgg.incrementalUpdate(
+      spark.read.parquet(activeDir), spark.read.parquet(statsDir),
+      tribe, members, facts, activeKeys, affected,
+      tribeKey, memberTribeFk, memberKey, factKey, statCols)
+    // overwrite-in-place would truncate the input mid-read: stage + swap
+    val (aTmp, sTmp) = (s"$activeDir.next", s"$statsDir.next")
+    newActive.write.mode(SaveMode.Overwrite).parquet(aTmp)
+    newStats.write.mode(SaveMode.Overwrite).parquet(sTmp)
+    for ((tmp, dst) <- Seq(aTmp -> activeDir, sTmp -> statsDir)) {
+      val dstPath = java.nio.file.Paths.get(dst)
+      val walk = java.nio.file.Files.walk(dstPath)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+      finally walk.close()
+      java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dstPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+  }
 }

@@ -84,4 +84,31 @@ class RunnerSpec extends AnyFunSuite {
     assert(warm.filter(col("name") === "alice#0000").select("elo").as[Int].head() == 99)
     assert(warm.count() == 3)
   }
+
+  test("postUpdateIncremental: equals full rebuild, carries over untouched tribes") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_inc_pu").toString
+    val tribe = Seq(10, 20, 30).toDF("t_id")
+    val oldM = Seq((1, 10), (2, 20), (3, 30)).toDF("m_id", "m_tribe")
+    val facts0 = Seq((1, 5.0), (2, 7.0), (3, 9.0)).toDF("p_id", "stat")
+    // cold: no previous aggregates -> full rebuild fallback
+    Runner.postUpdateIncremental(spark, base, tribe, oldM, oldM, facts0,
+      Seq(1).toDF("k"), Seq(1).toDF("k"),
+      "t_id", "m_tribe", "m_id", "p_id", Seq("stat"))
+    assert(spark.read.parquet(base + "/tribe_stats").count() == 3)
+
+    // warm: member 1 changed (tribe 10 affected); tribes 20/30 untouched
+    val facts1 = Seq((1, 6.0), (2, 7.0), (3, 9.0)).toDF("p_id", "stat")
+    Runner.postUpdateIncremental(spark, base, tribe, oldM, oldM, facts1,
+      Seq(1).toDF("k"), Seq(1).toDF("k"),
+      "t_id", "m_tribe", "m_id", "p_id", Seq("stat"))
+    val inc = spark.read.parquet(base + "/tribe_stats")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    val full = TribeAgg.tribeStats(tribe, oldM, facts1, Seq(1).toDF("k"),
+      "t_id", "m_tribe", "m_id", "p_id", Seq("stat"), None)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(inc == full)
+    assert(inc(10)._2 == 6.0 && inc(10)._1 == 1L) // recomputed, active
+    assert(inc(20) == ((0L, 7.0)))                // carried over, active reset
+  }
 }
