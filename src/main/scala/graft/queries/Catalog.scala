@@ -486,6 +486,51 @@ object Catalog {
               |FROM counts ct JOIN sums s ON s.n_nationkey = ct.n_nationkey
               |ORDER BY ct.n_nationkey""".stripMargin)),
 
+    Entry("group_tribe_stats_incremental",
+      (s, d) => { // the incremental-maintenance path, oracle-proven: build
+        // "previous-run" aggregates from a reduced membership (custkey
+        // % 50 == 0 absent), then incrementally fold this run's delta
+        // (joiners + changed members) — the result must equal the full
+        // cold recompute, which is exactly the shared oracle
+        val n = Tables.load(s, d, "nation")
+        val c = cust(s, d)
+        val o = Tables.load(s, d, "orders")
+          .withColumn("o_totalprice", col("o_totalprice").cast("decimal(18,2)"))
+        val oldMembers = c.filter(col("c_custkey") % 50 =!= 0)
+        val joiners = c.filter(col("c_custkey") % 50 === 0).select("c_custkey")
+        val touched = joiners.unionByName(activeDelta(s, d)
+          .withColumnRenamed("o_custkey", "c_custkey")).distinct()
+        val noDelta = joiners.limit(0)
+        val oldActive = TribeAgg.tribeActive(n, oldMembers, noDelta,
+          "n_nationkey", "c_nationkey", "c_custkey")
+        val oldStats = TribeAgg.tribeStats(n, oldMembers, o, noDelta,
+          "n_nationkey", "c_nationkey", "c_custkey", "o_custkey",
+          Seq("o_totalprice"), precomputed = Some(oldActive))
+        val affected = TribeAgg.affectedTribes(oldMembers, c, touched,
+          "c_nationkey", "c_custkey")
+        val (_, stats) = TribeAgg.incrementalUpdate(oldActive, oldStats,
+          n, c, o, activeDelta(s, d), affected,
+          "n_nationkey", "c_nationkey", "c_custkey", "o_custkey", Seq("o_totalprice"))
+        stats.select(col("n_nationkey"), col("members"), col("active"),
+            round(col("o_totalprice"), 6).as("o_totalprice"))
+          .orderBy("n_nationkey")
+      },
+      Some(s"""${Oracles.deltaCte},
+              |counts AS (
+              |  SELECT n.n_nationkey, count(c.c_custkey) AS members, count(d.o_custkey) AS active,
+              |    pow(count(c.c_custkey), 0.5) AS members_sqrt
+              |  FROM nation n JOIN customer c ON n.n_nationkey = c.c_nationkey
+              |  LEFT JOIN delta d ON c.c_custkey = d.o_custkey
+              |  GROUP BY n.n_nationkey),
+              |sums AS (
+              |  SELECT n.n_nationkey, sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS s
+              |  FROM nation n JOIN customer c ON n.n_nationkey = c.c_nationkey
+              |  JOIN orders o ON o.o_custkey = c.c_custkey
+              |  GROUP BY n.n_nationkey)
+              |SELECT ct.n_nationkey, ct.members, ct.active, round(s.s / ct.members_sqrt, 6) AS o_totalprice
+              |FROM counts ct JOIN sums s ON s.n_nationkey = ct.n_nationkey
+              |ORDER BY ct.n_nationkey""".stripMargin)),
+
     Entry("join_asof",
       (s, d) => { // as-of join: each event matched to the user's latest
         // order at or before the event time (operator absent from both

@@ -12,10 +12,18 @@ for p in glob.glob(f"{sfdir}/*.parquet"):
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+# a partial Verify run leaves a marker naming its subset; anything else
+# in the dir is stale output from an earlier run — skip it, loudly
+partial = None
+if os.path.exists(f"{outdir}/_PARTIAL_RUN"):
+    partial = set(open(f"{outdir}/_PARTIAL_RUN").read().strip().split(","))
+    print(f"*** PARTIAL RUN: checking only {sorted(partial)} ***")
 fails = []
 for name in sorted(os.listdir(outdir)):
     d = os.path.join(outdir, name)
     if not os.path.isdir(d):
+        continue
+    if partial is not None and name not in partial:
         continue
     got = con.sql(f"SELECT * FROM '{d}/*.parquet'").df()
     got = got[sorted(got.columns)]
