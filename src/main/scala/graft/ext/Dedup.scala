@@ -137,6 +137,32 @@ object Dedup {
   /** Hamming distance between two simhashes (near-dup test: dist <= r). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup candidate pairs, end-to-end: 64-bit sketches
+    * ([[simhashTable]], map-side) → block on `bands` 16-bit sub-keys (a
+    * pair within hamming distance r < bands must agree exactly on at
+    * least one band — pigeonhole) → exact hamming verify ≤ `maxDist` on
+    * candidates only. Never all-pairs: the block join is the only
+    * shuffle, skew handled by AQE like the MinHash band join.
+    */
+  def simhashNearDupPairs(docs: DataFrame, idCol: String, textCol: String,
+                          maxDist: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands > 0 && 64 % bands == 0 && maxDist < bands)
+    val width = 64 / bands
+    val sigs = simhashTable(docs, idCol, textCol)
+    val blocked = sigs.select(col(idCol).as("id"), col("simhash"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("key"))): _*)).as("blk"))
+    val a = blocked.as("a")
+    val b = blocked.as("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.simhash"), col("b.simhash")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Jaccard similarity of the distinct word sets of two texts. */
   def wordJaccard(a: Column, b: Column): Column = {
     val wa = array_distinct(split(a, " "))

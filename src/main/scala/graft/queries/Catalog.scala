@@ -812,6 +812,30 @@ object Catalog {
              |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
              |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin)),
 
+    Entry("text_idf",
+      (s, d) => { // corpus document-frequency / IDF table: distinct words
+        // per doc → df per word → ln(N/df). One explode + one count agg
+        // with map-side combine; N computed via a window-free broadcast
+        // scalar (count is tiny). Top 50 by df for a bounded output.
+        val n = docs(s, d).count()
+        val df = docs(s, d)
+          .select(explode(array_distinct(split(col("text"), " "))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("df"))
+          .withColumn("idf", round(log(lit(n.toDouble) / col("df")), 6))
+        df.orderBy(col("df").desc, col("word")).limit(50)
+      },
+      Some("""WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+             |           FROM documents),
+             |n AS (SELECT count(*) AS n FROM documents),
+             |f AS (SELECT word, count(*) AS df FROM w GROUP BY word)
+             |SELECT word, df, round(ln(CAST(n.n AS DOUBLE) / df), 6) AS idf
+             |FROM f, n ORDER BY df DESC, word LIMIT 50""".stripMargin)),
+
+    Entry("dedup_simhash_pairs",
+      (s, d) => Dedup.simhashNearDupPairs(docs(s, d), "doc_id", "text",
+        maxDist = 3, bands = 4).orderBy("id_a", "id_b"),
+      None), // xxhash64-based sketches — not DuckDB-expressible
+
     Entry("text_fingerprint",
       (s, d) => docs(s, d)
         .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))

@@ -98,6 +98,27 @@ class DedupSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), s"simhash table shuffled:\n$plan")
   }
 
+  test("simhashNearDupPairs: banded blocking finds exactly the brute-force pairs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today ok"),
+      (2L, "the quick brown fox jumps over the lazy dog today yes"), // near-dup of 1
+      (3L, "completely different words appear in this very sentence here now"),
+      (4L, "the quick brown fox jumps over the lazy dog today ok"),  // exact dup of 1
+      (5L, "unrelated content entirely separate from everything else written above")
+    ).toDF("doc_id", "text")
+    val got = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxDist = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over all pairs (test-only; the operator must never do this)
+    val s = Dedup.simhashTable(docs, "doc_id", "text")
+    val brute = s.as("a").join(s.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        Dedup.hamming(col("a.simhash"), col("b.simhash")).as("d"))
+      .filter(col("d") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute)           // pigeonhole: no candidate missed
+    assert(got.contains((1L, 4L))) // exact dup: distance 0
+  }
+
   test("minhash jaccard estimate tracks true jaccard on fixture pairs") {
     import graft.core.Tables
     val docs = Tables.load(spark, graft.TestSpark.Sf, "documents").limit(200)
