@@ -590,6 +590,25 @@ object Catalog {
              | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS total_value
              |FROM s GROUP BY user_id, sid ORDER BY 2, 1""".stripMargin)),
 
+    Entry("range_join_counts",
+      (s, d) => { // pure range (point-in-interval) join, NO equi key:
+        // each signup event opens a 30-minute window; count ALL events
+        // inside it. Binned equi-join rewrite (core.RangeJoin) — Spark
+        // would otherwise plan the inequality join as a nested loop
+        val ev = Tables.loadEvents(s, d)
+        val iv = ev.filter(col("event_type") === "signup")
+          .select(col("event_id").as("iv_id"), col("ts").as("iv_s"),
+            (col("ts") + expr("INTERVAL 30 MINUTES")).as("iv_e"))
+        RangeJoin.pointInIntervalCounts(ev, iv, "ts", "iv_id", "iv_s", "iv_e",
+            binSeconds = 1800)
+          .orderBy("iv_id")
+      },
+      Some("""WITH iv AS (SELECT event_id AS iv_id, ts AS s, ts + INTERVAL 30 MINUTE AS e
+             |            FROM events WHERE event_type = 'signup')
+             |SELECT iv.iv_id, CAST(count(p.ts) AS BIGINT) AS n
+             |FROM iv LEFT JOIN events p ON p.ts >= iv.s AND p.ts < iv.e
+             |GROUP BY iv.iv_id ORDER BY iv.iv_id""".stripMargin)),
+
     Entry("json_props_agg",
       (s, d) => Tables.loadEvents(s, d)
         .groupBy(col("event_type"))
