@@ -252,13 +252,8 @@ object Pipeline {
           while (it.hasNext) {
             val p = it.next()
             val name = p.getFileName.toString
-            if (name.startsWith("v=") && name.drop(2).toLongOption.exists(_ < cutoff)) {
-              val walk = java.nio.file.Files.walk(p)
-              // streams hold open DirectoryStreams — close or leak fds
-              try walk.sorted(java.util.Comparator.reverseOrder())
-                .forEach(f => java.nio.file.Files.delete(f))
-              finally walk.close()
-            }
+            if (name.startsWith("v=") && name.drop(2).toLongOption.exists(_ < cutoff))
+              deleteRecursively(p)
           }
         } finally listing.close()
       }
@@ -298,38 +293,55 @@ object Pipeline {
     * maintenance cadence. Reference analog: the `{t}_changelog` table
     * grows per-run with no compaction at all (download.py:585-595).
     *
-    * Crash safety: the rewrite lands in a dot-prefixed staging dir
-    * (invisible to partition discovery), the old `v=current` is moved
-    * aside, staging moves in (both ATOMIC_MOVE), then the superseded
-    * version dirs are deleted. A crash mid-sequence leaves either the
-    * staging dir (ignored) or the aside dir; the recovery sweep at the
-    * start of the next compaction restores the aside dir if the target
-    * vanished.
+    * Crash safety — no state ever shows DUPLICATED history: the rewrite
+    * lands in a dot-prefixed staging dir (invisible to partition
+    * discovery); every superseded version dir is then MOVED (renamed)
+    * under a dot-prefixed aside dir, `v=$current` last; staging moves
+    * into `v=$current`; aside is deleted. Readers mid-sequence may see a
+    * temporarily incomplete history (this is an offline maintenance op,
+    * like [[vacuum]]) but never a doubled row. Recovery at the start of
+    * the next invocation: if the aside dir exists and the target does —
+    * the swap completed, delete the aside; if the target is missing —
+    * the swap never happened, restore every aside dir and discard
+    * staging.
     */
   def compactChangelog(spark: org.apache.spark.sql.SparkSession, baseDir: String,
                        key: Seq[String]): Unit = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
     val current = currentVersion(baseDir).getOrElse(return)
     val clogRoot = Paths.get(s"$baseDir/changelog")
     if (!Files.isDirectory(clogRoot)) return
     val aside = clogRoot.resolve(".compact_aside")
+    val staging = clogRoot.resolve(".compact_staging")
     val target = clogRoot.resolve(s"v=$current")
-    // recovery: a previous compaction crashed after moving v=current aside
-    if (Files.isDirectory(aside) && !Files.isDirectory(target))
-      Files.move(aside, target, StandardCopyOption.ATOMIC_MOVE)
+    if (Files.isDirectory(aside)) {
+      if (Files.isDirectory(target)) deleteRecursively(aside) // swap done
+      else { // crashed pre-swap: restore everything that was moved aside
+        val l = Files.list(aside)
+        try l.iterator.asScala.foreach { p =>
+          Files.move(p, clogRoot.resolve(p.getFileName.toString),
+            StandardCopyOption.ATOMIC_MOVE)
+        } finally l.close()
+        deleteRecursively(aside)
+        deleteRecursively(staging)
+      }
+    }
     val versions = listVersionDirs(clogRoot).filter(_._1 <= current)
     if (versions.size <= 1) return
     val compacted = Changelog.latest(
       readChangelog(spark, baseDir).withColumn("v_row", col("v").cast("long")),
       key, "v_row").drop("v")
-    val staging = clogRoot.resolve(".compact_staging")
     deleteRecursively(staging)
     compacted.write.mode(SaveMode.Overwrite).parquet(staging.toString)
-    deleteRecursively(aside)
-    if (Files.isDirectory(target))
-      Files.move(target, aside, StandardCopyOption.ATOMIC_MOVE)
+    Files.createDirectories(aside)
+    // v=current moved LAST: its presence in aside marks "all superseded
+    // dirs are aside", which recovery uses to tell pre- from post-swap
+    versions.sortBy(v => (v._1 == current, v._1)).foreach { case (_, p) =>
+      Files.move(p, aside.resolve(p.getFileName.toString),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
     Files.move(staging, target, StandardCopyOption.ATOMIC_MOVE)
-    versions.filter(_._1 < current).foreach(v => deleteRecursively(v._2))
     deleteRecursively(aside)
   }
 
@@ -344,7 +356,7 @@ object Pipeline {
     finally listing.close()
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+  private[core] def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (!java.nio.file.Files.exists(p)) return
     val walk = java.nio.file.Files.walk(p)
     try walk.sorted(java.util.Comparator.reverseOrder())

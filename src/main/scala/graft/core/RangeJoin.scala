@@ -25,15 +25,27 @@ object RangeJoin {
     */
   def pointInIntervalCounts(points: DataFrame, intervals: DataFrame,
                             pointTs: String, ivId: String, ivStart: String,
-                            ivEnd: String, binSeconds: Long): DataFrame = {
+                            ivEnd: String, binSeconds: Long,
+                            maxBinsPerInterval: Int = 10000): DataFrame = {
     require(binSeconds > 0)
     val w = lit(binSeconds * 1000000L) // bin width in epoch-µs
     def bin(c: Column): Column = floor(unix_micros(c) / w).cast("long")
     // end-exclusive: the last covered bin is the one holding end - 1µs
     val lastBin = floor((unix_micros(col(ivEnd)) - 1) / w).cast("long")
+    // fail fast on a corrupt interval instead of exploding one row into
+    // millions of bins (a far-future end would blow up the shuffle with
+    // an opaque sequence-length error otherwise). The guard is woven into
+    // the sequence bound itself — a detached check column would be pruned
+    // as dead code by the optimizer.
+    val guardedLast = when(
+      lastBin - bin(col(ivStart)) >= lit(maxBinsPerInterval.toLong),
+      raise_error(concat(
+        lit(s"interval spans more than $maxBinsPerInterval bins: id="),
+        col(ivId).cast("string"))).cast("long"))
+      .otherwise(lastBin)
     val iv = intervals.filter(col(ivStart) < col(ivEnd))
       .select(col(ivId), col(ivStart), col(ivEnd),
-        explode(sequence(bin(col(ivStart)), lastBin)).as("__bin"))
+        explode(sequence(bin(col(ivStart)), guardedLast)).as("__bin"))
     val pt = points.select(col(pointTs).as("__pts"), bin(col(pointTs)).as("__bin"))
     val matched = pt.join(iv, Seq("__bin"))
       .filter(col("__pts") >= col(ivStart) && col("__pts") < col(ivEnd))

@@ -91,14 +91,30 @@ object Runner {
                             tribeKey: String, memberTribeFk: String,
                             memberKey: String, factKey: String,
                             statCols: Seq[String]): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
     val activeDir = s"$baseDir/tribe_active"
     val statsDir = s"$baseDir/tribe_stats"
-    if (!new java.io.File(activeDir).isDirectory || !new java.io.File(statsDir).isDirectory) {
+    // the two-directory swap cannot be atomic as a pair; the marker makes
+    // a crash between the swaps detectable — next run rebuilds in full
+    // instead of silently carrying one table a run behind the other
+    val marker = Paths.get(s"$baseDir/_agg_swap_incomplete")
+    val havePrev = new java.io.File(activeDir).isDirectory &&
+      new java.io.File(statsDir).isDirectory && !Files.exists(marker)
+    if (!havePrev) {
       postUpdate(spark, baseDir, tribe, members, facts, activeKeys,
         tribeKey, memberTribeFk, memberKey, factKey, statCols)
+      Files.deleteIfExists(marker)
       return
     }
-    val affected = TribeAgg.affectedTribes(oldMembers, members, touchedKeys,
+    // activeKeys must invalidate tribes too: a member whose row changed
+    // in place is active this run even if its membership didn't move —
+    // union it into the touched set instead of trusting the caller
+    val touchedAll = touchedKeys
+      .withColumnRenamed(touchedKeys.columns.head, "__t")
+      .unionByName(activeKeys
+        .withColumnRenamed(activeKeys.columns.head, "__t"))
+      .distinct()
+    val affected = TribeAgg.affectedTribes(oldMembers, members, touchedAll,
       memberTribeFk, memberKey)
     val (newActive, newStats) = TribeAgg.incrementalUpdate(
       spark.read.parquet(activeDir), spark.read.parquet(statsDir),
@@ -108,14 +124,12 @@ object Runner {
     val (aTmp, sTmp) = (s"$activeDir.next", s"$statsDir.next")
     newActive.write.mode(SaveMode.Overwrite).parquet(aTmp)
     newStats.write.mode(SaveMode.Overwrite).parquet(sTmp)
+    Files.writeString(marker, "swap")
     for ((tmp, dst) <- Seq(aTmp -> activeDir, sTmp -> statsDir)) {
-      val dstPath = java.nio.file.Paths.get(dst)
-      val walk = java.nio.file.Files.walk(dstPath)
-      try walk.sorted(java.util.Comparator.reverseOrder())
-        .forEach(f => java.nio.file.Files.delete(f))
-      finally walk.close()
-      java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dstPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val dstPath = Paths.get(dst)
+      Pipeline.deleteRecursively(dstPath)
+      Files.move(Paths.get(tmp), dstPath, StandardCopyOption.ATOMIC_MOVE)
     }
+    Files.deleteIfExists(marker)
   }
 }

@@ -67,16 +67,34 @@ object Skew {
   def autoSaltJoin(large: DataFrame, small: DataFrame, key: Seq[String],
                    salts: Int, sampleFraction: Double = 0.05,
                    skewFactor: Double = 8.0,
-                   joinType: String = "inner"): DataFrame = {
+                   joinType: String = "inner",
+                   maxHotKeys: Int = 100000): DataFrame = {
     val counts = large.sample(withReplacement = false, sampleFraction, seed = 7L)
       .groupBy(key.map(col): _*).agg(count(lit(1)).as("__n"))
       .persist()
     try {
       val meanRow = counts.agg(avg(col("__n"))).first()
       val mean = if (meanRow.isNullAt(0)) 0.0 else meanRow.getDouble(0)
-      val hot = counts.filter(col("__n") > lit(math.max(mean * skewFactor, 1.0)))
-      if (mean == 0.0 || hot.isEmpty) large.join(small, key, joinType)
-      else saltedJoinHot(large, small, key, hot.select(key.map(col): _*), salts, joinType)
+      // collect the hot set to the driver: it is small by construction
+      // (keys above skewFactor × mean), and a literal relation means the
+      // sampled scan+aggregate runs ONCE here — not re-executed inside
+      // both sides of the salted plan every time the join runs. The cap
+      // guards the pathological case; past it, salting everything via
+      // saltedJoin is the right tool, not a hot set.
+      val hotRows =
+        if (mean == 0.0) Array.empty[org.apache.spark.sql.Row]
+        else counts.filter(col("__n") > lit(math.max(mean * skewFactor, 1.0)))
+          .select(key.map(col): _*).limit(maxHotKeys + 1).collect()
+      require(hotRows.length <= maxHotKeys,
+        s"autoSaltJoin: > $maxHotKeys hot keys — skew is not concentrated; use saltedJoin")
+      if (hotRows.isEmpty) large.join(small, key, joinType)
+      else {
+        val schema = org.apache.spark.sql.types.StructType(
+          key.map(k => counts.schema(k)))
+        val hot = large.sparkSession.createDataFrame(
+          java.util.Arrays.asList(hotRows: _*), schema)
+        saltedJoinHot(large, small, key, hot, salts, joinType)
+      }
     } finally counts.unpersist()
   }
 }

@@ -131,8 +131,11 @@ object Dedup {
     * groupBy plan that blew each doc up 64× through two shuffles.)
     */
   def simhashTable(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol),
-      graft.functions.text.simhash64(col(textCol)).as("simhash"))
+    // null texts dropped, matching the previous explode form (a generator
+    // over split(null) emitted no rows) — not carried as null sketches
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        graft.functions.text.simhash64(col(textCol)).as("simhash"))
 
   /** Hamming distance between two simhashes (near-dup test: dist <= r). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

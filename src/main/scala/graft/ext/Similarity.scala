@@ -75,11 +75,15 @@ object Similarity {
     * (bad plane count, broken quantizer) shows up as a changed result.
     */
   def recallAtK(exact: DataFrame, approx: DataFrame, k: Int): DataFrame = {
-    val hits = exact.select(col("qid"), col("vid"))
-      .join(approx.select(col("qid"), col("vid")).withColumn("__hit", lit(1)),
-        Seq("qid", "vid"), "left_outer")
-    hits.groupBy(col("qid"))
-      .agg(round(sum(coalesce(col("__hit"), lit(0))) / lit(k.toDouble), 6)
+    // distinct on both sides: a duplicated (qid, vid) in the approx
+    // result must not fan the join out and report recall > 1; dividing by
+    // the per-query exact count (not the constant k) keeps queries with
+    // fewer than k true neighbors scoring 1.0 when fully recovered
+    val ex = exact.select(col("qid"), col("vid")).distinct()
+    val ap = approx.select(col("qid"), col("vid")).distinct()
+    ex.join(ap.withColumn("__hit", lit(1)), Seq("qid", "vid"), "left_outer")
+      .groupBy(col("qid"))
+      .agg(round(sum(coalesce(col("__hit"), lit(0))) / count(lit(1)), 6)
         .as(s"recall_at_$k"))
   }
 

@@ -109,14 +109,27 @@ class ChangelogCompactionSpec extends AnyFunSuite {
     commitRun(dir, v0, v1)
     val before = Changelog.latest(Pipeline.readChangelog(spark, dir), key, "v")
       .select("id", "elo").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
-    // simulate the crash window: v=2 moved aside, staging never moved in
+    // simulate the crash window: superseded dirs (v=current last) moved
+    // under the aside parent, staging never swapped into v=current
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val root = Paths.get(s"$dir/changelog")
-    Files.move(root.resolve("v=2"), root.resolve(".compact_aside"),
+    val aside = root.resolve(".compact_aside")
+    Files.createDirectories(aside)
+    Files.move(root.resolve("v=2"), aside.resolve("v=2"),
       StandardCopyOption.ATOMIC_MOVE)
     Pipeline.compactChangelog(spark, dir, key) // recovery sweep runs first
     val after = Changelog.latest(Pipeline.readChangelog(spark, dir), key, "v")
       .select("id", "elo").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
     assert(after == before)
+
+    // post-swap crash window: aside still present AFTER the target landed.
+    // History shows no duplicates (aside is invisible to discovery) and
+    // the next invocation clears the leftover.
+    Pipeline.compactChangelog(spark, dir, key)
+    Files.createDirectories(aside.resolve("v=1"))
+    assert(Changelog.latest(Pipeline.readChangelog(spark, dir), key, "v")
+      .select("id", "elo").collect().map(r => (r.getLong(0), r.getInt(1))).toSet == before)
+    Pipeline.compactChangelog(spark, dir, key)
+    assert(!Files.exists(aside))
   }
 }

@@ -33,6 +33,19 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(got == Map(1L -> 4L, 2L -> 4L, 3L -> 0L, 4L -> 0L))
   }
 
+  test("corrupt interval fails fast instead of exploding millions of bins") {
+    val intervals = Seq((1L, ts(0), ts(10)), (2L, ts(0), ts(100000000L)))
+      .toDF("iv_id", "s", "e")
+    val points = Seq(ts(1)).toDF("ts")
+    val ex = intercept[Exception] {
+      RangeJoin.pointInIntervalCounts(points, intervals,
+        "ts", "iv_id", "s", "e", binSeconds = 10, maxBinsPerInterval = 1000).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("spans more than 1000 bins")), ex.getMessage)
+  }
+
   test("plan is an equi join on the bin, not a nested loop") {
     val intervals = Seq((1L, ts(0), ts(15))).toDF("iv_id", "s", "e")
     val points = Seq(ts(1)).toDF("ts")

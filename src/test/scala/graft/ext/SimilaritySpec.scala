@@ -67,6 +67,13 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.recallAtK(exact, disjoint, 5).first().getDouble(1) == 0.0)
     val partial = Seq((1L, 10L), (1L, 11L), (1L, 99L)).toDF("qid", "vid")
     assert(Similarity.recallAtK(exact, partial, 5).first().getDouble(1) == 0.4)
+    // duplicated approx rows must not inflate recall past 1.0
+    val duped = Seq((1L, 10L), (1L, 10L), (1L, 10L), (1L, 11L), (1L, 11L))
+      .toDF("qid", "vid")
+    assert(Similarity.recallAtK(exact, duped, 5).first().getDouble(1) == 0.4)
+    // a query with fewer than k true neighbors scores 1.0 when recovered
+    val threeTrue = Seq((2L, 1L), (2L, 2L), (2L, 3L)).toDF("qid", "vid")
+    assert(Similarity.recallAtK(threeTrue, threeTrue, 5).first().getDouble(1) == 1.0)
     // a full probe of the IVF index must recover the exact result: recall 1
     val e = graft.core.Tables.load(spark, TestSpark.Sf, "embeddings")
     val q = e.filter(col("vec_id") < 3)
