@@ -695,6 +695,44 @@ object Catalog {
       },
       Some(Oracles.keepBestOracle)),
 
+    Entry("dedup_export",
+      (s, d) => { // the dedup pipeline's FINAL artifact: the cleaned
+        // corpus — every doc surviving keep-best-per-cluster, full
+        // payload. Left-semi join against the kept-id set (delta-sized),
+        // reusing the memoized cluster table
+        val kept = graft.plans.TopK.perGroup(
+          docs(s, d).select(col("doc_id").as("id"),
+              TextStats.qualityScore(col("text")).as("quality"))
+            .join(lshClusters(s, d), Seq("id")),
+          Seq("cluster_id"), Seq(("quality", false), ("id", true)), 1)
+          .select(col("id"))
+        docs(s, d).join(kept, col("doc_id") === col("id"), "left_semi")
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .orderBy("doc_id")
+      },
+      Some(Oracles.dedupExportOracle)),
+
+    Entry("sample_stratified",
+      (s, d) => { // deterministic stratified sampling for corpus mixing:
+        // per-language target rates applied via an md5-threshold predicate
+        // (reproducible on any engine, no rand) — the data-mixing
+        // primitive a training pipeline uses to rebalance sources
+        val rates = Map("en" -> 0.50, "es" -> 0.25, "de" -> 0.10)
+        val hx = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4)
+        val hv = conv(hx, 16, 10).cast("long") // 0..65535
+        val thresh = rates.foldLeft(lit(-1L)) { case (acc, (lang, r)) =>
+          when(col("lang") === lang, lit((r * 65536).toLong)).otherwise(acc)
+        }
+        docs(s, d).filter(hv < thresh)
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id, lang FROM documents
+             |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) <
+             |  CASE lang WHEN 'en' THEN 32768 WHEN 'es' THEN 16384
+             |            WHEN 'de' THEN 6553 ELSE -1 END
+             |ORDER BY doc_id""".stripMargin)),
+
     Entry("mm_frame_sample",
       (s, d) => Multimodal.frameSample(s,
         Multimodal.asMedia(docs(s, d), "doc_id", "text"), nFrames = 4).toDF()

@@ -165,4 +165,19 @@ object Oracles {
        |  SELECT *, row_number() OVER (PARTITION BY cluster_id
        |    ORDER BY quality DESC, id) AS rn FROM jn) WHERE rn = 1
        |ORDER BY cluster_id""".stripMargin
+
+  /** The cleaned-corpus export: documents surviving keep-best-per-LSH-
+    * cluster, with full payload columns.
+    */
+  val dedupExportOracle: String =
+    s"""WITH RECURSIVE $lshClusterCtesBody,
+       |q AS (SELECT doc_id, quality FROM ($qualitySql)),
+       |jn AS (SELECT clusters.id, clusters.cluster_id, q.quality
+       |       FROM clusters JOIN q ON q.doc_id = clusters.id),
+       |kept AS (SELECT id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |    ORDER BY quality DESC, id) AS rn FROM jn) WHERE rn = 1)
+       |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+       |JOIN kept ON kept.id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 }
