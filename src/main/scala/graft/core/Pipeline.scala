@@ -293,17 +293,27 @@ object Pipeline {
     * maintenance cadence. Reference analog: the `{t}_changelog` table
     * grows per-run with no compaction at all (download.py:585-595).
     *
-    * Crash safety — no state ever shows DUPLICATED history: the rewrite
-    * lands in a dot-prefixed staging dir (invisible to partition
-    * discovery); every superseded version dir is then MOVED (renamed)
-    * under a dot-prefixed aside dir, `v=$current` last; staging moves
-    * into `v=$current`; aside is deleted. Readers mid-sequence may see a
-    * temporarily incomplete history (this is an offline maintenance op,
-    * like [[vacuum]]) but never a doubled row. Recovery at the start of
-    * the next invocation: if the aside dir exists and the target does —
-    * the swap completed, delete the aside; if the target is missing —
-    * the swap never happened, restore every aside dir and discard
-    * staging.
+    * Crash safety — no state ever shows DUPLICATED history, and no
+    * recovery path can delete un-restored history: the rewrite lands in
+    * a dot-prefixed staging dir (invisible to partition discovery); a
+    * `_target` marker recording the compaction's target version is
+    * written inside a dot-prefixed aside dir; every superseded version
+    * dir is MOVED (renamed) under the aside, `v=$target` last; staging
+    * moves into `v=$target`; aside is deleted. Readers mid-sequence may
+    * see a temporarily incomplete history (this is an offline
+    * maintenance op, like [[vacuum]]) but never a doubled row.
+    *
+    * Recovery at the start of the next invocation reads the marker's
+    * target N (NOT the current pointer — a commit may have advanced it
+    * since the crash): the swap completed iff root `v=N` exists AND the
+    * aside ALSO holds a `v=N` (the original moves aside strictly before
+    * staging moves in, so both-present can only mean root holds the
+    * compacted result) — then the aside is deleted; in every other state
+    * the swap never landed (root `v=N` is the original or still aside),
+    * so every aside dir is restored and staging discarded. Both branches
+    * are idempotent under repeated crashes mid-recovery: a partial
+    * restore leaves the aside without `v=N` or the root without it,
+    * which re-enters the restore branch.
     */
   def compactChangelog(spark: org.apache.spark.sql.SparkSession, baseDir: String,
                        key: Seq[String]): Unit = {
@@ -314,14 +324,23 @@ object Pipeline {
     if (!Files.isDirectory(clogRoot)) return
     val aside = clogRoot.resolve(".compact_aside")
     val staging = clogRoot.resolve(".compact_staging")
-    val target = clogRoot.resolve(s"v=$current")
     if (Files.isDirectory(aside)) {
-      if (Files.isDirectory(target)) deleteRecursively(aside) // swap done
-      else { // crashed pre-swap: restore everything that was moved aside
+      val markerPath = aside.resolve("_target")
+      val markerTarget =
+        if (Files.exists(markerPath))
+          Files.readString(markerPath).trim.toLongOption
+        else None
+      val swapDone = markerTarget.exists { n =>
+        Files.isDirectory(clogRoot.resolve(s"v=$n")) &&
+          Files.isDirectory(aside.resolve(s"v=$n"))
+      }
+      if (swapDone) deleteRecursively(aside)
+      else { // swap never landed: restore every moved-aside version dir
         val l = Files.list(aside)
         try l.iterator.asScala.foreach { p =>
-          Files.move(p, clogRoot.resolve(p.getFileName.toString),
-            StandardCopyOption.ATOMIC_MOVE)
+          if (p.getFileName.toString.startsWith("v="))
+            Files.move(p, clogRoot.resolve(p.getFileName.toString),
+              StandardCopyOption.ATOMIC_MOVE)
         } finally l.close()
         deleteRecursively(aside)
         deleteRecursively(staging)
@@ -329,14 +348,16 @@ object Pipeline {
     }
     val versions = listVersionDirs(clogRoot).filter(_._1 <= current)
     if (versions.size <= 1) return
+    val target = clogRoot.resolve(s"v=$current")
     val compacted = Changelog.latest(
       readChangelog(spark, baseDir).withColumn("v_row", col("v").cast("long")),
       key, "v_row").drop("v")
     deleteRecursively(staging)
     compacted.write.mode(SaveMode.Overwrite).parquet(staging.toString)
     Files.createDirectories(aside)
-    // v=current moved LAST: its presence in aside marks "all superseded
-    // dirs are aside", which recovery uses to tell pre- from post-swap
+    Files.writeString(aside.resolve("_target"), current.toString)
+    // v=current moved LAST: root-present + aside-absent v=current is the
+    // recovery's completed-swap witness, so it must be the final move
     versions.sortBy(v => (v._1 == current, v._1)).foreach { case (_, p) =>
       Files.move(p, aside.resolve(p.getFileName.toString),
         StandardCopyOption.ATOMIC_MOVE)

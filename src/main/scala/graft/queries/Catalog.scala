@@ -52,6 +52,23 @@ object Catalog {
         threshold = 0.5, shingleN = 3, k = 8, bands = 4)
     }
 
+  /** Memoized keep-best resolution (cluster_id, kept_id, quality) —
+    * shared by `dedup_keep_best` and `dedup_export` so the quality scan,
+    * cluster join, and per-cluster top-k run once per (session, dir).
+    */
+  private val keepBestCache = new QueryCache("documents.parquet")
+
+  private def keepBest(s: SparkSession, d: String): DataFrame =
+    keepBestCache.get(s, d) { (ss, dd) =>
+      val withCluster = docs(ss, dd).select(col("doc_id").as("id"),
+          TextStats.qualityScore(col("text")).as("quality"))
+        .join(lshClusters(ss, dd), Seq("id"))
+        .select(col("id"), col("cluster_id"), col("quality"))
+      graft.plans.TopK.perGroup(withCluster, Seq("cluster_id"),
+        Seq(("quality", false), ("id", true)), 1)
+        .select(col("cluster_id"), col("id").as("kept_id"), col("quality"))
+    }
+
   // ---------------------------------------------------------------- entries
 
   final case class Entry(name: String, q: Q, oracle: Option[String])
@@ -682,31 +699,19 @@ object Catalog {
               |SELECT id, cluster_id FROM clusters ORDER BY 1""".stripMargin)),
 
     Entry("dedup_keep_best",
-      (s, d) => { // resolve each LSH dup cluster to its best-quality doc —
-        // the custom TopKPerGroup operator does the per-cluster argmax
-        val withCluster = docs(s, d).select(col("doc_id").as("id"),
-            TextStats.qualityScore(col("text")).as("quality"))
-          .join(lshClusters(s, d), Seq("id"))
-          .select(col("id"), col("cluster_id"), col("quality"))
-        graft.plans.TopK.perGroup(withCluster, Seq("cluster_id"),
-          Seq(("quality", false), ("id", true)), 1)
-          .select(col("cluster_id"), col("id").as("kept_id"), col("quality"))
-          .orderBy("cluster_id")
-      },
+      // resolve each LSH dup cluster to its best-quality doc — the custom
+      // TopKPerGroup operator does the per-cluster argmax (memoized,
+      // shared with dedup_export)
+      (s, d) => keepBest(s, d).orderBy("cluster_id"),
       Some(Oracles.keepBestOracle)),
 
     Entry("dedup_export",
       (s, d) => { // the dedup pipeline's FINAL artifact: the cleaned
         // corpus — every doc surviving keep-best-per-cluster, full
-        // payload. Left-semi join against the kept-id set (delta-sized),
-        // reusing the memoized cluster table
-        val kept = graft.plans.TopK.perGroup(
-          docs(s, d).select(col("doc_id").as("id"),
-              TextStats.qualityScore(col("text")).as("quality"))
-            .join(lshClusters(s, d), Seq("id")),
-          Seq("cluster_id"), Seq(("quality", false), ("id", true)), 1)
-          .select(col("id"))
-        docs(s, d).join(kept, col("doc_id") === col("id"), "left_semi")
+        // payload, via a left-semi join against the (memoized, shared)
+        // kept-id set
+        docs(s, d).join(keepBest(s, d).select(col("kept_id")),
+            col("doc_id") === col("kept_id"), "left_semi")
           .select(col("doc_id"), col("lang"), col("n_chars"))
           .orderBy("doc_id")
       },

@@ -115,6 +115,7 @@ class ChangelogCompactionSpec extends AnyFunSuite {
     val root = Paths.get(s"$dir/changelog")
     val aside = root.resolve(".compact_aside")
     Files.createDirectories(aside)
+    Files.writeString(aside.resolve("_target"), "2")
     Files.move(root.resolve("v=2"), aside.resolve("v=2"),
       StandardCopyOption.ATOMIC_MOVE)
     Pipeline.compactChangelog(spark, dir, key) // recovery sweep runs first
@@ -127,9 +128,38 @@ class ChangelogCompactionSpec extends AnyFunSuite {
     // the next invocation clears the leftover.
     Pipeline.compactChangelog(spark, dir, key)
     Files.createDirectories(aside.resolve("v=1"))
+    Files.writeString(aside.resolve("_target"), "2")
     assert(Changelog.latest(Pipeline.readChangelog(spark, dir), key, "v")
       .select("id", "elo").collect().map(r => (r.getLong(0), r.getInt(1))).toSet == before)
     Pipeline.compactChangelog(spark, dir, key)
+    assert(!Files.exists(aside))
+  }
+
+  test("recovery MID-aside-move must not delete un-restored history") {
+    // the history-loss bug: older dirs moved aside, crash BEFORE
+    // v=current moved — recovery sees root v=current (the ORIGINAL) and
+    // must RESTORE the aside, never delete it
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_mid").toString
+    val v0 = df((1L, "a", 10), (2L, "b", 20))
+    val v1 = df((1L, "a", 11), (2L, "b", 20)) // clog v2: old row of key 1
+    val v2 = df((1L, "a", 11), (2L, "b", 22)) // clog v3: old row of key 2
+    commitRun(dir, v0.limit(0), v0)
+    commitRun(dir, v0, v1)
+    commitRun(dir, v1, v2)
+    val before = Changelog.latest(Pipeline.readChangelog(spark, dir), key, "v")
+      .select("id", "elo").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = Paths.get(s"$dir/changelog")
+    val aside = root.resolve(".compact_aside")
+    Files.createDirectories(aside)
+    Files.writeString(aside.resolve("_target"), "3")
+    // v=2 moved aside; crash before v=3 (the current target) moved
+    Files.move(root.resolve("v=2"), aside.resolve("v=2"),
+      StandardCopyOption.ATOMIC_MOVE)
+    Pipeline.compactChangelog(spark, dir, key)
+    val after = Changelog.latest(Pipeline.readChangelog(spark, dir), key, "v")
+      .select("id", "elo").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(after == before, "history from the moved-aside version was lost")
     assert(!Files.exists(aside))
   }
 }
