@@ -898,6 +898,66 @@ object Catalog {
         maxDist = 3, bands = 4).orderBy("id_a", "id_b"),
       None), // xxhash64-based sketches — not DuckDB-expressible
 
+    Entry("text_contamination",
+      (s, d) => { // benchmark decontamination: fraction of each doc's
+        // word 3-grams that appear in a held-out benchmark set (docs
+        // with doc_id % 97 == 0). Shingles explode once per side; the
+        // overlap is a semi-join-then-count against the DISTINCT
+        // benchmark shingle set — never a doc×doc comparison, so cost is
+        // ∝ corpus shingles + benchmark shingles at any scale
+        val sh = docs(s, d).select(col("doc_id"),
+          explode(Dedup.wordShingles(col("text"), 3)).as("sh"))
+        val bench = sh.filter(col("doc_id") % 97 === 0)
+          .select(col("sh").as("bsh")).distinct()
+        val flagged = sh.filter(col("doc_id") % 97 =!= 0)
+          .join(bench, col("sh") === col("bsh"), "left_outer")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_ngrams"),
+            count(col("bsh")).cast("long").as("n_contaminated"))
+          .withColumn("contamination",
+            round(col("n_contaminated") / col("n_ngrams"), 6))
+        flagged.filter(col("n_contaminated") > 0).orderBy("doc_id")
+      },
+      Some("""WITH sh AS (
+             |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |       (SELECT unnest(generate_series(1, 200)) AS i)
+             |  WHERE i <= len(ws) - 2),
+             |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
+             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+             |  CAST(count(bench.sh) AS BIGINT) AS n_contaminated,
+             |  round(CAST(count(bench.sh) AS DOUBLE) / count(*), 6) AS contamination
+             |FROM sh LEFT JOIN bench ON sh.sh = bench.sh
+             |WHERE sh.doc_id % 97 <> 0
+             |GROUP BY doc_id HAVING count(bench.sh) > 0
+             |ORDER BY doc_id""".stripMargin)),
+
+    Entry("emb_centroids",
+      (s, d) => { // per-label centroid of the embedding space — the
+        // building block IVF training and cluster-quality checks share.
+        // posexplode → per-(label, dim) mean (map-side partial agg) →
+        // reassemble in dim order
+        val e = embs(s, d)
+        val byDim = e.select(col("label"),
+            posexplode(col("embedding")).as(Seq("dim", "x")))
+          .groupBy("label", "dim")
+          .agg(avg(col("x").cast("double")).as("m"))
+        byDim.groupBy("label")
+          .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("s"))
+          .select(col("label"),
+            round(expr("aggregate(s, CAST(0.0 AS DOUBLE), (a, v) -> a + v.m * v.m)"), 6)
+              .as("centroid_sqnorm"),
+            round(element_at(col("s"), 1).getField("m"), 6).as("dim0_mean"))
+          .orderBy("label")
+      },
+      Some("""WITH u AS (SELECT label, unnest(embedding) AS x,
+             |            unnest(generate_series(1, len(embedding))) AS dim
+             |           FROM embeddings),
+             |m AS (SELECT label, dim, avg(CAST(x AS DOUBLE)) AS m FROM u GROUP BY 1, 2)
+             |SELECT label, round(sum(m * m), 6) AS centroid_sqnorm,
+             |  round(CAST(min(CASE WHEN dim = 1 THEN m END) AS DOUBLE), 6) AS dim0_mean
+             |FROM m GROUP BY label ORDER BY label""".stripMargin)),
+
     Entry("text_fingerprint",
       (s, d) => docs(s, d)
         .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
