@@ -242,6 +242,56 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster_id")
   }
 
+  /** LSH bucket index of a corpus: one (id, bucket) row per band per doc.
+    * This is the PERSISTABLE dedup artifact — written once when the corpus
+    * is committed (a few dozen bytes per doc), then probed by
+    * [[incrementalVerifiedPairs]] at every ingest so the corpus is never
+    * re-sketched. Maintenance under CDC is row-keyed: upsert the delta's
+    * index rows, anti-join out deleted ids — same algebra as the snapshot.
+    */
+  def lshIndex(docs: DataFrame, idCol: String, textCol: String,
+               shingleN: Int = 3, k: Int = 8, bands: Int = 4): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleN, k, bands)
+    val bandCols = sigs.columns.filter(_.startsWith("band_")).toSeq
+    sigs.select(col(idCol).as("id"),
+      explode(array(bandCols.map(col): _*)).as("bucket"))
+  }
+
+  /** Incremental near-dup detection: verified near-dup pairs that touch a
+    * DELTA of newly-ingested docs, probing a pre-built corpus
+    * [[lshIndex]]. Only the delta is sketched (map-side native
+    * expression); candidates are delta×index plus delta×delta bucket
+    * joins; exact word-set Jaccard verifies candidates only, fetching the
+    * two texts by id. Per-ingest cost is ∝ delta size + bucket
+    * collisions — independent of corpus size except for the keyed
+    * text-fetch join, exactly what a 100 TB pipeline needs at ingest
+    * time. Contract: corpus and delta id sets are disjoint (CDC
+    * classification upstream guarantees this for `new` rows).
+    * Output: (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    */
+  def incrementalVerifiedPairs(corpusIndex: DataFrame, corpusDocs: DataFrame,
+                               delta: DataFrame, idCol: String, textCol: String,
+                               threshold: Double, shingleN: Int = 3, k: Int = 8,
+                               bands: Int = 4): DataFrame = {
+    val deltaIdx = lshIndex(delta, idCol, textCol, shingleN, k, bands)
+    val d = deltaIdx.as("d")
+    val dc = d.join(corpusIndex.as("ci"), col("d.bucket") === col("ci.bucket"))
+      .select(least(col("d.id"), col("ci.id")).as("id_a"),
+        greatest(col("d.id"), col("ci.id")).as("id_b"))
+    val dd = d.join(deltaIdx.as("e"),
+        col("d.bucket") === col("e.bucket") && col("d.id") < col("e.id"))
+      .select(col("d.id").as("id_a"), col("e.id").as("id_b"))
+    val cands = dc.unionByName(dd).distinct()
+    val texts = corpusDocs.select(col(idCol), col(textCol))
+      .unionByName(delta.select(col(idCol), col(textCol)))
+    val a = texts.select(col(idCol).as("id_a"), col(textCol).as("__ta"))
+    val b = texts.select(col(idCol).as("id_b"), col(textCol).as("__tb"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        wordJaccard(col("__ta"), col("__tb")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Jaccard-verified LSH candidate pairs: the production near-dup edge
     * generator. MinHash band buckets propose candidates ([[minhashSignatures]]
     * → [[lshCandidatePairs]]); exact word-set Jaccard verifies each, killing

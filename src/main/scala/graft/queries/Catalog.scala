@@ -658,6 +658,23 @@ object Catalog {
              |       md5(mh4||'|'||mh5||'|'||mh6||'|'||mh7) AS band_1
              |FROM m ORDER BY doc_id""".stripMargin)),
 
+    Entry("dedup_incremental_lsh",
+      // ingest-time dedup: sketch ONLY the delta (doc_id % 5 == 0),
+      // probe the corpus's pre-built LSH bucket index, Jaccard-verify
+      // candidates. Corpus is never re-sketched — per-ingest cost ∝ delta.
+      // The oracle derives the same pairs the opposite way (full-corpus
+      // recompute restricted to delta-touching pairs).
+      (s, d) => {
+        val all = docs(s, d)
+        val corpus = all.filter(col("doc_id") % 5 =!= 0)
+        val delta = all.filter(col("doc_id") % 5 === 0)
+        val idx = Dedup.lshIndex(corpus, "doc_id", "text")
+        Dedup.incrementalVerifiedPairs(idx, corpus, delta, "doc_id", "text",
+            threshold = 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some(Oracles.incrementalLshOracle)),
+
     Entry("dedup_simhash",
       (s, d) => Dedup.simhashTable(docs(s, d), "doc_id", "text")
         .join(docs(s, d).select(col("doc_id"),

@@ -122,7 +122,10 @@ object Oracles {
     * (recursive CTE) — a different algorithm from Spark's min-label
     * propagation + pointer jumping, so agreement is evidence, not echo.
     */
-  val lshClusterCtesBody: String =
+  /** Sketch CTEs shared by the full-cluster and incremental oracles:
+    * documents → 3-shingles → 8 salted-md5 minima → 4 band buckets.
+    */
+  val lshBucketCtes: String =
     """dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM dd),
       |sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM x),
@@ -133,11 +136,18 @@ object Oracles {
       |  min(md5('6|' || s)) AS mh6, min(md5('7|' || s)) AS mh7
       | FROM sh GROUP BY doc_id),
       |bkt AS (SELECT doc_id, unnest([md5(mh0||'|'||mh1), md5(mh2||'|'||mh3),
-      |                               md5(mh4||'|'||mh5), md5(mh6||'|'||mh7)]) AS bucket FROM m),
+      |                               md5(mh4||'|'||mh5), md5(mh6||'|'||mh7)]) AS bucket FROM m)""".stripMargin
+
+  /** Distinct word sets + sizes, for exact-Jaccard verification CTEs. */
+  val wordSetCtes: String =
+    """w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents),
+      |c AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1)""".stripMargin
+
+  val lshClusterCtesBody: String =
+    s"""$lshBucketCtes,
       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       |         FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
-      |w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents),
-      |c AS (SELECT doc_id, count(*) AS n FROM w GROUP BY 1),
+      |$wordSetCtes,
       |ix AS (SELECT cand.id_a, cand.id_b, count(*) AS inter
       |       FROM cand JOIN w wa ON wa.doc_id = cand.id_a
       |                 JOIN w wb ON wb.doc_id = cand.id_b AND wb.word = wa.word
@@ -154,6 +164,27 @@ object Oracles {
       |comp AS (SELECT rid, min(rlabel) AS cluster_id FROM reach GROUP BY rid),
       |clusters AS (SELECT d.doc_id AS id, coalesce(comp.cluster_id, d.doc_id) AS cluster_id
       |             FROM documents d LEFT JOIN comp ON comp.rid = d.doc_id)""".stripMargin
+
+  /** Incremental-dedup oracle: verified near-dup pairs touching the
+    * delta (doc_id % 5 = 0), recomputed from scratch over the whole
+    * corpus — the opposite derivation from the Spark side, which sketches
+    * only the delta and probes a pre-built corpus index.
+    */
+  val incrementalLshOracle: String =
+    s"""WITH $lshBucketCtes,
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |         WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0),
+       |$wordSetCtes,
+       |ix AS (SELECT cand.id_a, cand.id_b, count(*) AS inter
+       |       FROM cand JOIN w wa ON wa.doc_id = cand.id_a
+       |                 JOIN w wb ON wb.doc_id = cand.id_b AND wb.word = wa.word
+       |       GROUP BY 1, 2)
+       |SELECT ix.id_a, ix.id_b,
+       | round(CAST(inter AS DOUBLE) / (c1.n + c2.n - inter), 6) AS jaccard
+       |FROM ix JOIN c c1 ON c1.doc_id = ix.id_a JOIN c c2 ON c2.doc_id = ix.id_b
+       |WHERE round(CAST(inter AS DOUBLE) / (c1.n + c2.n - inter), 6) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** Cluster → best-quality representative (quality desc, id asc). */
   val keepBestOracle: String =
