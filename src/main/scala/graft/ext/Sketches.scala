@@ -1,0 +1,63 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable distinct-count sketches (Datasketches HLL via Spark's
+  * `hll_sketch_agg` family) — the scale answer to `COUNT(DISTINCT x)
+  * GROUP BY g` over 100 TB with recurring ingests.
+  *
+  * Why sketches and not exact distinct: an exact per-group distinct is a
+  * full shuffle of every (group, value) pair on every run. A sketch table
+  * is a few KB per group, is computed with map-side partial aggregation
+  * (the HLL agg combines locally before the exchange), and — the key
+  * property — is MERGEABLE: union(sketch(A), sketch(B)) estimates A ∪ B
+  * within the same error bound as a from-scratch sketch, so a committed
+  * sketch table is maintained by sketching ONLY the delta and unioning,
+  * never re-reading the corpus. (The union's estimate differs sub-percent
+  * from the direct sketch's: Datasketches reads a directly-built sketch's
+  * HIP accumulator but estimates a union with the composite estimator,
+  * and sparse-to-dense promotion points differ. SketchesSpec pins the
+  * error bound vs exact, commutativity, idempotent delta replay, and
+  * determinism — the properties maintenance actually relies on.)
+  * Reference analog: the per-tribe membership counts the reference
+  * recomputes from scratch each run (post_update.py) — here the
+  * recurring cost is ∝ delta.
+  *
+  * CDC caveat: HLL is insert-only. Under deletes/updates, recompute the
+  * sketches of the affected groups only (the [[graft.core.TribeAgg]]
+  * incremental pattern) and replace those rows in the sketch table.
+  */
+object Sketches {
+  /** Per-group HLL sketch of distinct `valueCol`, as a binary column.
+    * lgK = 12 → ~2.5 KB/group, standard error ≈ 1.04/sqrt(4096) ≈ 1.6%.
+    */
+  def distinctSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     lgK: Int = 12): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("sketch"))
+
+  /** Estimated distinct counts from a sketch table. */
+  def estimates(sketches: DataFrame, groupCols: Seq[String]): DataFrame =
+    sketches.select(groupCols.map(col) :+
+      hll_sketch_estimate(col("sketch")).as("approx_distinct"): _*)
+
+  /** The incremental-maintenance step: committed sketch table ∪ delta
+    * sketch table, per group. Full-outer on the group keys so groups new
+    * in the delta appear and untouched groups pass through; both present
+    * → hll_union. No row data crosses the wire — only sketch bytes.
+    */
+  def mergeSketchTables(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame = {
+    // rename-prefix both sides (fresh exprIds) — the two sketch tables
+    // often share lineage (corpus slice vs delta slice of one frame) and
+    // alias-based resolution would be ambiguous in that self-join
+    def pfx(df: DataFrame, p: String) =
+      df.select(groupCols.map(c => col(c).as(s"$p$c")) :+ col("sketch").as(s"${p}sketch"): _*)
+    val cond = groupCols.map(c => col(s"__a_$c") <=> col(s"__b_$c")).reduce(_ && _)
+    pfx(a, "__a_").join(pfx(b, "__b_"), cond, "full_outer")
+      .select(groupCols.map(c => coalesce(col(s"__a_$c"), col(s"__b_$c")).as(c)) :+
+        when(col("__a_sketch").isNull, col("__b_sketch"))
+          .when(col("__b_sketch").isNull, col("__a_sketch"))
+          .otherwise(hll_union(col("__a_sketch"), col("__b_sketch"))).as("sketch"): _*)
+  }
+}

@@ -427,6 +427,31 @@ object Catalog {
              |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
              |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
 
+    Entry("agg_distinct_hll",
+      // mergeable distinct sketches (Sketches.scala): the full-corpus HLL
+      // estimate, the estimate from sketching a 90% "committed" slice and
+      // union-merging the 10% delta's sketch (agrees within the sketch
+      // error bound — delta-only maintenance is the 100 TB story), and
+      // the exact count. Rows-only: Datasketches HLL isn't reproducible
+      // in DuckDB; SketchesSpec pins the union algebra and error bound.
+      (s, d) => {
+        val l = li(s, d)
+        val g = Seq("l_returnflag")
+        val full = Sketches.estimates(
+          Sketches.distinctSketch(l, g, "l_orderkey"), g)
+          .withColumnRenamed("approx_distinct", "approx_full")
+        val merged = Sketches.estimates(
+          Sketches.mergeSketchTables(
+            Sketches.distinctSketch(l.filter(col("l_orderkey") % 10 =!= 0), g, "l_orderkey"),
+            Sketches.distinctSketch(l.filter(col("l_orderkey") % 10 === 0), g, "l_orderkey"),
+            g), g)
+          .withColumnRenamed("approx_distinct", "approx_merged")
+        val exact = l.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
+        full.join(merged, g).join(exact, g).orderBy("l_returnflag")
+      },
+      None),
+
     Entry("sql_group_agg",
       (s, d) => { // the spark.sql text surface over registered views
         Tables.registerAll(s, d)
