@@ -1,7 +1,7 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
 
 /** Output data layout for scan efficiency at scale.
   *
@@ -23,4 +23,54 @@ object Layout {
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .parquet(dir)
+
+  /** Z-order curve value for `cols`: each column linearly scaled to a
+    * `bits`-bit bucket within [min, max], buckets bit-interleaved. Rows
+    * close on the curve are close in EVERY dimension, so files written in
+    * z order carry tight parquet min/max statistics on every z column at
+    * once — a filter on any one of them prunes row groups, where a
+    * lexicographic sort only serves its leading column.
+    *
+    * Bounds may come from a sample at scale: values outside are CLAMPED
+    * to the edge buckets (correct, marginally worse locality), so stale
+    * or approximate bounds never produce wrong layouts.
+    */
+  def zorderValue(cols: Seq[Column], mins: Seq[Long], maxs: Seq[Long],
+                  bits: Int = 16): Column = {
+    require(cols.nonEmpty && cols.size * bits <= 63, "z-value must fit a long")
+    val top = (1L << bits) - 1
+    val scaled = cols.zipWithIndex.map { case (c, i) =>
+      val range = math.max(1L, maxs(i) - mins(i))
+      least(lit(top), greatest(lit(0L),
+        ((c.cast("double") - lit(mins(i).toDouble)) / lit(range.toDouble) * lit(top.toDouble))
+          .cast("long")))
+    }
+    val n = scaled.size
+    (0 until bits).flatMap(b => scaled.zipWithIndex.map { case (s, d) =>
+      shiftleft(shiftright(s, b).bitwiseAND(lit(1L)), b * n + d)
+    }).reduce(_ bitwiseOR _)
+  }
+
+  /** Write `df` clustered along the z-order curve of `zCols` (numeric).
+    * One min/max pass sizes the curve (at 100 TB, run it on a sample —
+    * see [[zorderValue]] on clamping), then one range-partitioned write;
+    * the curve column itself is not persisted.
+    */
+  def writeZordered(df: DataFrame, dir: String, zCols: Seq[String],
+                    numFiles: Int, maxRecordsPerFile: Long = 5000000L,
+                    bits: Int = 16): Unit = {
+    val stats = df.agg(
+      zCols.flatMap(c => Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+        .head, zCols.flatMap(c => Seq(min(col(c)).cast("long"), max(col(c)).cast("long"))).tail: _*)
+      .head()
+    val mins = zCols.indices.map(i => stats.getLong(2 * i))
+    val maxs = zCols.indices.map(i => stats.getLong(2 * i + 1))
+    df.withColumn("__z", zorderValue(zCols.map(col), mins, maxs, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(dir)
+  }
 }

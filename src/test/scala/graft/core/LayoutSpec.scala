@@ -27,6 +27,36 @@ class LayoutSpec extends AnyFunSuite {
     assert(pruned.count() > 0)
   }
 
+  test("z-order layout: filters on EITHER curve column touch few files; linear layout touches all") {
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val li = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+    val nFiles = 16
+    Layout.writeSorted(li, s"$base/linear", Seq("l_orderkey"), nFiles)
+    Layout.writeZordered(li, s"$base/zorder", Seq("l_partkey", "l_suppkey"), nFiles)
+
+    val linear = spark.read.parquet(s"$base/linear")
+    val zorder = spark.read.parquet(s"$base/zorder")
+    assert(zorder.count() == li.count()) // layout changes nothing about content
+    def filesTouched(df: org.apache.spark.sql.DataFrame, pred: org.apache.spark.sql.Column) =
+      df.filter(pred).select(input_file_name()).distinct().count()
+
+    // narrow range on the FIRST z column: 1/8th of the key space
+    val pkPred = col("l_partkey") < 25
+    val zPk = filesTouched(zorder, pkPred)
+    val linPk = filesTouched(linear, pkPred)
+    assert(linPk == nFiles, s"orderkey-sorted layout should scatter partkey everywhere ($linPk)")
+    assert(zPk <= nFiles / 2, s"z-order should confine partkey<25 to few files ($zPk)")
+
+    // narrow value on the SECOND z column — the one a lexicographic sort
+    // on (partkey, suppkey) could NOT serve
+    val spPred = col("l_suppkey") === 3
+    val zSp = filesTouched(zorder, spPred)
+    val linSp = filesTouched(linear, spPred)
+    assert(linSp == nFiles)
+    assert(zSp <= nFiles / 2, s"z-order should confine suppkey=3 to few files ($zSp)")
+  }
+
   test("crash safety: a half-written next version is invisible until the pointer moves") {
     val dir = java.nio.file.Files.createTempDirectory("graft_crash").toString
     val e = Fixture.external(spark, TestSpark.Sf)
