@@ -281,8 +281,17 @@ object Dedup {
     val dd = d.join(deltaIdx.as("e"),
         col("d.bucket") === col("e.bucket") && col("d.id") < col("e.id"))
       .select(col("d.id").as("id_a"), col("e.id").as("id_b"))
-    val cands = dc.unionByName(dd).distinct()
+    // self-pairs appear only when corpus and delta overlap — i.e. a
+    // replayed ingest batch whose docs were already absorbed into the
+    // index. Dropping them (plus the distinct) makes such a replay
+    // reproduce exactly the original pairs: idempotent by construction.
+    val cands = dc.filter(col("id_a") =!= col("id_b")).unionByName(dd).distinct()
+    // corpus ids already in the delta are excluded from the text side
+    // (replay overlap would otherwise double every text-join row) via a
+    // broadcastable anti join — a no-op under the disjoint-id contract,
+    // and never a corpus-wide shuffle
     val texts = corpusDocs.select(col(idCol), col(textCol))
+      .join(delta.select(col(idCol)), Seq(idCol), "left_anti")
       .unionByName(delta.select(col(idCol), col(textCol)))
     val a = texts.select(col(idCol).as("id_a"), col(textCol).as("__ta"))
     val b = texts.select(col(idCol).as("id_b"), col(textCol).as("__tb"))
