@@ -81,4 +81,27 @@ object TextStats {
   def rollingHash(text: Column): Column =
     aggregate(split(text, ""), lit(0L),
       (acc, c) => pmod(acc * 31 + coalesce(ascii(c), lit(0)), lit(1000000007L)))
+
+  /** Within-document repetition ratio (Gopher-style repetition filter):
+    * the fraction of word `n`-gram occurrences that repeat an earlier
+    * occurrence — `1 - distinct/total`; 0 for docs under `n` words.
+    * High values flag boilerplate / keyword-stuffed documents that a
+    * pretraining pipeline drops. Pure map-side expression.
+    */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val sh = Dedup.wordShingles(text, n)
+    when(size(sh) > 0,
+      round(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"), 6))
+      .otherwise(lit(0.0))
+  }
+
+  /** C4-style text scrub: mask emails then URLs, collapse whitespace
+    * runs, trim. Patterns stay in the Java∩RE2 common subset so the
+    * DuckDB oracle replays them verbatim (with its 'g' flag).
+    */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlPattern = "https?://[^\\s]+"
+  def cleanText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(regexp_replace(text,
+      EmailPattern, "<EMAIL>"), UrlPattern, "<URL>"), "\\s+", " "))
 }

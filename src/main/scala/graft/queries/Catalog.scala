@@ -1008,6 +1008,45 @@ object Catalog {
              | md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    Entry("text_repetition",
+      // Gopher-style within-doc repetition filter: fraction of word
+      // 3-gram occurrences repeating an earlier one. The fixture's
+      // word-soup docs produce meaningfully nonzero ratios.
+      (s, d) => {
+        val sh = Dedup.wordShingles(col("text"), 3)
+        docs(s, d).select(col("doc_id"),
+            size(sh).as("n_ngrams"),
+            size(array_distinct(sh)).as("n_distinct"),
+            TextStats.repetitionRatio(col("text"), 3).as("rep_ratio"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM dd),
+             |sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM x),
+             |agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_ngrams,
+             |        CAST(count(DISTINCT s) AS INT) AS n_distinct FROM sh GROUP BY 1)
+             |SELECT d.doc_id, coalesce(agg.n_ngrams, 0) AS n_ngrams,
+             | coalesce(agg.n_distinct, 0) AS n_distinct,
+             | CASE WHEN agg.n_ngrams > 0
+             |   THEN round(1.0 - CAST(agg.n_distinct AS DOUBLE) / agg.n_ngrams, 6)
+             |   ELSE 0.0 END AS rep_ratio
+             |FROM documents d LEFT JOIN agg USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    Entry("text_clean",
+      // C4-style scrub (mask emails/URLs, collapse whitespace). The
+      // fixture text is already clean, so the oracle here pins
+      // cross-engine REGEX parity and the plumbing; TextStatsSpec
+      // exercises the redaction itself on planted fixtures.
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), TextStats.cleanText(col("text")).as("clean_text"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id,
+              | trim(regexp_replace(regexp_replace(regexp_replace(text,
+              |   '${TextStats.EmailPattern}', '<EMAIL>', 'g'),
+              |   '${TextStats.UrlPattern}', '<URL>', 'g'), '\\s+', ' ', 'g')) AS clean_text
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // ----- §7.5 multimodal plumbing (stubbed decode)
     Entry("mm_decode_features",
       (s, d) => Multimodal.decodeFeatures(s,

@@ -51,4 +51,20 @@ class TextStatsSpec extends AnyFunSuite {
       max(TextStats.qualityScore(col("text")))).first()
     assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
   }
+
+  test("repetitionRatio: repeated 3-grams counted, short docs are 0") {
+    // "a b c" ×3 → 7 shingles, 3 distinct → 1 - 3/7
+    val df = Seq("a b c a b c a b c", "a b", "u v w x y z").toDF("text")
+    val got = df.select(TextStats.repetitionRatio(col("text"), 3)).collect().map(_.getDouble(0))
+    assert(got.toSeq == Seq(0.571429, 0.0, 0.0))
+  }
+
+  test("cleanText masks emails and URLs and collapses whitespace") {
+    val df = Seq(
+      "Contact john.doe@example.com   or https://foo.bar/baz?q=1 \t now",
+      "  no pii   here  ").toDF("text")
+    val got = df.select(TextStats.cleanText(col("text"))).collect().map(_.getString(0))
+    assert(got(0) == "Contact <EMAIL> or <URL> now")
+    assert(got(1) == "no pii here")
+  }
 }
