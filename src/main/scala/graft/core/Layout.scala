@@ -59,10 +59,16 @@ object Layout {
   def writeZordered(df: DataFrame, dir: String, zCols: Seq[String],
                     numFiles: Int, maxRecordsPerFile: Long = 5000000L,
                     bits: Int = 16): Unit = {
-    val stats = df.agg(
-      zCols.flatMap(c => Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
-        .head, zCols.flatMap(c => Seq(min(col(c)).cast("long"), max(col(c)).cast("long"))).tail: _*)
-      .head()
+    val aggs = zCols.flatMap(c => Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val stats = df.agg(aggs.head, aggs.tail: _*).head()
+    if (zCols.indices.exists(i => stats.isNullAt(2 * i) || stats.isNullAt(2 * i + 1))) {
+      // empty input or an all-null z column: no curve to build on that
+      // dimension — degrade to the plain sorted writer rather than NPE
+      writeSorted(df, dir, zCols, numFiles, maxRecordsPerFile)
+      return
+    }
+    // null z-column values clamp to bucket 0 (curve origin) via
+    // greatest(0, null) — deliberate: they stay clustered together
     val mins = zCols.indices.map(i => stats.getLong(2 * i))
     val maxs = zCols.indices.map(i => stats.getLong(2 * i + 1))
     df.withColumn("__z", zorderValue(zCols.map(col), mins, maxs, bits))

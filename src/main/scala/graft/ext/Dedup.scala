@@ -272,8 +272,13 @@ object Dedup {
   def incrementalVerifiedPairs(corpusIndex: DataFrame, corpusDocs: DataFrame,
                                delta: DataFrame, idCol: String, textCol: String,
                                threshold: Double, shingleN: Int = 3, k: Int = 8,
-                               bands: Int = 4): DataFrame = {
-    val deltaIdx = lshIndex(delta, idCol, textCol, shingleN, k, bands)
+                               bands: Int = 4,
+                               deltaIndex: Option[DataFrame] = None): DataFrame = {
+    // deltaIndex short-circuits the sketch when the caller has already
+    // materialized the batch's index (StreamNearDup persists it anyway) —
+    // the dc/dd self-join below references the delta index three times,
+    // so a materialized input evaluates the sketch once, not thrice
+    val deltaIdx = deltaIndex.getOrElse(lshIndex(delta, idCol, textCol, shingleN, k, bands))
     val d = deltaIdx.as("d")
     val dc = d.join(corpusIndex.as("ci"), col("d.bucket") === col("ci.bucket"))
       .select(least(col("d.id"), col("ci.id")).as("id_a"),

@@ -16,13 +16,20 @@ import graft.ext.Dedup
   *   pairs/batch=N/   verified near-dup pairs the batch introduced
   * }}}
   *
-  * Per batch: [[Dedup.incrementalVerifiedPairs]] sketches ONLY the batch
-  * (native MinHashSig, map-side), probes the accumulated index by bucket,
-  * Jaccard-verifies candidates, and the batch's index/doc rows are
-  * appended as a new partition. Cost per batch ∝ batch size + collisions;
-  * corpus size enters only through the keyed text-fetch join. Exactly-once:
-  * partition overwrite + self-pair exclusion make a crash-replayed batch
-  * rewrite identical state (StreamNearDupSpec).
+  * Per batch: the batch is sketched ONCE (native MinHashSig, map-side)
+  * straight into its index partition; the persisted rows are read back to
+  * probe the accumulated index by bucket and Jaccard-verify candidates
+  * ([[Dedup.incrementalVerifiedPairs]]). Cost per batch ∝ batch size +
+  * collisions; corpus size enters only through the keyed text-fetch join.
+  *
+  * Exactly-once: partition overwrite + self-pair/overlap handling in
+  * `incrementalVerifiedPairs` make a crash-replayed batch rewrite
+  * identical state whatever write the crash interrupted — the streaming
+  * checkpoint re-delivers any batch whose processing did not finish
+  * (StreamNearDupSpec). [[seedCorpus]] sits outside the checkpoint, so a
+  * crashed seed must simply be re-run (it overwrites its own version-0
+  * partitions; docs land before index so a half-seed can never produce
+  * index ids whose text is missing).
   *
   * Reference analog: none — the reference replicates rows; this is the
   * §7.5 training-pipeline extension running at ingest instead of as a
@@ -33,22 +40,27 @@ object StreamNearDup {
                           threshold: Double = 0.5, shingleN: Int = 3,
                           k: Int = 8, bands: Int = 4)
 
+  /** Read a `batch=N`-partitioned state dir, or an empty frame shaped
+    * like `template` when nothing was absorbed yet. Existence is probed
+    * through the Hadoop filesystem of the path, so state may live on
+    * HDFS/S3, not only the local disk.
+    */
   private def readOrEmpty(spark: SparkSession, dir: String, template: DataFrame): DataFrame = {
-    val d = new java.io.File(dir)
-    val hasData = d.isDirectory && d.listFiles() != null &&
-      d.listFiles().exists(f => f.isDirectory && f.getName.startsWith("batch="))
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(path) &&
+      fs.listStatus(path).exists(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
     if (hasData) spark.read.parquet(dir) else template.limit(0)
   }
 
-  /** Seed the state with an existing corpus as ingest version 0. */
-  def seedCorpus(docs: DataFrame, stateDir: String, p: Params = Params()): Unit =
-    absorb(docs, stateDir, 0L, p)
-
-  private def absorb(docs: DataFrame, stateDir: String, version: Long, p: Params): Unit = {
-    Dedup.lshIndex(docs, p.idCol, p.textCol, p.shingleN, p.k, p.bands)
-      .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/index/batch=$version")
+  /** Seed the state with an existing corpus as ingest version 0. Not
+    * covered by a streaming checkpoint — re-run on failure (idempotent).
+    */
+  def seedCorpus(docs: DataFrame, stateDir: String, p: Params = Params()): Unit = {
     docs.select(col(p.idCol), col(p.textCol))
-      .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/docs/batch=$version")
+      .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/docs/batch=0")
+    Dedup.lshIndex(docs, p.idCol, p.textCol, p.shingleN, p.k, p.bands)
+      .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/index/batch=0")
   }
 
   /** Process one ingest batch at `version` (streaming uses batchId+1;
@@ -58,16 +70,27 @@ object StreamNearDup {
   def processBatch(batch: DataFrame, stateDir: String, version: Long,
                    p: Params = Params()): Unit = {
     val spark = batch.sparkSession
+    // snapshot the accumulated state BEFORE this batch's partitions land
+    // (parquet file listing is eager at read()): a replay that already
+    // wrote them is still handled — overlap ids are excluded on the text
+    // side and self-pairs are dropped inside incrementalVerifiedPairs
     val corpusDocs = readOrEmpty(spark, s"$stateDir/docs",
         batch.select(col(p.idCol), col(p.textCol)))
       .select(col(p.idCol), col(p.textCol))
     val corpusIdx = readOrEmpty(spark, s"$stateDir/index",
         Dedup.lshIndex(batch.limit(0), p.idCol, p.textCol, p.shingleN, p.k, p.bands))
       .select(col("id"), col("bucket"))
+    // sketch the batch exactly once, straight into its index partition,
+    // and probe with the materialized rows read back
+    Dedup.lshIndex(batch, p.idCol, p.textCol, p.shingleN, p.k, p.bands)
+      .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/index/batch=$version")
+    val deltaIdx = spark.read.parquet(s"$stateDir/index/batch=$version")
     Dedup.incrementalVerifiedPairs(corpusIdx, corpusDocs, batch,
-        p.idCol, p.textCol, p.threshold, p.shingleN, p.k, p.bands)
+        p.idCol, p.textCol, p.threshold, p.shingleN, p.k, p.bands,
+        deltaIndex = Some(deltaIdx))
       .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/pairs/batch=$version")
-    absorb(batch, stateDir, version, p)
+    batch.select(col(p.idCol), col(p.textCol))
+      .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/docs/batch=$version")
   }
 
   /** All near-dup pairs detected so far (batch partition column exposed
