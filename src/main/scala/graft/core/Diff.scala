@@ -46,6 +46,21 @@ object Diff {
     * the snapshot/state side of every warm-diff join exchange-free over
     * [[Bucketing]] tables (proven in WarmBucketedPlanSpec).
     */
+  /** Fail-fast guard for the `nullSafe = false` contract: a null value in
+    * a key declared non-null would silently classify its row
+    * 'deleted'+'new' on EVERY run under `===` (null never equals),
+    * breaking the apply(diff(i,e),i)==e round-trip forever. Instead the
+    * classification job itself fails with a clear message. The check is a
+    * per-row branch inside the existing key projection — distributed,
+    * codegen'd, no extra job — and folds away entirely when the column's
+    * schema already says non-nullable.
+    */
+  private def requireKey(c: Column, k: String, nullSafe: Boolean): Column =
+    if (nullSafe) c
+    else when(c.isNotNull, c).otherwise(raise_error(lit(
+      s"Diff: null value in key '$k' under nullSafe=false — use nullSafe=true " +
+        "(null-safe <=>) for nullable keys or repair the input")))
+
   private[core] def nsCond(key: Seq[String], nullSafe: Boolean = true): Column =
     key.map(k =>
       if (nullSafe) col(k) <=> col(s"__dk_$k") else col(k) === col(s"__dk_$k"))
@@ -83,9 +98,9 @@ object Diff {
   def classifyState(state: DataFrame, external: DataFrame,
                     key: Seq[String], dataCols: Seq[String],
                     nullSafe: Boolean = true): DataFrame = {
-    val i = state.select(key.map(k => col(k).as(s"__ki_$k"))
+    val i = state.select(key.map(k => requireKey(col(k), k, nullSafe).as(s"__ki_$k"))
       :+ col(SigCol).as("sig_i"): _*)
-    val e = external.select(key.map(k => col(k).as(s"__ke_$k"))
+    val e = external.select(key.map(k => requireKey(col(k), k, nullSafe).as(s"__ke_$k"))
       :+ Signatures.md5Sig(dataCols.map(col)).as("sig_e"): _*)
     val cond = key.map(k =>
       if (nullSafe) col(s"__ki_$k") <=> col(s"__ke_$k")

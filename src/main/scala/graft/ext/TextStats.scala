@@ -88,10 +88,19 @@ object TextStats {
     * High values flag boilerplate / keyword-stuffed documents that a
     * pretraining pipeline drops. Pure map-side expression.
     */
-  def repetitionRatio(text: Column, n: Int = 3): Column = {
-    val sh = Dedup.wordShingles(text, n)
-    when(size(sh) > 0,
-      round(lit(1.0) - size(array_distinct(sh)).cast("double") / size(sh).cast("double"), 6))
+  def repetitionRatio(text: Column, n: Int = 3): Column =
+    repetitionFromStats(graft.functions.text.ngram_stats(text, n))
+
+  /** Repetition ratio from a pre-projected [[graft.functions.text.ngram_stats]]
+    * struct — lets callers compute the stats ONCE and derive the ratio
+    * plus the raw counts from it (codegen CSE also dedupes repeated
+    * kernels, but a single projection keeps the plan honest).
+    */
+  def repetitionFromStats(stats: Column): Column = {
+    val total = stats.getField("n_ngrams")
+    val distinct = stats.getField("n_distinct")
+    when(total > 0,
+      round(lit(1.0) - distinct.cast("double") / total.cast("double"), 6))
       .otherwise(lit(0.0))
   }
 

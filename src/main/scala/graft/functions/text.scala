@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{Bridge, MinHashSig, SimHash64}
+import org.apache.spark.sql.graft.{Bridge, MinHashSig, NgramStats, SimHash64}
 
 /** Column-API wrappers over the codegen'd text-sketch expressions
   * (see org.apache.spark.sql.graft.TextExpressions).
@@ -19,4 +19,11 @@ object text {
     */
   def simhash64(textCol: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(textCol)))
+
+  /** Word `n`-gram shingle stats `struct(n_ngrams, n_distinct)` in one
+    * map-side pass — the single-evaluation kernel behind the repetition
+    * filter. Map-side, zero shuffle — see [[NgramStats]].
+    */
+  def ngram_stats(textCol: Column, n: Int): Column =
+    Bridge.column(NgramStats(Bridge.expression(textCol), n))
 }

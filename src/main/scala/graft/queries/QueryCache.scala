@@ -34,7 +34,13 @@ private[queries] final class QueryCache(sourceFile: String, maxEntries: Int = 4)
     val key = (s, dir)
     val fp = fingerprint(dir)
     cache.get(key) match {
-      case Some(e) if e.fp == fp => e.df
+      case Some(e) if e.fp == fp =>
+        // re-insert on hit so eviction is LRU, not FIFO — otherwise a
+        // session cycling through > maxEntries dirs evicts the hottest
+        // persisted frame (e.g. the expensive LSH cluster DataFrame)
+        cache.remove(key)
+        cache.put(key, e)
+        e.df
       case stale =>
         stale.foreach(_.df.unpersist())
         cache.remove(key)

@@ -22,9 +22,11 @@ import graft.ext.Dedup
   * ([[Dedup.incrementalVerifiedPairs]]). Cost per batch ∝ batch size +
   * collisions; corpus size enters only through the keyed text-fetch join.
   *
-  * Exactly-once: partition overwrite + self-pair/overlap handling in
-  * `incrementalVerifiedPairs` make a crash-replayed batch rewrite
-  * identical state whatever write the crash interrupted — the streaming
+  * Exactly-once: the corpus snapshot reads state with a
+  * `batch < version` partition filter, so a replayed batch's own prior
+  * partitions are pruned out of every plan before the partition
+  * Overwrite rewrites them — a crash-replayed batch rewrites identical
+  * state whatever write the crash interrupted, and the streaming
   * checkpoint re-delivers any batch whose processing did not finish
   * (StreamNearDupSpec). [[seedCorpus]] sits outside the checkpoint, so a
   * crashed seed must simply be re-run (it overwrites its own version-0
@@ -40,17 +42,23 @@ object StreamNearDup {
                           threshold: Double = 0.5, shingleN: Int = 3,
                           k: Int = 8, bands: Int = 4)
 
-  /** Read a `batch=N`-partitioned state dir, or an empty frame shaped
-    * like `template` when nothing was absorbed yet. Existence is probed
-    * through the Hadoop filesystem of the path, so state may live on
-    * HDFS/S3, not only the local disk.
+  /** Read a `batch=N`-partitioned state dir restricted to partitions
+    * BELOW `maxBatchExclusive`, or an empty frame shaped like `template`
+    * when nothing was absorbed yet. The partition filter is load-bearing
+    * for replay: pruning happens at directory level, so files under an
+    * in-flight `batch=version` partition — which the caller is about to
+    * Overwrite — are never opened, even though the eager file listing saw
+    * them. Existence is probed through the Hadoop filesystem of the path,
+    * so state may live on HDFS/S3, not only the local disk.
     */
-  private def readOrEmpty(spark: SparkSession, dir: String, template: DataFrame): DataFrame = {
+  private def readOrEmpty(spark: SparkSession, dir: String, template: DataFrame,
+                          maxBatchExclusive: Long): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasData = fs.exists(path) &&
       fs.listStatus(path).exists(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-    if (hasData) spark.read.parquet(dir) else template.limit(0)
+    if (hasData) spark.read.parquet(dir).where(col("batch") < lit(maxBatchExclusive))
+    else template.limit(0)
   }
 
   /** Seed the state with an existing corpus as ingest version 0. Not
@@ -70,15 +78,18 @@ object StreamNearDup {
   def processBatch(batch: DataFrame, stateDir: String, version: Long,
                    p: Params = Params()): Unit = {
     val spark = batch.sparkSession
-    // snapshot the accumulated state BEFORE this batch's partitions land
-    // (parquet file listing is eager at read()): a replay that already
-    // wrote them is still handled — overlap ids are excluded on the text
-    // side and self-pairs are dropped inside incrementalVerifiedPairs
+    // the accumulated corpus is everything absorbed at versions BELOW this
+    // one: the `batch < version` partition filter keeps a replay's prior
+    // `batch=version` files out of the plan entirely (directory-level
+    // pruning), so the Overwrite below can never invalidate the lazily
+    // executed probe join. With the overlap excluded here, the disjoint
+    // corpus/delta id contract of incrementalVerifiedPairs is a plain
+    // invariant, replay or not.
     val corpusDocs = readOrEmpty(spark, s"$stateDir/docs",
-        batch.select(col(p.idCol), col(p.textCol)))
+        batch.select(col(p.idCol), col(p.textCol)), version)
       .select(col(p.idCol), col(p.textCol))
     val corpusIdx = readOrEmpty(spark, s"$stateDir/index",
-        Dedup.lshIndex(batch.limit(0), p.idCol, p.textCol, p.shingleN, p.k, p.bands))
+        Dedup.lshIndex(batch.limit(0), p.idCol, p.textCol, p.shingleN, p.k, p.bands), version)
       .select(col("id"), col("bucket"))
     // sketch the batch exactly once, straight into its index partition,
     // and probe with the materialized rows read back

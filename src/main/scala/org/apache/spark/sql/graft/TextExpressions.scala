@@ -106,6 +106,66 @@ object SimHash64 {
   }
 }
 
+/** Word n-gram shingle statistics — `(n_ngrams, n_distinct)` — in ONE
+  * map-side pass over the text. Powers the Gopher-style repetition
+  * filter (`1 - n_distinct/n_ngrams`): the relational form evaluates the
+  * interpreted `wordShingles` HOF (CodegenFallback, no common-
+  * subexpression elimination) once per consumer — ~4× per row for the
+  * repetition query — materializing the full shingle array each time.
+  * This kernel builds each shingle once, counts distincts in a hash set,
+  * allocates no output array, and stays inside the scan's codegen stage.
+  * Shingle semantics are identical to [[graft.ext.Dedup.wordShingles]]
+  * (split on single space, limit -1; fewer than `n` words → (0, 0)), so
+  * the DuckDB oracle for `text_repetition` is unchanged.
+  */
+case class NgramStats(child: Expression, shingleN: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(shingleN > 0)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_ngrams", IntegerType, nullable = false),
+    StructField("n_distinct", IntegerType, nullable = false)))
+  override def prettyName: String = "ngram_stats"
+
+  override def nullSafeEval(input: Any): Any =
+    NgramStats.compute(input.asInstanceOf[UTF8String], shingleN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = NgramStats.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $cls.compute($t, $shingleN);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NgramStats {
+  def compute(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.InternalRow = {
+    val words = text.toString.split(" ", -1)
+    if (words.length < n)
+      return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](0, 0))
+    val nShingles = words.length - n + 1
+    val seen = new java.util.HashSet[String](Integer.highestOneBit(nShingles) * 2)
+    val sb = new java.lang.StringBuilder
+    var s = 0
+    while (s < nShingles) {
+      sb.setLength(0)
+      var o = 0
+      while (o < n) {
+        if (o > 0) sb.append(' ')
+        sb.append(words(s + o))
+        o += 1
+      }
+      seen.add(sb.toString)
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nShingles, seen.size))
+  }
+}
+
 object MinHashSig {
   private val hexDigits = "0123456789abcdef".toCharArray
 

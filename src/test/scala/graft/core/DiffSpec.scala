@@ -69,6 +69,17 @@ class DiffSpec extends AnyFunSuite {
     assert(old.length == 1 && old.head.isNullAt(0) && old.head.getString(1) == "n")
   }
 
+  test("nullSafe=false fails fast on a null key instead of silently mis-classifying") {
+    val internal = Seq((Some(1), "a", 1.0), (None, "n", 5.0)).toDF("id", "v", "w")
+    val external = Seq((Some(1), "a", 1.0), (None, "n", 5.0)).toDF("id", "v", "w")
+    val ex = intercept[Exception] {
+      Diff.classify(internal, external, key, cols, nullSafe = false).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("null value in key 'id'")))
+  }
+
   test("upsertReplace: new version wins, unmatched rows survive") {
     val old = df((1, "a", 1.0), (2, "b", 2.0))
     val repl = df((2, "B", 9.0), (3, "c", 3.0))

@@ -59,6 +59,29 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(0.571429, 0.0, 0.0))
   }
 
+  test("ngram_stats native kernel: parity with the interpreted wordShingles HOF on fixture docs") {
+    val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+    val sh = Dedup.wordShingles(col("text"), 3)
+    val mismatches = docs.select(
+        graft.functions.text.ngram_stats(col("text"), 3).as("st"),
+        size(sh).as("h_total"),
+        size(array_distinct(sh)).as("h_distinct"))
+      .filter(col("st.n_ngrams") =!= col("h_total") ||
+        col("st.n_distinct") =!= col("h_distinct"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("ngram_stats edge cases: short text, empty string, repeated trailing spaces") {
+    // "" splits to [""] (1 word) -> (0,0); "a b  c" splits on single space
+    // to ["a","b","","c"] -> 2 shingles
+    val df = Seq("", "a b", "a b  c", "x x x x").toDF("text")
+    val got = df.select(graft.functions.text.ngram_stats(col("text"), 3).as("st"))
+      .select(col("st.n_ngrams"), col("st.n_distinct"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+    assert(got.toSeq == Seq((0, 0), (0, 0), (2, 2), (2, 1)))
+  }
+
   test("cleanText masks emails and URLs and collapses whitespace") {
     val df = Seq(
       "Contact john.doe@example.com   or https://foo.bar/baz?q=1 \t now",
