@@ -40,6 +40,38 @@ object Pipeline {
     }
   }
 
+  /** How a committed snapshot's files are laid out (reference:
+    * README.md:14 stores replicas MyISAM "optimized for reads" — this is
+    * the columnar form of that intent). `Plain` writes partitions as
+    * produced; `Sorted` range-partitions + sorts so parquet min/max
+    * statistics prune key-range scans to a handful of files; `Zordered`
+    * clusters along the z-curve so filters on ANY curve column prune
+    * ([[Layout]]). `numFiles = None` sizes from the session's default
+    * parallelism. The layout pass costs one extra shuffle of the
+    * snapshot at commit time — paid once per commit, repaid by every
+    * subsequent selective scan.
+    */
+  sealed trait SnapshotLayout
+  object SnapshotLayout {
+    case object Plain extends SnapshotLayout
+    final case class Sorted(cols: Seq[String], numFiles: Option[Int] = None)
+      extends SnapshotLayout
+    final case class Zordered(cols: Seq[String], numFiles: Option[Int] = None)
+      extends SnapshotLayout
+  }
+
+  private def writeSnapshot(df: DataFrame, dir: String, layout: SnapshotLayout): Unit =
+    layout match {
+      case SnapshotLayout.Plain =>
+        df.write.mode(SaveMode.Overwrite).parquet(dir)
+      case SnapshotLayout.Sorted(cols, nf) =>
+        Layout.writeSorted(df, dir, cols,
+          nf.getOrElse(df.sparkSession.sparkContext.defaultParallelism))
+      case SnapshotLayout.Zordered(cols, nf) =>
+        Layout.writeZordered(df, dir, cols,
+          nf.getOrElse(df.sparkSession.sparkContext.defaultParallelism))
+    }
+
   /** Cold full load (reference download.py:29-42): scan the source once,
     * derive scores + signature in the same pass (table.py:79-93,
     * download.py:389-400), fan out to snapshot + signature state.
@@ -144,13 +176,14 @@ object Pipeline {
     * out-of-order changelog versions and make Changelog.latest ambiguous).
     */
   def commit(r: WarmResult, baseDir: String,
-             runVersion: Option[Long] = None): Unit = {
+             runVersion: Option[Long] = None,
+             layout: SnapshotLayout = SnapshotLayout.Plain): Unit = {
     val v = runVersion.getOrElse(nextRunVersion(baseDir))
     // the version column makes Changelog.latest reconstructible from the
     // durable multi-run changelog (parquet append preserves no order)
     r.changelog.withColumn("version", lit(v))
       .write.mode(SaveMode.Append).parquet(s"$baseDir/changelog")
-    r.newSnapshot.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/snapshot")
+    writeSnapshot(r.newSnapshot, s"$baseDir/snapshot", layout)
     r.newState.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/state")
   }
 
@@ -183,15 +216,17 @@ object Pipeline {
     * follow the pointer and never observe a half-written version.
     * Returns the committed version.
     */
-  def commitVersioned(r: WarmResult, baseDir: String): Long =
-    commitVersionedAt(r, baseDir, currentVersion(baseDir).getOrElse(0L) + 1)
+  def commitVersioned(r: WarmResult, baseDir: String,
+                      layout: SnapshotLayout = SnapshotLayout.Plain): Long =
+    commitVersionedAt(r, baseDir, currentVersion(baseDir).getOrElse(0L) + 1, layout)
 
   /** Idempotent commit of a SPECIFIC version (e.g. streaming batchId+1):
     * if `version` is already committed, this is a no-op — a replayed
     * micro-batch cannot create a phantom extra version. Returns the
     * version in effect.
     */
-  def commitVersionedAt(r: WarmResult, baseDir: String, version: Long): Long = {
+  def commitVersionedAt(r: WarmResult, baseDir: String, version: Long,
+                        layout: SnapshotLayout = SnapshotLayout.Plain): Long = {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val current = currentVersion(baseDir).getOrElse(0L)
     if (version <= current) return current // already committed: replay no-op
@@ -199,7 +234,7 @@ object Pipeline {
     // leaves the orphan invisible to readChangelog (which filters v <=
     // pointer), and a retry overwrites rather than duplicating history
     r.changelog.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/changelog/v=$version")
-    r.newSnapshot.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/snapshot/v=$version")
+    writeSnapshot(r.newSnapshot, s"$baseDir/snapshot/v=$version", layout)
     r.newState.write.mode(SaveMode.Overwrite).parquet(s"$baseDir/state/v=$version")
     val tmp = Paths.get(s"$baseDir/VERSION.tmp")
     Files.createDirectories(Paths.get(baseDir))

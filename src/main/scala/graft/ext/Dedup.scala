@@ -30,16 +30,15 @@ object Dedup {
   }
 
   /** Word n-gram shingles of a whitespace-tokenized text, as an array
-    * column. Empty array when the text has fewer than n words (guards
-    * `sequence(1, 0)` which would count DOWN in Spark).
+    * column. Empty array when the text has fewer than n words. Backed by
+    * the native single-pass [[org.apache.spark.sql.graft.NgramShingles]]
+    * kernel — the historical split → sequence → transform → concat_ws
+    * HOF pipeline is CodegenFallback (interpreted, re-evaluated per
+    * consumer) and dominated every shingle-exploding query at corpus
+    * scale. Output is element-for-element identical (DedupSpec).
     */
-  def wordShingles(textCol: Column, n: Int): Column = {
-    val ws = split(textCol, " ")
-    when(size(ws) >= n,
-      transform(sequence(lit(1), size(ws) - (n - 1)), i =>
-        concat_ws(" ", (0 until n).map(o => element_at(ws, i + o)): _*)))
-      .otherwise(array().cast("array<string>"))
-  }
+  def wordShingles(textCol: Column, n: Int): Column =
+    graft.functions.text.ngram_shingles(textCol, n)
 
   /** MinHash signature: k "permutations" realized as md5(i|shingle) with
     * the lexicographic min as the sketch value. Using md5-of-salted-string
@@ -223,15 +222,17 @@ object Dedup {
       // turns O(diameter) convergence into O(log diameter), which long
       // duplicate chains need
       val lut = relabeled.select(col("id").as("lid"), col("label").as("llabel"))
+      // LAZY localCheckpoint + count: the round's single action both
+      // materializes the checkpoint blocks (count covers every
+      // partition) and answers convergence — one driver round-trip per
+      // iteration instead of the eager-checkpoint-then-isEmpty pair,
+      // which at bench scale was half the loop's wall clock
       val updated = relabeled.as("x")
         .join(lut, col("x.label") === col("lid"), "left_outer")
         .select(col("x.id").as("id"), col("__old"),
           least(col("x.label"), coalesce(col("llabel"), col("x.label"))).as("label"))
-        .localCheckpoint(true)
-      // convergence piggybacks on the checkpointed frame (old label is
-      // threaded through the round) — a cached-block agg, not an extra
-      // join + shuffle per iteration
-      converged = updated.filter(col("label") =!= col("__old")).isEmpty
+        .localCheckpoint(false)
+      converged = updated.filter(col("label") =!= col("__old")).count() == 0
       labels = updated.drop("__old")
       iter += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))
@@ -340,22 +341,45 @@ object Dedup {
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
-  /** Embedding near-dup: pairs with cosine above `threshold`. Candidates
-    * from LSH buckets (see [[Similarity.hyperplaneBucket]]) to avoid the
-    * quadratic cross join at scale; exact cosine verifies.
+  /** Embedding near-dup: pairs with cosine above `threshold`, via BANDED
+    * hyperplane LSH — `bands` independent hyperplane families of `planes`
+    * planes each; a pair is a candidate when ANY band agrees on the
+    * bucket, then exact cosine verifies.
+    *
+    * Both knobs matter at scale. `planes` bounds bucket size (2^planes
+    * buckets per band: within-bucket self-join cost is Σ n_b², so at n
+    * vectors expect n²/2^planes candidate pairs per band — a single
+    * 16-bucket table at 200k vectors was a 10^9-pair quadratic blow-up).
+    * `bands` buys back the recall that long signatures destroy:
+    * P(candidate) = 1-(1-p^planes)^bands for per-plane agreement
+    * p = 1 - θ/π. Defaults (16, 8) give ~1.0 recall at cos ≥ 0.99 and
+    * ~n·bands·(n/65536) candidates. The bucket join carries only
+    * (id, band, bucket) — vectors are fetched by id AFTER candidate
+    * dedup, so the wide rows never ride the candidate shuffle.
     */
   def embeddingNearDups(embs: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double, planes: Int = 8): DataFrame = {
+                        threshold: Double, planes: Int = 16, bands: Int = 8): DataFrame = {
     import graft.functions.vectors
-    val bucketed = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
-      vectors.float_norm(col(vecCol)).as("nrm"),
-      Similarity.hyperplaneBucket(col(vecCol), planes).as("bucket"))
-    val a = bucketed.as("a")
-    val b = bucketed.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(vectors.float_dot(col("a.v"), col("b.v")) /
-          (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+    val idx = embs.select(col(idCol).as("id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            vectors.hyperplane_bucket_band(col(vecCol), planes, b).as("bucket"))): _*))
+          .as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val cands = idx.as("a")
+      .join(idx.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val va = embs.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+      vectors.float_norm(col(vecCol)).as("__na"))
+    val vb = embs.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+      vectors.float_norm(col(vecCol)).as("__nb"))
+    cands.join(va, "id_a").join(vb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(vectors.float_dot(col("__va"), col("__vb")) /
+          (col("__na") * col("__nb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -57,11 +57,16 @@ object TextStats {
     *  - punct ratio <= 20% → 1 else (1 - ratio)
     */
   def qualityScore(text: Column): Column = {
-    val toks = tokensWs(text).cast("double")
-    val chars = length(text).cast("double")
-    val punct = (chars - length(regexp_replace(text, "[^A-Za-z0-9\\s]", ""))) / chars
-    val avgTok = (length(regexp_replace(text, "\\s", "")).cast("double")) / toks
-    val stopRatio = stopwordHits(text, LangStopwords.flatMap(_._2)).cast("double") / toks
+    // all five inputs come from the single-pass native TextProfile kernel
+    // (one char walk + hash-set stopword lookups) instead of ~6 regex/
+    // split/HOF passes per row; the score formula itself is unchanged,
+    // so the DuckDB oracle is too
+    val st = graft.functions.text.text_profile(text, LangStopwords.flatMap(_._2))
+    val toks = st.getField("n_tokens_ws").cast("double")
+    val chars = st.getField("n_chars").cast("double")
+    val punct = st.getField("n_punct").cast("double") / chars
+    val avgTok = st.getField("n_non_space").cast("double") / toks
+    val stopRatio = st.getField("n_stop").cast("double") / toks
     val lenScore = least(lit(1.0), toks / 50.0)
     val tokScore = when(avgTok.between(3.0, 8.0), 1.0).otherwise(0.6)
     val stopScore = when(stopRatio.between(0.02, 0.6), 1.0).otherwise(0.5)

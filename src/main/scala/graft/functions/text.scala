@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{Bridge, MinHashSig, NgramStats, SimHash64}
+import org.apache.spark.sql.graft.{Bridge, MinHashSig, NgramShingles, NgramStats, SimHash64, TextProfile}
 
 /** Column-API wrappers over the codegen'd text-sketch expressions
   * (see org.apache.spark.sql.graft.TextExpressions).
@@ -26,4 +26,16 @@ object text {
     */
   def ngram_stats(textCol: Column, n: Int): Column =
     Bridge.column(NgramStats(Bridge.expression(textCol), n))
+
+  /** Text-quality profile struct `(n_tokens_ws, n_chars, n_non_space,
+    * n_punct, n_stop)` in one map-side pass — see [[TextProfile]].
+    */
+  def text_profile(textCol: Column, stopwords: Seq[String]): Column =
+    Bridge.column(TextProfile(Bridge.expression(textCol), stopwords))
+
+  /** Word `n`-gram shingle array in one map-side pass (empty array under
+    * `n` words) — native replacement for the interpreted shingle HOF.
+    */
+  def ngram_shingles(textCol: Column, n: Int): Column =
+    Bridge.column(NgramShingles(Bridge.expression(textCol), n))
 }

@@ -19,6 +19,14 @@ object vectors {
   def hyperplane_bucket(v: Column, planes: Int): Column =
     Bridge.column(HyperplaneBucket(Bridge.expression(v), planes))
 
+  /** Band `band`'s bucket from an independent hyperplane family — the
+    * building block of banded (multi-table) hyperplane LSH, where a pair
+    * is a candidate if ANY band agrees: recall 1-(1-p^planes)^bands
+    * instead of the single-table p^planes.
+    */
+  def hyperplane_bucket_band(v: Column, planes: Int, band: Int): Column =
+    Bridge.column(HyperplaneBucket(Bridge.expression(v), planes, band * planes))
+
   /** Symmetric int8 quantization of a unit-scale float vector:
     * q = round(x * 127) as tinyint — 4× smaller at rest and in shuffle.
     * Map-side HOF; runs once per row, off the pairwise hot path.

@@ -166,6 +166,150 @@ object NgramStats {
   }
 }
 
+/** Whole text-quality profile — `(n_tokens_ws, n_chars, n_non_space,
+  * n_punct, n_stop)` — in ONE map-side pass. The relational quality
+  * score ran ~6 passes per row (trim+regex-split token count, two
+  * regexp_replace scans, a split, and an interpreted `filter` HOF doing
+  * a 32-way `isin` per token — the dominant cost at corpus scale); this
+  * kernel walks the characters once and checks stopwords against a hash
+  * set. Semantics match the SQL building blocks exactly, so the DuckDB
+  * oracle for `text_quality` is unchanged:
+  *  - n_tokens_ws  == size(split(trim(text), "\\s+"))   (space-trim only,
+  *    Java regex split with limit -1 — including its [""] = 1 edge)
+  *  - n_chars      == length(text)
+  *  - n_non_space  == length(regexp_replace(text, "\\s", ""))
+  *  - n_punct      == n of chars outside [A-Za-z0-9] and \s
+  *  - n_stop       == size(filter(split(text, " "), w -> w in stopwords))
+  */
+case class TextProfile(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens_ws", IntegerType, nullable = false),
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("n_non_space", IntegerType, nullable = false),
+    StructField("n_punct", IntegerType, nullable = false),
+    StructField("n_stop", IntegerType, nullable = false)))
+  override def prettyName: String = "text_profile"
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](stopwords.size * 2)
+    stopwords.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TextProfile.compute(input.asInstanceOf[UTF8String], stopSet)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = TextProfile.getClass.getName.stripSuffix("$")
+    val setRef = ctx.addReferenceObj("stopSet", stopSet, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""${ev.value} = (org.apache.spark.sql.catalyst.InternalRow)
+         |  $cls.compute($t, (java.util.HashSet) $setRef);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TextProfile {
+  private val WsSplit = java.util.regex.Pattern.compile("\\s+")
+
+  private def isRegexWs(c: Char): Boolean = // Java regex \s class
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  def compute(text: UTF8String, stops: java.util.HashSet[String])
+      : org.apache.spark.sql.catalyst.InternalRow = {
+    val s = text.toString
+    val len = s.length
+    var nonSpace = 0
+    var punct = 0
+    var i = 0
+    while (i < len) {
+      val c = s.charAt(i)
+      if (!isRegexWs(c)) {
+        nonSpace += 1
+        val alnum = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+          (c >= '0' && c <= '9')
+        if (!alnum) punct += 1
+      }
+      i += 1
+    }
+    // Spark's trim() strips the space character only (not Java trim's
+    // <= 0x20 range) — replicate exactly before the regex token split
+    var st = 0
+    var en = len
+    while (st < en && s.charAt(st) == ' ') st += 1
+    while (en > st && s.charAt(en - 1) == ' ') en -= 1
+    val nTokens = WsSplit.split(s.substring(st, en), -1).length
+    // stopword hits over the SINGLE-SPACE split (matching split(text, " "))
+    var nStop = 0
+    var tokStart = 0
+    i = 0
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        if (stops.contains(s.substring(tokStart, i))) nStop += 1
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](nTokens, text.numChars(), nonSpace, punct, nStop))
+  }
+}
+
+/** The word `n`-gram shingle ARRAY in one map-side pass — the native
+  * replacement for the interpreted `wordShingles` HOF (split → sequence →
+  * transform → concat_ws is CodegenFallback and re-evaluated per
+  * consumer). Output matches the HOF exactly: fewer than `n` words → an
+  * EMPTY array (unlike [[MinHashSig]]'s null, which mirrors the explode
+  * form where such docs vanish).
+  */
+case class NgramShingles(child: Expression, shingleN: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(shingleN > 0)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ngram_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    NgramShingles.compute(input.asInstanceOf[UTF8String], shingleN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = NgramShingles.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $cls.compute($t, $shingleN);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NgramShingles {
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val words = text.toString.split(" ", -1)
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val nShingles = words.length - n + 1
+    val out = new Array[Any](nShingles)
+    val sb = new java.lang.StringBuilder
+    var s = 0
+    while (s < nShingles) {
+      sb.setLength(0)
+      var o = 0
+      while (o < n) {
+        if (o > 0) sb.append(' ')
+        sb.append(words(s + o))
+        o += 1
+      }
+      out(s) = UTF8String.fromString(sb.toString)
+      s += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object MinHashSig {
   private val hexDigits = "0123456789abcdef".toCharArray
 

@@ -96,11 +96,15 @@ case class ByteArrayDot(left: Expression, right: Expression)
 
 /** Random-hyperplane LSH bucket id: bit p of the result is the sign of the
   * dot product with a pseudo-random ±1 hyperplane derived from xxhash64 of
-  * (p * 1000003 + dimension) with Spark's standard seed 42 — deterministic,
-  * no RNG state, identical across runs/cluster layouts.
+  * ((p + planeOffset) * 1000003 + dimension) with Spark's standard seed 42 —
+  * deterministic, no RNG state, identical across runs/cluster layouts.
+  * `planeOffset` selects an independent plane family per LSH band
+  * (band b uses offset b*planes), enabling banded multi-probe schemes;
+  * offset 0 reproduces the historical single-band buckets bit for bit.
   */
-case class HyperplaneBucket(child: Expression, planes: Int)
+case class HyperplaneBucket(child: Expression, planes: Int, planeOffset: Int = 0)
     extends UnaryExpression with ExpectsInputTypes {
+  require(planes > 0 && planes <= 30 && planeOffset >= 0)
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = IntegerType
   override def prettyName: String = "hyperplane_bucket"
@@ -115,7 +119,7 @@ case class HyperplaneBucket(child: Expression, planes: Int)
       var i = 0
       while (i < n) {
         val h = org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashLong(p.toLong * 1000003L + i, 42L)
+          .hashLong((p + planeOffset).toLong * 1000003L + i, 42L)
         val sign = if (((h % 2) + 2) % 2 == 0) 1.0 else -1.0
         d += a.getFloat(i).toDouble * sign
         i += 1
@@ -141,7 +145,7 @@ case class HyperplaneBucket(child: Expression, planes: Int)
          |  double $d = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64
-         |      .hashLong((long) $p * 1000003L + $i, 42L);
+         |      .hashLong((long) ($p + $planeOffset) * 1000003L + $i, 42L);
          |    $d += (double) $a.getFloat($i) * ((($h % 2L) + 2L) % 2L == 0L ? 1.0 : -1.0);
          |  }
          |  if ($d >= 0) $bucket |= (1 << $p);

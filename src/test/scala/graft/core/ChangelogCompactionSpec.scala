@@ -79,6 +79,36 @@ class ChangelogCompactionSpec extends AnyFunSuite {
     assert(latest() == after)
   }
 
+  test("latest over a compacted multi-run directory READS few files (the payoff on the read path)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_read").toString
+    // 8 warm runs, each changing one key: 8 changelog version dirs
+    val states = (0 to 8).map(i => df(
+      (1L, "a", 10 + (if (i >= 1) i else 0)),
+      (2L, "b", 20 + (if (i >= 2) i else 0)),
+      (3L, "c", 30 + (if (i >= 3) i else 0))))
+    commitRun(dir, states(0).limit(0), states(0))
+    (1 to 8).foreach(i => commitRun(dir, states(i - 1), states(i)))
+    // files the latest() plan actually opens: distinct input_file_name
+    // over the changelog scan — the read-path metric, not a directory walk
+    def filesRead(): Long = Pipeline.readChangelog(spark, dir)
+      .select(input_file_name()).distinct().count()
+    val beforeRead = filesRead()
+    assert(beforeRead >= 8, s"multi-run changelog should span many files ($beforeRead)")
+    val latestBefore = Changelog.latest(Pipeline.readChangelog(spark, dir), key, "v")
+      .select(col("id"), col("elo"), col("v").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+    Pipeline.compactChangelog(spark, dir, key)
+
+    val afterRead = filesRead()
+    assert(afterRead <= 2, s"compacted latest() should open one-ish file, read $afterRead")
+    assert(afterRead < beforeRead / 4)
+    val latestAfter = Changelog.latest(Pipeline.readChangelog(spark, dir), key, "v")
+      .select(col("id"), col("elo"), col("v").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(latestAfter == latestBefore)
+  }
+
   test("Runner.maintain: vacuum + compaction leave identical latest within the window") {
     val dir = java.nio.file.Files.createTempDirectory("graft_maintain").toString
     val v0 = df((1L, "a", 10), (2L, "b", 20))

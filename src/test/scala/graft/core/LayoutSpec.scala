@@ -57,6 +57,33 @@ class LayoutSpec extends AnyFunSuite {
     assert(zSp <= nFiles / 2, s"z-order should confine suppkey=3 to few files ($zSp)")
   }
 
+  test("committed snapshot honors the layout policy: key-sorted files, min/max pruning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_commit_layout").toString
+    val e = Fixture.external(spark, TestSpark.Sf)
+    val i = Fixture.internal(spark, TestSpark.Sf)
+    val r = Pipeline.warm(i, e, Fixture.Key, Fixture.DataCols)
+    val v = Pipeline.commitVersioned(r, dir,
+      Pipeline.SnapshotLayout.Sorted(Seq("l_orderkey"), numFiles = Some(4)))
+    val snap = Pipeline.readLatest(spark, dir, "snapshot")
+    assert(snap.count() == r.newSnapshot.count())
+    // files carry disjoint key ranges → a key-range scan prunes files
+    val ranges = snap.groupBy(input_file_name().as("f"))
+      .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+      .collect().map(r2 => (r2.getLong(1), r2.getLong(2))).sortBy(_._1)
+    assert(ranges.length >= 2)
+    ranges.sliding(2).foreach { case Array((_, hi1), (lo2, _)) =>
+      assert(lo2 >= hi1, s"committed files' key ranges overlap: ${ranges.toSeq}")
+    }
+    val cut = ranges.head._2
+    val touched = snap.filter(col("l_orderkey") <= cut)
+      .select(input_file_name()).distinct().count()
+    assert(touched < ranges.length,
+      s"key-range filter should prune committed files ($touched/${ranges.length})")
+    // versioned-commit semantics are unchanged by the layout pass
+    assert(Pipeline.currentVersion(dir).contains(v))
+    r.release()
+  }
+
   test("crash safety: a half-written next version is invisible until the pointer moves") {
     val dir = java.nio.file.Files.createTempDirectory("graft_crash").toString
     val e = Fixture.external(spark, TestSpark.Sf)

@@ -16,6 +16,21 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1))
   }
 
+  test("ngram_shingles native kernel: parity with the interpreted HOF form on fixture docs") {
+    val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+      .select("text")
+      .unionByName(Seq("", "a b", "a b  c d").toDF("text"))
+    val ws = split(col("text"), " ")
+    val hof = when(size(ws) >= 3,
+      transform(sequence(lit(1), size(ws) - 2), i =>
+        concat_ws(" ", element_at(ws, i), element_at(ws, i + 1), element_at(ws, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val mismatches = docs.select(
+        graft.functions.text.ngram_shingles(col("text"), 3).as("a"), hof.as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(mismatches == 0)
+  }
+
   test("wordShingles: n-gram count and short-text guard") {
     val df = Seq("a b c d e", "a b").toDF("text")
     val sizes = df.select(size(Dedup.wordShingles(col("text"), 3))).collect().map(_.getInt(0))

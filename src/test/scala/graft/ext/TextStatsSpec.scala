@@ -82,6 +82,29 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0, 0), (0, 0), (2, 2), (2, 1)))
   }
 
+  test("text_profile native kernel: parity with the relational building blocks on fixture docs + edges") {
+    val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+      .select("text")
+      .unionByName(Seq("", " ", "a", "the the the", "¡hola! señor,  tab\there",
+        " padded  ", "x@y !!").toDF("text"))
+    val stops = TextStats.LangStopwords.flatMap(_._2)
+    val st = graft.functions.text.text_profile(col("text"), stops)
+    val mismatches = docs.select(
+        st.getField("n_tokens_ws").as("a1"),
+        size(split(trim(col("text")), "\\s+")).as("b1"),
+        st.getField("n_chars").as("a2"), length(col("text")).as("b2"),
+        st.getField("n_non_space").as("a3"),
+        length(regexp_replace(col("text"), "\\s", "")).as("b3"),
+        st.getField("n_punct").as("a4"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", ""))).as("b4"),
+        st.getField("n_stop").as("a5"),
+        TextStats.stopwordHits(col("text"), stops).as("b5"))
+      .filter(col("a1") =!= col("b1") || col("a2") =!= col("b2") ||
+        col("a3") =!= col("b3") || col("a4") =!= col("b4") || col("a5") =!= col("b5"))
+      .count()
+    assert(mismatches == 0)
+  }
+
   test("cleanText masks emails and URLs and collapses whitespace") {
     val df = Seq(
       "Contact john.doe@example.com   or https://foo.bar/baz?q=1 \t now",
