@@ -69,6 +69,51 @@ object Catalog {
         .select(col("cluster_id"), col("id").as("kept_id"), col("quality"))
     }
 
+  /** One-file parquet write (streaming file sources deliver whole files;
+    * one file == one deterministic micro-batch).
+    */
+  private def writeSingleFile(df: DataFrame, dir: String, name: String): Unit = {
+    import java.nio.file._
+    val tmp = Files.createTempDirectory("graft_single").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Files.list(Paths.get(tmp))
+      .filter(_.toString.endsWith(".parquet")).findFirst().get()
+    Files.move(part, Paths.get(dir, name), StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** (rewritten, linked) bucket-partition counts of `snapshot/v=N`:
+    * a bucket dir whose every parquet file shares an inode with the same
+    * file in v=N-1 was carried over by hard link (never rewritten);
+    * anything else was written by version N's batch.
+    */
+  private def bucketShareStats(base: String, v: Long): (Long, Long) = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def ino(p: java.nio.file.Path): Long =
+      Files.getAttribute(p, "unix:ino").asInstanceOf[Long]
+    val cur = Paths.get(s"$base/snapshot/v=$v")
+    val prev = Paths.get(s"$base/snapshot/v=${v - 1}")
+    val listing = Files.list(cur)
+    try {
+      val dirs = listing.iterator.asScala.filter(p => Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith(s"${BucketedSnapshot.BucketCol}=")).toSeq
+      val linked = dirs.count { dir =>
+        val prevDir = prev.resolve(dir.getFileName.toString)
+        Files.isDirectory(prevDir) && {
+          val fs = Files.list(dir)
+          try {
+            val parts = fs.iterator.asScala.filter(_.toString.endsWith(".parquet")).toSeq
+            parts.nonEmpty && parts.forall { f =>
+              val pf = prevDir.resolve(f.getFileName.toString)
+              Files.exists(pf) && ino(pf) == ino(f)
+            }
+          } finally fs.close()
+        }
+      }
+      (dirs.size.toLong - linked, linked.toLong)
+    } finally listing.close()
+  }
+
   // ---------------------------------------------------------------- entries
 
   final case class Entry(name: String, q: Q, oracle: Option[String])
@@ -651,6 +696,46 @@ object Catalog {
              |FROM iv LEFT JOIN events p ON p.ts >= iv.s AND p.ts < iv.e
              |GROUP BY iv.iv_id ORDER BY iv.iv_id""".stripMargin)),
 
+    Entry("cdc_bucketed_apply",
+      // the delta-bounded continuous-apply path as a DECLARED, tracked
+      // surface: run two micro-batches (full base, then a small delta)
+      // through the real StreamingCdc.continuousApplyBucketed state
+      // machine on a temp snapshot, then report per-version storage
+      // metrics from the committed layout — rewritten vs hard-linked
+      // bucket counts are the write-amplification evidence that a batch's
+      // cost is ∝ delta, tracked round-over-round in BENCH instead of
+      // only inside ContinuousApplyBucketedSpec.
+      (s, d) => {
+        import graft.stream.StreamingCdc
+        val nBuckets = 32
+        // cap the base batch (~orders/4): the metrics this query tracks
+        // (rewritten vs linked buckets) are layout properties, and the
+        // two streaming-query startups already dominate its wall clock
+        val o = Tables.load(s, d, "orders")
+          .filter(col("o_orderkey") % 4 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        val in = java.nio.file.Files.createTempDirectory("graft_cab_in").toString
+        val ck = java.nio.file.Files.createTempDirectory("graft_cab_ck").toString
+        val snap = java.nio.file.Files.createTempDirectory("graft_cab_sn").toString
+        writeSingleFile(o, in, "b1.parquet")
+        StreamingCdc.continuousApplyBucketed(s, in, ck, snap, "o_orderkey",
+          Seq("o_totalprice", "o_orderstatus"), nBuckets)
+        val delta = o.filter(col("o_orderkey") % 101 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        writeSingleFile(delta, in, "b2.parquet")
+        StreamingCdc.continuousApplyBucketed(s, in, ck, snap, "o_orderkey",
+          Seq("o_totalprice", "o_orderstatus"), nBuckets)
+        val rows = Seq(1L, 2L).map { v =>
+          val nRows = BucketedSnapshot.read(s, snap, "snapshot", v).count()
+          val (rewritten, linked) = bucketShareStats(snap, v)
+          (v, nRows, rewritten, linked)
+        }
+        import s.implicits._
+        rows.toDF("version", "n_rows", "buckets_rewritten", "buckets_linked")
+          .orderBy("version")
+      },
+      None), // side-effecting state machine — filesystem metrics, rows-only
+
     Entry("json_props_agg",
       (s, d) => Tables.loadEvents(s, d)
         .groupBy(col("event_type"))
@@ -699,6 +784,27 @@ object Catalog {
           .orderBy("id_a", "id_b")
       },
       Some(Oracles.incrementalLshOracle)),
+
+    Entry("dedup_ingest_gate",
+      // the STREAMING ingest gate's batch contract, oracled: run the real
+      // StreamNearDup state machine — seed corpus (wave 0) indexed, two
+      // ingest batches (waves 1, 2) probed against the accumulating
+      // index — and read back every pair it detected, versioned by the
+      // batch that detected it. Exercises seedCorpus + processBatch +
+      // the replay-safe partitioned state layout end-to-end.
+      (s, d) => {
+        val all = docs(s, d)
+        val st = java.nio.file.Files.createTempDirectory("graft_gate").toString
+        val p = graft.stream.StreamNearDup.Params()
+        graft.stream.StreamNearDup.seedCorpus(all.filter(col("doc_id") % 3 === 0), st, p)
+        graft.stream.StreamNearDup.processBatch(all.filter(col("doc_id") % 3 === 1), st, 1L, p)
+        graft.stream.StreamNearDup.processBatch(all.filter(col("doc_id") % 3 === 2), st, 2L, p)
+        graft.stream.StreamNearDup.pairs(s, st)
+          .select(col("id_a"), col("id_b"), col("jaccard"),
+            col("ingest_version").cast("long").as("ingest_version"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(Oracles.ingestGateOracle)),
 
     Entry("dedup_simhash",
       (s, d) => Dedup.simhashTable(docs(s, d), "doc_id", "text")
@@ -787,10 +893,25 @@ object Catalog {
       None), // CRC-stub frame decode — engine-internal
 
     Entry("dedup_embedding_cosine",
-      // fixture embeddings have no true near-dups (max pairwise cos ≈ 0.49);
-      // 0.35 keeps the operator's output non-empty for the rows-only check
-      (s, d) => Dedup.embeddingNearDups(embs(s, d), "vec_id", "embedding",
-        threshold = 0.35, planes = 4).orderBy("id_a", "id_b"),
+      // near-dup detection needs near-dups, and the fixture has none (max
+      // pairwise cos ≈ 0.49) — so plant a deterministic perturbed SHADOW
+      // of every vector (±0.02/dim hash noise on a unit vector ⇒ cos ≈
+      // 0.996) and detect at a real threshold. Banded hyperplane LSH
+      // (16 planes × 8 bands) proposes candidates — n·bands·n/65536
+      // pairs, never all-pairs — and exact cosine ≥ 0.9 verifies. The
+      // earlier single-band 16-bucket form was quadratic at 200k vectors
+      // (~10^9 candidate pairs).
+      (s, d) => {
+        val e = embs(s, d).select(col("vec_id"), col("embedding"))
+        val shadow = e.select((col("vec_id") + lit(5000000L)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") +
+              (pmod(xxhash64(col("vec_id"), lit(777), i), lit(2001L)) - lit(1000L))
+                .cast("double") / lit(50000.0)).cast("float")).as("embedding"))
+        Dedup.embeddingNearDups(e.unionByName(shadow), "vec_id", "embedding",
+            threshold = 0.9, planes = 18, bands = 8)
+          .orderBy("id_a", "id_b")
+      },
       None), // LSH bucketing uses xxhash64 — not expressible in DuckDB
 
     // ----- §7.5 similarity search

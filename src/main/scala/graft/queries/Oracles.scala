@@ -186,6 +186,31 @@ object Oracles {
        |WHERE round(CAST(inter AS DOUBLE) / (c1.n + c2.n - inter), 6) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Batch contract of the streaming ingest gate (StreamNearDup): docs
+    * arrive in waves `doc_id % 3` (0 = seed, then two ingest batches). A
+    * pair is emitted iff its band buckets collide AND true word-set
+    * Jaccard ≥ 0.5, versioned by the LATER doc's wave — wave-0-only
+    * pairs never appear because the seed is indexed, not probed. The
+    * banding/verify algebra is the same as [[incrementalLshOracle]];
+    * only the wave filter and version column differ.
+    */
+  val ingestGateOracle: String =
+    s"""WITH $lshBucketCtes,
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+       |         WHERE greatest(a.doc_id % 3, b.doc_id % 3) >= 1),
+       |$wordSetCtes,
+       |ix AS (SELECT cand.id_a, cand.id_b, count(*) AS inter
+       |       FROM cand JOIN w wa ON wa.doc_id = cand.id_a
+       |                 JOIN w wb ON wb.doc_id = cand.id_b AND wb.word = wa.word
+       |       GROUP BY 1, 2)
+       |SELECT ix.id_a, ix.id_b,
+       | round(CAST(inter AS DOUBLE) / (c1.n + c2.n - inter), 6) AS jaccard,
+       | CAST(greatest(ix.id_a % 3, ix.id_b % 3) AS BIGINT) AS ingest_version
+       |FROM ix JOIN c c1 ON c1.doc_id = ix.id_a JOIN c c2 ON c2.doc_id = ix.id_b
+       |WHERE round(CAST(inter AS DOUBLE) / (c1.n + c2.n - inter), 6) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Cluster → best-quality representative (quality desc, id asc). */
   val keepBestOracle: String =
     s"""WITH RECURSIVE $lshClusterCtesBody,

@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Benchmark-scale replication of the `documents`/`embeddings` fixtures.
+  *
+  * The driver testdata ships 500 docs / 500 vectors at EVERY scale
+  * factor, so dedup/text/ANN bench numbers measured fixed overhead, not
+  * data. This derives a corpus that actually grows with sf — ~50k docs
+  * at sf0.1 — purely from the driver's own tables (deterministic, no
+  * RNG), materialized once under `target/scaled/` and reused.
+  *
+  * Replication preserves the fixture's dedup structure instead of
+  * inflating it: replica 0 is the original corpus verbatim; replica
+  * `r > 0` rewrites every word `w` to `md5(w|r)[0:8]`, so
+  *  - within one replica, word-set relationships are isomorphic to the
+  *    originals (planted exact dups stay exact, near-dups keep their
+  *    exact Jaccard — a bijection on words preserves set overlap), and
+  *  - across replicas, token sets are disjoint, so no spurious
+  *    cross-replica near-dups appear and cluster sizes stay constant as
+  *    the corpus grows — candidate-pair volume scales LINEARLY with m,
+  *    the shape a real sharded corpus has, not quadratically.
+  * Embeddings likewise: replica 0 verbatim; replicas get deterministic
+  * per-(id, replica, dim) noise from xxhash64, spreading copies through
+  * the space so ANN recall at 50k vectors is a real measurement, not
+  * duplicate-collapse.
+  *
+  * CORRECTNESS is untouched: `Verify` runs the raw driver dir; only
+  * `Bench` routes documents/embeddings queries here.
+  */
+object ScaledFixtures {
+  /** Replicas per fixture row for a driver sf dir: sf0.001 → 1 (raw),
+    * sf0.01 → 10 (5k docs), sf0.1 → 100 (50k docs). Unrecognized dir
+    * names scale 1 (raw passthrough).
+    */
+  def multiplier(sfDir: String): Int = {
+    val name = new java.io.File(sfDir).getName
+    val m =
+      if (name.startsWith("sf"))
+        name.drop(2).toDoubleOption
+          .map(sf => math.max(1L, math.round(sf * 1000))).getOrElse(1L)
+      else 1L
+    math.min(m, 1000L).toInt
+  }
+
+  /** Replica id stride: scaled ids are `id + replica * IdStride`, keeping
+    * within-replica id adjacency (consecutive-pair queries) intact.
+    */
+  val IdStride = 10000000L
+
+  /** Directory whose `documents.parquet`/`embeddings.parquet` are the
+    * scaled fixtures for `sfDir` — materialized on first call (marker
+    * file), `sfDir` itself when the multiplier is 1.
+    */
+  def ensure(spark: SparkSession, sfDir: String): String = synchronized {
+    val m = multiplier(sfDir)
+    if (m <= 1) return sfDir
+    val out = s"target/scaled/${new java.io.File(sfDir).getName}"
+    val marker = new java.io.File(s"$out/_SCALED_OK")
+    if (!marker.exists()) {
+      scaledDocs(spark, sfDir, m)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+      scaledEmbeddings(spark, sfDir, m)
+        .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+      marker.getParentFile.mkdirs()
+      java.nio.file.Files.writeString(marker.toPath, m.toString)
+    }
+    out
+  }
+
+  private def replicas(spark: SparkSession, m: Int): DataFrame =
+    spark.range(m).select(col("id").as("rep"))
+
+  private[queries] def scaledDocs(spark: SparkSession, sfDir: String, m: Int): DataFrame = {
+    val base = Tables.load(spark, sfDir, "documents")
+    base.crossJoin(replicas(spark, m))
+      .select(
+        (col("doc_id") + col("rep") * lit(IdStride)).as("doc_id"),
+        when(col("rep") === 0, col("text"))
+          .otherwise(concat_ws(" ", transform(split(col("text"), " "),
+            w => substring(md5(concat(w, lit("|"), col("rep").cast("string"))
+              .cast("binary")), 1, 8))))
+          .as("text"),
+        col("lang"), col("source"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      // spread replicas across files so the sketch/scan work actually
+      // parallelizes — the raw 500-doc file is a single input split
+      .repartition(math.min(m, spark.sparkContext.defaultParallelism), col("doc_id"))
+  }
+
+  private[queries] def scaledEmbeddings(spark: SparkSession, sfDir: String, m: Int): DataFrame = {
+    val base = Tables.load(spark, sfDir, "embeddings")
+    // replica 0 verbatim; replicas add per-(id, rep, dim) hash noise of
+    // ±0.25 — TWICE the unit-vector component rms (0.125) — so a replica
+    // sits near the data manifold (cos ≈ 0.65 to its source: a plausible
+    // DISTRACTOR) without being a near-dup of anything: the scaled
+    // corpus stresses candidate volume, not output volume. (Mild noise
+    // here would manufacture ~m²/2 true near-dup pairs per base vector —
+    // a quadratic OUTPUT no real corpus has.)
+    base.crossJoin(replicas(spark, m))
+      .select(
+        (col("vec_id") + col("rep") * lit(IdStride)).as("vec_id"),
+        when(col("rep") === 0, col("embedding"))
+          .otherwise(transform(col("embedding"), (x, i) =>
+            (x.cast("double") +
+              (pmod(xxhash64(col("vec_id"), col("rep"), i), lit(2001L)) - lit(1000L))
+                .cast("double") / lit(4000.0)).cast("float")))
+          .as("embedding"),
+        col("label"))
+      .repartition(math.min(m, spark.sparkContext.defaultParallelism), col("vec_id"))
+  }
+
+  /** Query names Bench routes to the scaled dir: everything whose inputs
+    * are exclusively `documents`/`embeddings`.
+    */
+  def appliesTo(name: String): Boolean =
+    Seq("dedup_", "text_", "sim_", "emb_", "mm_").exists(name.startsWith) ||
+      name == "sample_hash" || name == "sample_stratified"
+}
