@@ -93,20 +93,36 @@ object Similarity {
   def hyperplaneBucket(vec: Column, planes: Int): Column =
     vectors.hyperplane_bucket(vec, planes)
 
-  /** ANN top-k: restrict the candidate set to the query's LSH bucket, then
-    * exact-rerank by cosine. Recall < 1 by construction; `planes` trades
-    * recall vs candidate count (each plane halves the expected bucket).
+  /** ANN top-k via BANDED hyperplane LSH: a corpus vector is a candidate
+    * when ANY of `bands` independent `planes`-bit signatures matches the
+    * query's, then exact cosine reranks. Recall = 1-(1-p^planes)^bands
+    * (p = 1-θ/π per plane): bands buy recall, planes bound the per-band
+    * bucket (2^planes buckets → ~n/2^planes candidates per band per
+    * query). `bands = 1` is the classic single-table probe. The corpus
+    * side stays one map-side pass (bands×planes sign tests, no shuffle of
+    * vectors — candidates join against the broadcast query table).
     */
   def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, planes: Int = 6): DataFrame = {
-    val bq = broadcast(queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
-      vectors.float_norm(col(vecCol)).as("qn"),
-      hyperplaneBucket(col(vecCol), planes).as("bucket")))
-    val c = corpus.select(col(idCol).as("vid"), col(vecCol).as("cv"),
-      vectors.float_norm(col(vecCol)).as("cn"),
-      hyperplaneBucket(col(vecCol), planes).as("bucket"))
-    val scored = c.join(bq, Seq("bucket")).filter(col("qid") =!= col("vid"))
-      .withColumn("cos", vectors.float_dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+              vecCol: String, k: Int, planes: Int = 6, bands: Int = 1): DataFrame = {
+    def withBuckets(df: DataFrame, id: String, v: String, n: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(v),
+        vectors.float_norm(col(vecCol)).as(n),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            vectors.hyperplane_bucket_band(col(vecCol), planes, b).as("bucket"))): _*))
+          .as("bb"))
+        .select(col(id), col(v), col(n), col("bb.band").as("band"),
+          col("bb.bucket").as("bucket"))
+    val bq = broadcast(withBuckets(queries, "qid", "qv", "qn"))
+    val c = withBuckets(corpus, "vid", "cv", "cn")
+    // cosine computed BEFORE the dedup so the distinct shuffles only
+    // (qid, vid, cos) — never the vectors; a pair colliding in several
+    // bands costs a repeated map-side dot, not an array-wide shuffle row
+    val scored = c.join(bq, Seq("band", "bucket"))
+      .filter(col("qid") =!= col("vid"))
+      .select(col("qid"), col("vid"),
+        (vectors.float_dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("cos"))
+      .distinct()
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("vid"))
     scored.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)

@@ -971,7 +971,7 @@ object Catalog {
       (s, d) => {
         val e = embs(s, d)
         Similarity.annTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
-          k = 5, planes = 4)
+          k = 5, planes = 6, bands = 8)
           .withColumn("rk", col("rk").cast("long"))
           .orderBy("qid", "rk")
       },
@@ -994,7 +994,10 @@ object Catalog {
         val e = embs(s, d)
         val q = e.filter(col("vec_id") < 10)
         val exact = Similarity.bruteTopK(e, q, "vec_id", "embedding", k = 5)
-        val approx = Similarity.annTopK(e, q, "vec_id", "embedding", k = 5, planes = 4)
+        // banded probe (6 planes × 8 bands): the single 16-bucket table's
+        // recall collapsed to 0.32 once the corpus hit 200k vectors
+        val approx = Similarity.annTopK(e, q, "vec_id", "embedding",
+          k = 5, planes = 6, bands = 8)
         Similarity.recallAtK(exact, approx, 5).orderBy("qid")
       },
       None), // approx side uses xxhash64 hyperplanes — not DuckDB-expressible
