@@ -38,7 +38,13 @@ object TextStats {
     * shape is mirrored verbatim in the DuckDB oracle.
     */
   def langId(text: Column): Column = {
-    val scores = LangStopwords.map { case (l, sw) => l -> stopwordHits(text, sw) }
+    // per-language hit counts from ONE native pass (the relational form
+    // ran 4 interpreted filter-HOFs, each re-splitting the text); the
+    // argmax CASE shape — mirrored in the DuckDB oracle — is unchanged
+    val hits = graft.functions.text.lang_stop_hits(text, LangStopwords.map(_._2))
+    val scores = LangStopwords.zipWithIndex.map { case ((l, _), i) =>
+      l -> element_at(hits, i + 1)
+    }
     val anyHit = scores.map(_._2).reduce(_ + _) > 0
     val argmax = scores.zipWithIndex.foldRight(lit("und")) {
       case (((lang, s), idx), elseCol) =>

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{Bridge, MinHashSig, NgramShingles, NgramStats, SimHash64, TextProfile}
+import org.apache.spark.sql.graft.{Bridge, LangStopHits, MinHashSig, NgramShingles, NgramStats, SimHash64, TextProfile}
 
 /** Column-API wrappers over the codegen'd text-sketch expressions
   * (see org.apache.spark.sql.graft.TextExpressions).
@@ -38,4 +38,10 @@ object text {
     */
   def ngram_shingles(textCol: Column, n: Int): Column =
     Bridge.column(NgramShingles(Bridge.expression(textCol), n))
+
+  /** Per-language stopword hit counts (array in `langStopwords` order) in
+    * one map-side pass — see [[LangStopHits]].
+    */
+  def lang_stop_hits(textCol: Column, langStopwords: Seq[Seq[String]]): Column =
+    Bridge.column(LangStopHits(Bridge.expression(textCol), langStopwords))
 }

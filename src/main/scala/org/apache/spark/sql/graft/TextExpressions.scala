@@ -259,6 +259,69 @@ object TextProfile {
   }
 }
 
+/** Per-language stopword hit counts in ONE map-side pass — the input to
+  * the language-ID argmax. The relational form ran `size(filter(split(
+  * text, " "), w -> w.isin(<8 words>)))` per language: 4 interpreted
+  * HOF evaluations, each re-splitting the text and scanning an 8-way
+  * isin per token. This kernel walks the single-space tokens once and
+  * probes one hash set per language. Output: array of hit counts in
+  * `langStopwords` order; semantics identical to the SQL form, so the
+  * DuckDB langid oracle is unchanged.
+  */
+case class LangStopHits(child: Expression, langStopwords: Seq[Seq[String]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(langStopwords.nonEmpty)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "lang_stop_hits"
+
+  @transient private lazy val sets: Array[java.util.HashSet[String]] =
+    langStopwords.map { ws =>
+      val s = new java.util.HashSet[String](ws.size * 2)
+      ws.foreach(s.add)
+      s
+    }.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    LangStopHits.compute(input.asInstanceOf[UTF8String], sets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = LangStopHits.getClass.getName.stripSuffix("$")
+    val setsRef = ctx.addReferenceObj("stopSets", sets, "java.util.HashSet[]")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $cls.compute($t, (java.util.HashSet[]) $setsRef);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LangStopHits {
+  def compute(text: UTF8String, sets: Array[java.util.HashSet[String]]): ArrayData = {
+    val s = text.toString
+    val len = s.length
+    val hits = new Array[Int](sets.length)
+    var tokStart = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        if (i - tokStart <= 16) { // longest stopword is far under 16 chars
+          val tok = s.substring(tokStart, i)
+          var l = 0
+          while (l < sets.length) {
+            if (sets(l).contains(tok)) hits(l) += 1
+            l += 1
+          }
+        }
+        tokStart = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(hits.map(h => h: Any))
+  }
+}
+
 /** The word `n`-gram shingle ARRAY in one map-side pass — the native
   * replacement for the interpreted `wordShingles` HOF (split → sequence →
   * transform → concat_ws is CodegenFallback and re-evaluated per

@@ -105,6 +105,20 @@ class TextStatsSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("lang_stop_hits native kernel: parity with the per-language filter-HOF on fixture docs") {
+    val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+      .select("text")
+      .unionByName(Seq("", "the el der le", "the the the").toDF("text"))
+    val hits = graft.functions.text.lang_stop_hits(col("text"),
+      TextStats.LangStopwords.map(_._2))
+    val checks = TextStats.LangStopwords.zipWithIndex.map { case ((_, sw), i) =>
+      (element_at(hits, i + 1) =!= TextStats.stopwordHits(col("text"), sw)).as(s"m$i")
+    }
+    val mismatches = docs.select(checks: _*)
+      .filter(checks.indices.map(i => col(s"m$i")).reduce(_ || _)).count()
+    assert(mismatches == 0)
+  }
+
   test("cleanText masks emails and URLs and collapses whitespace") {
     val df = Seq(
       "Contact john.doe@example.com   or https://foo.bar/baz?q=1 \t now",
