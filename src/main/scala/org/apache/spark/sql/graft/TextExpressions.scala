@@ -214,7 +214,10 @@ case class TextProfile(child: Expression, stopwords: Seq[String])
 }
 
 object TextProfile {
-  private val WsSplit = java.util.regex.Pattern.compile("\\s+")
+  /** Longest stopword any caller registers — bounds substring allocation
+    * to candidate tokens only.
+    */
+  private val MaxStopwordLen = 16
 
   private def isRegexWs(c: Char): Boolean = // Java regex \s class
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
@@ -223,33 +226,41 @@ object TextProfile {
       : org.apache.spark.sql.catalyst.InternalRow = {
     val s = text.toString
     val len = s.length
+    // Spark's trim() strips the space character only (not Java trim's
+    // <= 0x20 range) — replicate exactly for the token-count window
+    var st = 0
+    var en = len
+    while (st < en && s.charAt(st) == ' ') st += 1
+    while (en > st && s.charAt(en - 1) == ' ') en -= 1
+    // one fused walk, no regex engine: char-class counts over the whole
+    // string; token count over the trimmed window with split("\s+", -1)
+    // field semantics (fields = ws-runs + 1 — leading ws contributes a
+    // leading "" field, empty input is the 1-element [""]); stopword
+    // hits over single-space fields, allocating substrings only for
+    // stopword-length tokens
     var nonSpace = 0
     var punct = 0
+    var nTokens = 1
+    var prevWs = false
+    var nStop = 0
+    var tokStart = 0
     var i = 0
-    while (i < len) {
-      val c = s.charAt(i)
-      if (!isRegexWs(c)) {
+    while (i <= len) {
+      val c = if (i < len) s.charAt(i) else ' '
+      if (i < len && !isRegexWs(c)) {
         nonSpace += 1
         val alnum = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
           (c >= '0' && c <= '9')
         if (!alnum) punct += 1
       }
-      i += 1
-    }
-    // Spark's trim() strips the space character only (not Java trim's
-    // <= 0x20 range) — replicate exactly before the regex token split
-    var st = 0
-    var en = len
-    while (st < en && s.charAt(st) == ' ') st += 1
-    while (en > st && s.charAt(en - 1) == ' ') en -= 1
-    val nTokens = WsSplit.split(s.substring(st, en), -1).length
-    // stopword hits over the SINGLE-SPACE split (matching split(text, " "))
-    var nStop = 0
-    var tokStart = 0
-    i = 0
-    while (i <= len) {
-      if (i == len || s.charAt(i) == ' ') {
-        if (stops.contains(s.substring(tokStart, i))) nStop += 1
+      if (i >= st && i < en) {
+        val ws = isRegexWs(c)
+        if (ws && !prevWs) nTokens += 1
+        prevWs = ws
+      }
+      if (i == len || c == ' ') { // single-space field boundary (or end)
+        if (i - tokStart <= MaxStopwordLen &&
+            stops.contains(s.substring(tokStart, i))) nStop += 1
         tokStart = i + 1
       }
       i += 1
