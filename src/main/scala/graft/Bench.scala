@@ -51,7 +51,11 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val docsScale = graft.queries.ScaledFixtures.multiplier(sfDir)
+    // report the scale the docs/emb queries actually ran at: 1 when
+    // scaling fell back to the raw fixtures, so a fallback run can't be
+    // mistaken for a scaled one in round-over-round comparisons
+    val docsScale =
+      if (scaledDir == sfDir) 1 else graft.queries.ScaledFixtures.multiplier(sfDir)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"docs_scale":$docsScale,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -23,7 +23,7 @@ object Changelog {
     // null-safe (<=>) like the rest of the diff algebra: a null-key row
     // classified 'changed' must have its old version captured too, or the
     // upsert rewrites it with no history trail
-    oldSnapshot.join(Diff.rightKeys(changed, key).distinct(),
+    oldSnapshot.join(Diff.rightKeys(changed, key, nullSafe).distinct(),
       Diff.nsCond(key, nullSafe), "left_semi")
 
   /** changelog_latest: reconstruct latest-version-per-key from an

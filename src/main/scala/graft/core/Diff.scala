@@ -47,13 +47,16 @@ object Diff {
     * [[Bucketing]] tables (proven in WarmBucketedPlanSpec).
     */
   /** Fail-fast guard for the `nullSafe = false` contract: a null value in
-    * a key declared non-null would silently classify its row
-    * 'deleted'+'new' on EVERY run under `===` (null never equals),
-    * breaking the apply(diff(i,e),i)==e round-trip forever. Instead the
-    * classification job itself fails with a clear message. The check is a
-    * per-row branch inside the existing key projection — distributed,
-    * codegen'd, no extra job — and folds away entirely when the column's
-    * schema already says non-nullable.
+    * a key declared non-null would silently mis-join on EVERY run under
+    * `===` (null never equals) — classify 'deleted'+'new', never fetch,
+    * never replace — breaking the apply(diff(i,e),i)==e round-trip
+    * forever. Instead the job itself fails with a clear message. The
+    * check is a per-row branch woven into the key expressions every
+    * operator in the algebra joins on ([[nsCond]] guards the left side,
+    * [[rightKeys]] the projected right side), so no operator can consume
+    * a null key silently — distributed, codegen'd, no extra job — and it
+    * folds away entirely when the column's schema already says
+    * non-nullable.
     */
   private def requireKey(c: Column, k: String, nullSafe: Boolean): Column =
     if (nullSafe) c
@@ -63,11 +66,13 @@ object Diff {
 
   private[core] def nsCond(key: Seq[String], nullSafe: Boolean = true): Column =
     key.map(k =>
-      if (nullSafe) col(k) <=> col(s"__dk_$k") else col(k) === col(s"__dk_$k"))
+      if (nullSafe) col(k) <=> col(s"__dk_$k")
+      else requireKey(col(k), k, nullSafe = false) === col(s"__dk_$k"))
       .reduce(_ && _)
 
-  private[core] def rightKeys(df: DataFrame, key: Seq[String]): DataFrame =
-    df.select(key.map(k => col(k).as(s"__dk_$k")): _*)
+  private[core] def rightKeys(df: DataFrame, key: Seq[String],
+                              nullSafe: Boolean = true): DataFrame =
+    df.select(key.map(k => requireKey(col(k), k, nullSafe).as(s"__dk_$k")): _*)
 
   /** (key, sig) projection — the persisted signature cache the reference
     * keeps in its `{t}_hashes_0/1` side tables (table.py:107-117).
@@ -121,7 +126,7 @@ object Diff {
     */
   def semiJoinChanged(source: DataFrame, keys: DataFrame, key: Seq[String],
                       nullSafe: Boolean = true): DataFrame =
-    source.join(rightKeys(keys, key).distinct(), nsCond(key, nullSafe), "left_semi")
+    source.join(rightKeys(keys, key, nullSafe).distinct(), nsCond(key, nullSafe), "left_semi")
 
   /** anti_join_deleted: rows present in `snapshot` but absent from
     * `source` (reference collects internal-only residue then issues
@@ -129,7 +134,7 @@ object Diff {
     */
   def antiJoinDeleted(snapshot: DataFrame, source: DataFrame, key: Seq[String],
                       nullSafe: Boolean = true): DataFrame =
-    snapshot.join(rightKeys(source, key), nsCond(key, nullSafe), "left_anti")
+    snapshot.join(rightKeys(source, key, nullSafe), nsCond(key, nullSafe), "left_anti")
 
   /** upsert_replace: REPLACE INTO semantics — new rows supersede old by
     * key, unmatched old rows survive (reference: download.py:572-577,
@@ -137,7 +142,7 @@ object Diff {
     */
   def upsertReplace(old: DataFrame, replacements: DataFrame, key: Seq[String],
                     nullSafe: Boolean = true): DataFrame =
-    old.join(rightKeys(replacements, key), nsCond(key, nullSafe), "left_anti")
+    old.join(rightKeys(replacements, key, nullSafe), nsCond(key, nullSafe), "left_anti")
       .unionByName(replacements)
 
   /** diff_apply: the end-to-end CDC contract —
@@ -152,7 +157,7 @@ object Diff {
     val touched = kinds.filter(col(KindCol).isin("changed", "new"))
     val fetched = semiJoinChanged(external, touched, key, nullSafe)
     val deleted = kinds.filter(col(KindCol) === "deleted")
-    val kept    = internal.join(rightKeys(deleted, key), nsCond(key, nullSafe), "left_anti")
+    val kept    = internal.join(rightKeys(deleted, key, nullSafe), nsCond(key, nullSafe), "left_anti")
     upsertReplace(kept, fetched, key, nullSafe)
   }
 }

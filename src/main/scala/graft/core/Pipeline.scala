@@ -412,7 +412,7 @@ object Pipeline {
     finally listing.close()
   }
 
-  private[core] def deleteRecursively(p: java.nio.file.Path): Unit = {
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit = {
     if (!java.nio.file.Files.exists(p)) return
     val walk = java.nio.file.Files.walk(p)
     try walk.sorted(java.util.Comparator.reverseOrder())

@@ -360,10 +360,18 @@ object Dedup {
   def embeddingNearDups(embs: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, planes: Int = 16, bands: Int = 8): DataFrame = {
     import graft.functions.vectors
-    val idx = embs.select(col(idCol).as("id"),
+    // ONE narrow (id, vec, norm) projection feeds all three consumers —
+    // the bucket index and both by-id vector fetches. The plan still has
+    // three branches, but any expensive expression upstream of `embs`
+    // (e.g. a synthetic perturbation) appears once, norm is computed in
+    // one place, and a caller that persists its input pays the upstream
+    // work exactly once across the branches.
+    val base = embs.select(col(idCol).as("id"), col(vecCol).as("__v"),
+      vectors.float_norm(col(vecCol)).as("__n"))
+    val idx = base.select(col("id"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
-            vectors.hyperplane_bucket_band(col(vecCol), planes, b).as("bucket"))): _*))
+            vectors.hyperplane_bucket_band(col("__v"), planes, b).as("bucket"))): _*))
           .as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val cands = idx.as("a")
@@ -372,10 +380,8 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    val va = embs.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
-      vectors.float_norm(col(vecCol)).as("__na"))
-    val vb = embs.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
-      vectors.float_norm(col(vecCol)).as("__nb"))
+    val va = base.select(col("id").as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
+    val vb = base.select(col("id").as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
     cands.join(va, "id_a").join(vb, "id_b")
       .select(col("id_a"), col("id_b"),
         round(vectors.float_dot(col("__va"), col("__vb")) /

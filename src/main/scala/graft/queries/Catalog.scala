@@ -69,16 +69,53 @@ object Catalog {
         .select(col("cluster_id"), col("id").as("kept_id"), col("quality"))
     }
 
+  /** Memoized shadow-planted embedding corpus for `dedup_embedding_cosine`:
+    * every vector plus a deterministic ±0.02/dim perturbed copy (cos ≈
+    * 0.996 to its source). Persisted so the interpreted `transform`
+    * perturbation and the base scan run ONCE, not once per consumer
+    * branch of the near-dup plan (bucket index + two by-id fetches).
+    */
+  private val embShadowCache = new QueryCache("embeddings.parquet")
+
+  private def embShadowed(s: SparkSession, d: String): DataFrame =
+    embShadowCache.get(s, d) { (ss, dd) =>
+      val e = embs(ss, dd).select(col("vec_id"), col("embedding"))
+      val shadow = e.select((col("vec_id") + lit(5000000L)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          (x.cast("double") +
+            (pmod(xxhash64(col("vec_id"), lit(777), i), lit(2001L)) - lit(1000L))
+              .cast("double") / lit(50000.0)).cast("float")).as("embedding"))
+      e.unionByName(shadow)
+    }
+
   /** One-file parquet write (streaming file sources deliver whole files;
     * one file == one deterministic micro-batch).
     */
   private def writeSingleFile(df: DataFrame, dir: String, name: String): Unit = {
     import java.nio.file._
-    val tmp = Files.createTempDirectory("graft_single").toString
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = Files.list(Paths.get(tmp))
-      .filter(_.toString.endsWith(".parquet")).findFirst().get()
-    Files.move(part, Paths.get(dir, name), StandardCopyOption.REPLACE_EXISTING)
+    val tmp = Files.createTempDirectory("graft_single")
+    try {
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val listing = Files.list(tmp)
+      val part =
+        try listing.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        finally listing.close()
+      Files.move(part, Paths.get(dir, name), StandardCopyOption.REPLACE_EXISTING)
+    } finally graft.core.Pipeline.deleteRecursively(tmp)
+  }
+
+  /** Scratch state directory for side-effecting harness queries, keyed by
+    * (query, input dir): wiped and recreated on each invocation, so
+    * repeated Bench/Verify rounds reuse ONE directory instead of
+    * accumulating temp copies of the corpus under /tmp. The latest run's
+    * state stays on disk (the returned DataFrame may read it lazily).
+    */
+  private def scratchDir(query: String, d: String): String = {
+    val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val p = java.nio.file.Paths.get(s"target/qstate/$query/$safe")
+    graft.core.Pipeline.deleteRecursively(p)
+    java.nio.file.Files.createDirectories(p)
+    p.toString
   }
 
   /** (rewritten, linked) bucket-partition counts of `snapshot/v=N`:
@@ -714,22 +751,27 @@ object Catalog {
         val o = Tables.load(s, d, "orders")
           .filter(col("o_orderkey") % 4 === 0)
           .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
-        val in = java.nio.file.Files.createTempDirectory("graft_cab_in").toString
-        val ck = java.nio.file.Files.createTempDirectory("graft_cab_ck").toString
-        val snap = java.nio.file.Files.createTempDirectory("graft_cab_sn").toString
-        writeSingleFile(o, in, "b1.parquet")
-        StreamingCdc.continuousApplyBucketed(s, in, ck, snap, "o_orderkey",
-          Seq("o_totalprice", "o_orderstatus"), nBuckets)
-        val delta = o.filter(col("o_orderkey") % 101 === 0)
-          .withColumn("o_totalprice", col("o_totalprice") + 1.0)
-        writeSingleFile(delta, in, "b2.parquet")
-        StreamingCdc.continuousApplyBucketed(s, in, ck, snap, "o_orderkey",
-          Seq("o_totalprice", "o_orderstatus"), nBuckets)
-        val rows = Seq(1L, 2L).map { v =>
-          val nRows = BucketedSnapshot.read(s, snap, "snapshot", v).count()
-          val (rewritten, linked) = bucketShareStats(snap, v)
-          (v, nRows, rewritten, linked)
-        }
+        // all metrics are computed EAGERLY below, so the state dirs can
+        // be deleted before returning — no per-invocation /tmp residue
+        val root = java.nio.file.Paths.get(scratchDir("cdc_bucketed_apply", d))
+        val rows =
+          try {
+            val in = s"$root/in"; val ck = s"$root/ck"; val snap = s"$root/sn"
+            java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+            writeSingleFile(o, in, "b1.parquet")
+            StreamingCdc.continuousApplyBucketed(s, in, ck, snap, "o_orderkey",
+              Seq("o_totalprice", "o_orderstatus"), nBuckets)
+            val delta = o.filter(col("o_orderkey") % 101 === 0)
+              .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+            writeSingleFile(delta, in, "b2.parquet")
+            StreamingCdc.continuousApplyBucketed(s, in, ck, snap, "o_orderkey",
+              Seq("o_totalprice", "o_orderstatus"), nBuckets)
+            Seq(1L, 2L).map { v =>
+              val nRows = BucketedSnapshot.read(s, snap, "snapshot", v).count()
+              val (rewritten, linked) = bucketShareStats(snap, v)
+              (v, nRows, rewritten, linked)
+            }
+          } finally graft.core.Pipeline.deleteRecursively(root)
         import s.implicits._
         rows.toDF("version", "n_rows", "buckets_rewritten", "buckets_linked")
           .orderBy("version")
@@ -794,7 +836,9 @@ object Catalog {
       // the replay-safe partitioned state layout end-to-end.
       (s, d) => {
         val all = docs(s, d)
-        val st = java.nio.file.Files.createTempDirectory("graft_gate").toString
+        // reused (wiped per invocation) — the returned frame reads the
+        // state lazily, so it must outlive this function
+        val st = scratchDir("dedup_ingest_gate", d)
         val p = graft.stream.StreamNearDup.Params()
         graft.stream.StreamNearDup.seedCorpus(all.filter(col("doc_id") % 3 === 0), st, p)
         graft.stream.StreamNearDup.processBatch(all.filter(col("doc_id") % 3 === 1), st, 1L, p)
@@ -897,21 +941,16 @@ object Catalog {
       // pairwise cos ≈ 0.49) — so plant a deterministic perturbed SHADOW
       // of every vector (±0.02/dim hash noise on a unit vector ⇒ cos ≈
       // 0.996) and detect at a real threshold. Banded hyperplane LSH
-      // (16 planes × 8 bands) proposes candidates — n·bands·n/65536
-      // pairs, never all-pairs — and exact cosine ≥ 0.9 verifies. The
-      // earlier single-band 16-bucket form was quadratic at 200k vectors
-      // (~10^9 candidate pairs).
-      (s, d) => {
-        val e = embs(s, d).select(col("vec_id"), col("embedding"))
-        val shadow = e.select((col("vec_id") + lit(5000000L)).as("vec_id"),
-          transform(col("embedding"), (x, i) =>
-            (x.cast("double") +
-              (pmod(xxhash64(col("vec_id"), lit(777), i), lit(2001L)) - lit(1000L))
-                .cast("double") / lit(50000.0)).cast("float")).as("embedding"))
-        Dedup.embeddingNearDups(e.unionByName(shadow), "vec_id", "embedding",
+      // (18 planes × 8 bands ⇒ 2^18 buckets/band) proposes candidates —
+      // ~n·bands·n/262144 pairs, never all-pairs — and exact cosine
+      // ≥ 0.9 verifies. The earlier single-band 16-bucket form was
+      // quadratic at 200k vectors (~10^9 candidate pairs). The perturbed
+      // input is memoized+persisted (embShadowed) so the interpreted
+      // transform runs once, not once per plan branch.
+      (s, d) =>
+        Dedup.embeddingNearDups(embShadowed(s, d), "vec_id", "embedding",
             threshold = 0.9, planes = 18, bands = 8)
-          .orderBy("id_a", "id_b")
-      },
+          .orderBy("id_a", "id_b"),
       None), // LSH bucketing uses xxhash64 — not expressible in DuckDB
 
     // ----- §7.5 similarity search

@@ -50,22 +50,47 @@ object ScaledFixtures {
     */
   val IdStride = 10000000L
 
+  /** Bump when the replication scheme changes (word bijection, noise
+    * amplitude, IdStride, partitioning) — invalidates cached corpora.
+    */
+  private val SchemeVersion = 2
+
+  /** Fingerprint of everything the cached corpus derives from: scheme
+    * version, multiplier, and the source parquet files' (name, size,
+    * mtime). Regenerated driver testdata or a scheme change ⇒ different
+    * string ⇒ the stale cache is rebuilt instead of silently served.
+    */
+  private def fingerprint(sfDir: String, m: Int): String = {
+    val files = Seq("documents.parquet", "embeddings.parquet").flatMap { t =>
+      val f = new java.io.File(sfDir, t)
+      val parts =
+        if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName) else Seq(f)
+      parts.map(p => s"${t}/${p.getName}:${p.length}:${p.lastModified}")
+    }
+    s"v$SchemeVersion m$m stride$IdStride\n${files.mkString("\n")}"
+  }
+
   /** Directory whose `documents.parquet`/`embeddings.parquet` are the
-    * scaled fixtures for `sfDir` — materialized on first call (marker
-    * file), `sfDir` itself when the multiplier is 1.
+    * scaled fixtures for `sfDir` — materialized on first call and reused
+    * while the marker's source fingerprint still matches; `sfDir` itself
+    * when the multiplier is 1.
     */
   def ensure(spark: SparkSession, sfDir: String): String = synchronized {
     val m = multiplier(sfDir)
     if (m <= 1) return sfDir
     val out = s"target/scaled/${new java.io.File(sfDir).getName}"
     val marker = new java.io.File(s"$out/_SCALED_OK")
-    if (!marker.exists()) {
+    val fp = fingerprint(sfDir, m)
+    val fresh = marker.exists() &&
+      java.nio.file.Files.readString(marker.toPath) == fp
+    if (!fresh) {
+      marker.delete() // no marker while (re)building — crash ⇒ rebuild
       scaledDocs(spark, sfDir, m)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
       scaledEmbeddings(spark, sfDir, m)
         .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
       marker.getParentFile.mkdirs()
-      java.nio.file.Files.writeString(marker.toPath, m.toString)
+      java.nio.file.Files.writeString(marker.toPath, fp)
     }
     out
   }

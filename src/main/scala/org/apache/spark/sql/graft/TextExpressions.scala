@@ -183,6 +183,8 @@ object NgramStats {
   */
 case class TextProfile(child: Expression, stopwords: Seq[String])
     extends UnaryExpression with ExpectsInputTypes {
+  require(stopwords.forall(_.length <= TextProfile.MaxStopwordLen),
+    s"stopwords must be <= ${TextProfile.MaxStopwordLen} chars (token probe cutoff)")
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = StructType(Seq(
     StructField("n_tokens_ws", IntegerType, nullable = false),
@@ -214,10 +216,11 @@ case class TextProfile(child: Expression, stopwords: Seq[String])
 }
 
 object TextProfile {
-  /** Longest stopword any caller registers — bounds substring allocation
-    * to candidate tokens only.
+  /** Longest stopword any caller may register (enforced by the
+    * constructors of [[TextProfile]] and [[LangStopHits]]) — bounds
+    * substring allocation to candidate tokens only.
     */
-  private val MaxStopwordLen = 16
+  val MaxStopwordLen = 16
 
   private def isRegexWs(c: Char): Boolean = // Java regex \s class
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
@@ -247,7 +250,13 @@ object TextProfile {
     var i = 0
     while (i <= len) {
       val c = if (i < len) s.charAt(i) else ' '
-      if (i < len && !isRegexWs(c)) {
+      // char-class counts are per CODE POINT (length()/regexp_replace
+      // semantics): a supplementary character counts once, so skip the
+      // low surrogate of a valid pair. \s and [A-Za-z0-9] are BMP-only,
+      // so ws/alnum checks on the code unit are exact for the rest.
+      val isLowOfPair = i < len && Character.isLowSurrogate(c) && i > 0 &&
+        Character.isHighSurrogate(s.charAt(i - 1))
+      if (i < len && !isRegexWs(c) && !isLowOfPair) {
         nonSpace += 1
         val alnum = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
           (c >= '0' && c <= '9')
@@ -282,6 +291,8 @@ object TextProfile {
 case class LangStopHits(child: Expression, langStopwords: Seq[Seq[String]])
     extends UnaryExpression with ExpectsInputTypes {
   require(langStopwords.nonEmpty)
+  require(langStopwords.forall(_.forall(_.length <= TextProfile.MaxStopwordLen)),
+    s"stopwords must be <= ${TextProfile.MaxStopwordLen} chars (token probe cutoff)")
   override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "lang_stop_hits"
@@ -317,7 +328,7 @@ object LangStopHits {
     var i = 0
     while (i <= len) {
       if (i == len || s.charAt(i) == ' ') {
-        if (i - tokStart <= 16) { // longest stopword is far under 16 chars
+        if (i - tokStart <= TextProfile.MaxStopwordLen) {
           val tok = s.substring(tokStart, i)
           var l = 0
           while (l < sets.length) {

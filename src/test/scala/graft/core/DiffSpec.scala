@@ -80,6 +80,27 @@ class DiffSpec extends AnyFunSuite {
     assert(messages(ex).exists(_.contains("null value in key 'id'")))
   }
 
+  test("nullSafe=false guard covers every join operator, both sides") {
+    // the guard lives in nsCond (left keys) + rightKeys (right keys), so
+    // upsertReplace/semiJoinChanged/antiJoinDeleted can't silently
+    // mis-join a null key either (a null-key old row would otherwise
+    // survive an upsert AND its replacement would append — duplicates)
+    val withNull = Seq((Some(1), "a", 1.0), (None, "n", 5.0)).toDF("id", "v", "w")
+    val clean    = Seq((Some(2), "b", 2.0)).toDF("id", "v", "w")
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    for (q <- Seq(
+        () => Diff.upsertReplace(withNull, clean, key, nullSafe = false),  // left
+        () => Diff.upsertReplace(clean, withNull, key, nullSafe = false),  // right
+        () => Diff.semiJoinChanged(withNull, clean, key, nullSafe = false),
+        () => Diff.antiJoinDeleted(withNull, clean, key, nullSafe = false),
+        () => Diff.antiJoinDeleted(clean, withNull, key, nullSafe = false))) {
+      val ex = intercept[Exception](q().collect())
+      assert(messages(ex).exists(_.contains("null value in key 'id'")),
+        s"expected fail-fast, got: ${messages(ex).take(2).mkString(" | ")}")
+    }
+  }
+
   test("upsertReplace: new version wins, unmatched rows survive") {
     val old = df((1, "a", 1.0), (2, "b", 2.0))
     val repl = df((2, "B", 9.0), (3, "c", 3.0))

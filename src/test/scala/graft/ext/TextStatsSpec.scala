@@ -86,7 +86,10 @@ class TextStatsSpec extends AnyFunSuite {
     val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
       .select("text")
       .unionByName(Seq("", " ", "a", "the the the", "¡hola! señor,  tab\there",
-        " padded  ", "x@y !!").toDF("text"))
+        " padded  ", "x@y !!",
+        // supplementary (non-BMP) chars: length()/regexp_replace count code
+        // points, so each emoji is ONE char and ONE punct, not two units
+        "😀 the 😀😀 ok", "a😀b").toDF("text"))
     val stops = TextStats.LangStopwords.flatMap(_._2)
     val st = graft.functions.text.text_profile(col("text"), stops)
     val mismatches = docs.select(

@@ -57,6 +57,34 @@ class ScaledFixturesSpec extends AnyFunSuite {
     scaled.unpersist()
   }
 
+  test("ensure() rebuilds when the source fixtures change (stale-marker guard)") {
+    // an sf name unused by real testdata so the cache dir can't collide
+    val root = java.nio.file.Files.createTempDirectory("sfx").toFile
+    val sfDir = new java.io.File(root, "sf0.004") // multiplier 4
+    assert(ScaledFixtures.multiplier(sfDir.toString) == 4)
+    val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+    val embs = graft.core.Tables.load(spark, TestSpark.Sf, "embeddings")
+    def writeSrc(nDocs: Int): Unit = {
+      docs.orderBy("doc_id").limit(nDocs).coalesce(1).write
+        .mode("overwrite").parquet(s"$sfDir/documents.parquet")
+      embs.orderBy("vec_id").limit(10).coalesce(1).write
+        .mode("overwrite").parquet(s"$sfDir/embeddings.parquet")
+    }
+    writeSrc(50)
+    val out = ScaledFixtures.ensure(spark, sfDir.toString)
+    assert(spark.read.parquet(s"$out/documents.parquet").count() == 50 * 4)
+    // same sources ⇒ served from cache (marker mtime unchanged)
+    val markerPath = java.nio.file.Paths.get(out, "_SCALED_OK")
+    val t1 = java.nio.file.Files.getLastModifiedTime(markerPath)
+    ScaledFixtures.ensure(spark, sfDir.toString)
+    assert(java.nio.file.Files.getLastModifiedTime(markerPath) == t1)
+    // regenerated sources (different sizes/mtimes) ⇒ rebuilt, not stale
+    writeSrc(30)
+    val out2 = ScaledFixtures.ensure(spark, sfDir.toString)
+    assert(spark.read.parquet(s"$out2/documents.parquet").count() == 30 * 4,
+      "stale scaled corpus served after the source fixtures changed")
+  }
+
   test("scaled embeddings: m× rows, replica 0 verbatim, replicas perturbed but close") {
     val m = 2
     val base = graft.core.Tables.load(spark, TestSpark.Sf, "embeddings")
