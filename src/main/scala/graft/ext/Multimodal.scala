@@ -7,12 +7,18 @@ import org.apache.spark.sql.functions._
   * video as opaque `binary` columns with typed metadata, processed in
   * fixed-size batches per partition.
   *
-  * The Spark-side plumbing — schemas, partition-parallel batched
-  * iteration, deterministic output shapes, aspect-ratio math — is real
-  * and tested. The actual media decode is STUBBED (===> `fakeDecode` /
-  * `frameCrc` <===): this container has no image/audio codecs, so a
-  * deterministic CRC-based fake stands in where a JNI/FFI decoder (or
-  * `mapInArrow` to a Python worker running PIL/ffmpeg) would plug in.
+  * Two tiers:
+  *
+  *  - IMAGES are decoded FOR REAL via the JDK's own codec stack
+  *    (`javax.imageio`, headless-safe for PNG/JPEG/BMP/GIF): see
+  *    [[imageFeatures]] (dims + per-channel means + a 64-bit perceptual
+  *    aHash) and [[resizeEncode]] (true pixel resample, Graphics2D
+  *    area-averaging, re-encoded PNG). No external libraries.
+  *  - VIDEO/AUDIO frame extraction stays an honest STUB
+  *    ([[frameSample]]'s byte-range CRC): the JDK has no container
+  *    demuxers; a JNI/FFI decoder (or `mapInArrow` to an ffmpeg worker)
+  *    would plug into the same batched-partition contract.
+  *
   * Every operator is a narrow transform: no shuffles, scales linearly
   * with the corpus.
   */
@@ -89,6 +95,188 @@ object Multimodal {
         }
       }
     }
+  }
+
+  // ------------------------------------------------------------------
+  // REAL image path (JDK ImageIO — no external codecs needed)
+  // ------------------------------------------------------------------
+
+  final case class ImageFeatures(media_id: Long, decode_ok: Boolean,
+                                 width: Int, height: Int,
+                                 mean_r: Double, mean_g: Double, mean_b: Double,
+                                 ahash: Long)
+
+  /** Deterministic synthetic PNG: `variant` selects the base pattern
+    * (near-dup copies of one image share a variant), `noise` flips a few
+    * pixels so copies are perceptually-equal-but-not-byte-equal. Pixels
+    * are a pure function of (variant, x, y) — a smooth gradient keyed by
+    * the variant plus a variant-hashed block pattern — so every render is
+    * reproducible across partitions/executors.
+    */
+  def renderSyntheticPng(variant: Long, w: Int, h: Int, noise: Int = 0): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val seed = variant * 0x9E3779B97F4A7C15L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val block = ((x / 4) * 31 + (y / 4) * 17 + seed) & 0xff
+        val r = (x * 255 / math.max(w - 1, 1) + block) & 0xff
+        val g = (y * 255 / math.max(h - 1, 1) ^ (seed >>> 8)) & 0xff
+        val b = (seed >>> 16) & 0xff
+        img.setRGB(x, y, (r.toInt << 16) | (g.toInt << 8) | b.toInt)
+        x += 1
+      }
+      y += 1
+    }
+    // perceptual-preserving noise: flip the LOW BLUE BIT of `noise`
+    // pixels at hashed positions — the payload bytes change (PNG encodes
+    // the exact pixels) while the 8x8 gray cell means move by at most
+    // 1/cell-size of one gray level, so the perceptual aHash is stable
+    var n = 0
+    while (n < noise) {
+      val p = (seed ^ ((n + 1) * 0xBF58476D1CE4E5B9L)) & Long.MaxValue
+      val (nx, ny) = ((p % w).toInt, ((p / w) % h).toInt)
+      img.setRGB(nx, ny, img.getRGB(nx, ny) ^ 0x1)
+      n += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Deterministic per-id synthetic image corpus: `variant = id %
+    * nVariants`, so ids sharing a variant render perceptually-identical
+    * images while per-id pixel noise keeps their bytes distinct — the
+    * planted ground truth for perceptual dedup. Render cost is real
+    * (PNG encode per row), partition-parallel, no shuffle.
+    */
+  def renderMedia(spark: SparkSession, ids: DataFrame, idCol: String,
+                  nVariants: Int = 50, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { id =>
+        val variant = id % nVariants
+        val w = 48 + (variant % 4).toInt * 8
+        val h = 32 + (variant % 3).toInt * 8
+        MediaRow(id, renderSyntheticPng(variant, w, h,
+          noise = (id / nVariants % 3).toInt))
+      })
+    }.toDF("media_id", "payload")
+  }
+
+  private def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: Exception => None }
+
+  /** 64-bit average hash (aHash): area-average the image down to 8x8
+    * grayscale, set bit (row*8+col) where the cell is >= the 8x8 mean.
+    * Perceptually-similar images (resizes, small noise) agree on most
+    * bits; hamming distance is the near-dup measure. Computed from raw
+    * pixels — no per-cell resample call — one pass over the image.
+    */
+  def aHash(img: java.awt.image.BufferedImage): Long = {
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    val w = img.getWidth
+    val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      val cy = math.min(y * 8 / h, 7)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(x * 8 / w, 7)
+        val rgb = img.getRGB(x, y)
+        val gray = ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000
+        sums(cy * 8 + cx) += gray
+        counts(cy * 8 + cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val cells = Array.tabulate(64)(i =>
+      if (counts(i) > 0) sums(i).toDouble / counts(i) else 0.0)
+    val mean = cells.sum / 64.0
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (cells(i) >= mean) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** REAL batched image decode: dims, per-channel means, perceptual
+    * aHash via the JDK codec. Non-image payloads yield a
+    * `decode_ok = false` row (zeros) instead of failing the task — the
+    * corrupt-input discipline a 100 TB crawl corpus requires. Narrow
+    * transform, partition-parallel, batch shape identical to
+    * [[decodeFeatures]].
+    */
+  def imageFeatures(spark: SparkSession, media: DataFrame,
+                    batchSize: Int = 64): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          decodeImage(r.payload) match {
+            case Some(img) =>
+              val w = img.getWidth
+              val h = img.getHeight
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val n = w.toLong * h
+              ImageFeatures(r.media_id, decode_ok = true, w, h,
+                sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, aHash(img))
+            case None =>
+              ImageFeatures(r.media_id, decode_ok = false, 0, 0, 0.0, 0.0, 0.0, 0L)
+          }
+        }
+      }
+    }
+  }
+
+  /** REAL aspect-preserving pixel resize (area-averaging resample) +
+    * PNG re-encode. Undecodable payloads pass through unchanged with
+    * `resized = false`.
+    */
+  def resizeEncode(spark: SparkSession, media: DataFrame, maxW: Int, maxH: Int,
+                   batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          decodeImage(r.payload) match {
+            case Some(img) =>
+              val scale = math.min(1.0,
+                math.min(maxW.toDouble / img.getWidth, maxH.toDouble / img.getHeight))
+              val ow = math.max((img.getWidth * scale).toInt, 1)
+              val oh = math.max((img.getHeight * scale).toInt, 1)
+              val small = new java.awt.image.BufferedImage(ow, oh,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              val g = small.createGraphics()
+              g.drawImage(img.getScaledInstance(ow, oh,
+                java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
+              g.dispose()
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(small, "png", out)
+              (r.media_id, true, ow, oh, out.toByteArray)
+            case None => (r.media_id, false, 0, 0, r.payload)
+          }
+        }
+      }
+    }.toDF("media_id", "resized", "out_width", "out_height", "payload")
   }
 
   /** "Resize" at the metadata level: aspect-preserving fit of decoded

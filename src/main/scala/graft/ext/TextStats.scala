@@ -62,12 +62,18 @@ object TextStats {
     *  - stopword ratio in [2%, 60%] → 1 else 0.5
     *  - punct ratio <= 20% → 1 else (1 - ratio)
     */
-  def qualityScore(text: Column): Column = {
-    // all five inputs come from the single-pass native TextProfile kernel
-    // (one char walk + hash-set stopword lookups) instead of ~6 regex/
-    // split/HOF passes per row; the score formula itself is unchanged,
-    // so the DuckDB oracle is too
-    val st = graft.functions.text.text_profile(text, LangStopwords.flatMap(_._2))
+  def qualityScore(text: Column): Column =
+    qualityFromProfile(graft.functions.text.text_profile(
+      text, LangStopwords.flatMap(_._2)))
+
+  /** Quality score from a pre-projected [[graft.functions.text.text_profile]]
+    * struct — all inputs come from the single-pass native kernel (one
+    * char walk + hash-set stopword lookups) instead of ~6 regex/split/
+    * HOF passes per row; callers that need other profile fields project
+    * the struct ONCE and derive everything from it. The score formula is
+    * unchanged, so the DuckDB oracle is too.
+    */
+  def qualityFromProfile(st: Column): Column = {
     val toks = st.getField("n_tokens_ws").cast("double")
     val chars = st.getField("n_chars").cast("double")
     val punct = st.getField("n_punct").cast("double") / chars

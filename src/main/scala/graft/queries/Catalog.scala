@@ -88,6 +88,54 @@ object Catalog {
       e.unionByName(shadow)
     }
 
+  /** Memoized REAL image features (JDK ImageIO decode of the synthetic
+    * per-doc PNG corpus): rendered + decoded once per (session, dir),
+    * shared by `mm_image_features` and `mm_image_neardup`.
+    */
+  private val mmFeatsCache = new QueryCache("documents.parquet")
+
+  private def mmImageFeats(s: SparkSession, d: String): DataFrame =
+    mmFeatsCache.get(s, d) { (ss, dd) =>
+      Multimodal.imageFeatures(ss,
+        Multimodal.renderMedia(ss, docs(ss, dd), "doc_id")).toDF()
+    }
+
+  /** Memoized similarity-search building blocks shared across the sim_*
+    * family: the exact brute-force top-k is the ground truth for BOTH
+    * recall queries and the oracled `sim_topk_brute`; the banded-LSH
+    * top-k feeds `sim_ann_lsh` and `sim_recall_lsh`; the IVF top-k feeds
+    * `sim_ivf` and `sim_recall_ivf`. Each is computed once per
+    * (session, dir) — at 200k bench vectors the brute scan and the LSH
+    * probe dominate the family's cost, and without memoization each ran
+    * 2-3× (once per consuming query).
+    */
+  private val simBruteCache = new QueryCache("embeddings.parquet")
+
+  private def simBrute5(s: SparkSession, d: String): DataFrame =
+    simBruteCache.get(s, d) { (ss, dd) =>
+      val e = embs(ss, dd)
+      Similarity.bruteTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+    }
+
+  private val simAnnLshCache = new QueryCache("embeddings.parquet")
+
+  private def simAnnLsh5(s: SparkSession, d: String): DataFrame =
+    simAnnLshCache.get(s, d) { (ss, dd) =>
+      val e = embs(ss, dd)
+      Similarity.annTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, planes = 6, bands = 8)
+    }
+
+  private val simIvfCache = new QueryCache("embeddings.parquet")
+
+  private def simIvf5(s: SparkSession, d: String): DataFrame =
+    simIvfCache.get(s, d) { (ss, dd) =>
+      val e = embs(ss, dd)
+      val idx = IvfIndex.build(ss, e, "vec_id", "embedding", nlist = 8)
+      IvfIndex.topK(ss, idx, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nprobe = 2)
+    }
+
   /** One-file parquet write (streaming file sources deliver whole files;
     * one file == one deterministic micro-batch).
     */
@@ -747,7 +795,7 @@ object Catalog {
         val nBuckets = 32
         // cap the base batch (~orders/4): the metrics this query tracks
         // (rewritten vs linked buckets) are layout properties, and the
-        // two streaming-query startups already dominate its wall clock
+        // streaming-query startup already dominates its wall clock
         val o = Tables.load(s, d, "orders")
           .filter(col("o_orderkey") % 4 === 0)
           .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
@@ -758,14 +806,21 @@ object Catalog {
           try {
             val in = s"$root/in"; val ck = s"$root/ck"; val snap = s"$root/sn"
             java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
-            writeSingleFile(o, in, "b1.parquet")
-            StreamingCdc.continuousApplyBucketed(s, in, ck, snap, "o_orderkey",
-              Seq("o_totalprice", "o_orderstatus"), nBuckets)
+            // both batch files up front with strictly ordered mtimes, then
+            // ONE stream run with maxFilesPerTrigger=1 drains them as two
+            // micro-batches (two versioned commits) — one query startup
+            // instead of two, same state machine and layout metrics
             val delta = o.filter(col("o_orderkey") % 101 === 0)
               .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+            writeSingleFile(o, in, "b1.parquet")
             writeSingleFile(delta, in, "b2.parquet")
+            val b1 = java.nio.file.Paths.get(in, "b1.parquet")
+            java.nio.file.Files.setLastModifiedTime(b1,
+              java.nio.file.attribute.FileTime.fromMillis(
+                java.nio.file.Files.getLastModifiedTime(b1).toMillis - 60000))
             StreamingCdc.continuousApplyBucketed(s, in, ck, snap, "o_orderkey",
-              Seq("o_totalprice", "o_orderstatus"), nBuckets)
+              Seq("o_totalprice", "o_orderstatus"), nBuckets,
+              maxFilesPerTrigger = Some(1))
             Seq(1L, 2L).map { v =>
               val nRows = BucketedSnapshot.read(s, snap, "snapshot", v).count()
               val (rewritten, linked) = bucketShareStats(snap, v)
@@ -936,6 +991,35 @@ object Catalog {
         .orderBy("media_id", "frame_idx"),
       None), // CRC-stub frame decode — engine-internal
 
+    Entry("mm_image_features",
+      // REAL image decode, end-to-end through the JDK codec: render one
+      // deterministic PNG per doc (variant = doc_id % 50 plants
+      // perceptual dup groups; per-doc pixel noise keeps bytes distinct),
+      // decode it back with ImageIO, emit dims + channel means + the
+      // 64-bit perceptual aHash. No CRC stand-ins anywhere on this path.
+      (s, d) => mmImageFeats(s, d)
+        .select(col("media_id"), col("decode_ok"), col("width"), col("height"),
+          round(col("mean_r"), 2).as("mean_r"),
+          round(col("mean_g"), 2).as("mean_g"),
+          round(col("mean_b"), 2).as("mean_b"), col("ahash"))
+        .orderBy("media_id"),
+      None), // pixel decode — not expressible in DuckDB
+
+    Entry("mm_image_neardup",
+      // perceptual image dedup over the decoded aHash: byte-distinct
+      // renders of the same variant collapse to one 64-bit key; the
+      // dedup_exact window shape (is_dup vs the group's min id) keeps the
+      // output LINEAR in corpus size — never pairs
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        mmImageFeats(s, d)
+          .select(col("media_id"), col("ahash"),
+            when(col("media_id") =!= min("media_id")
+              .over(Window.partitionBy("ahash")), 1).otherwise(0).as("is_dup"))
+          .orderBy("media_id")
+      },
+      None), // pixel decode — not expressible in DuckDB
+
     Entry("dedup_embedding_cosine",
       // near-dup detection needs near-dups, and the fixture has none (max
       // pairwise cos ≈ 0.49) — so plant a deterministic perturbed SHADOW
@@ -955,12 +1039,9 @@ object Catalog {
 
     // ----- §7.5 similarity search
     Entry("sim_topk_brute",
-      (s, d) => {
-        val e = embs(s, d)
-        Similarity.bruteTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
-          .withColumn("rk", col("rk").cast("long"))
-          .orderBy("qid", "rk")
-      },
+      (s, d) => simBrute5(s, d)
+        .withColumn("rk", col("rk").cast("long"))
+        .orderBy("qid", "rk"),
       Some(Oracles.topkOracle)),
 
     Entry("sim_topk_native",
@@ -1007,48 +1088,29 @@ object Catalog {
              |SELECT qid, vid, cosim, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)),
 
     Entry("sim_ann_lsh",
-      (s, d) => {
-        val e = embs(s, d)
-        Similarity.annTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
-          k = 5, planes = 6, bands = 8)
-          .withColumn("rk", col("rk").cast("long"))
-          .orderBy("qid", "rk")
-      },
+      (s, d) => simAnnLsh5(s, d)
+        .withColumn("rk", col("rk").cast("long"))
+        .orderBy("qid", "rk"),
       None), // hyperplanes derived from xxhash64 — not expressible in DuckDB
 
     Entry("sim_ivf",
-      (s, d) => {
-        val e = embs(s, d)
-        val idx = IvfIndex.build(s, e, "vec_id", "embedding", nlist = 8)
-        IvfIndex.topK(s, idx, e.filter(col("vec_id") < 10), "vec_id", "embedding",
-          k = 5, nprobe = 2)
-          .withColumn("rk", col("rk").cast("long"))
-          .orderBy("qid", "rk")
-      },
+      (s, d) => simIvf5(s, d)
+        .withColumn("rk", col("rk").cast("long"))
+        .orderBy("qid", "rk"),
       None), // KMeans centroid training — not expressible in DuckDB
 
     Entry("sim_recall_lsh",
       (s, d) => { // ANN quality as a first-class tracked metric: recall@5
-        // of the hyperplane-LSH path vs the exact brute-force top-k
-        val e = embs(s, d)
-        val q = e.filter(col("vec_id") < 10)
-        val exact = Similarity.bruteTopK(e, q, "vec_id", "embedding", k = 5)
-        // banded probe (6 planes × 8 bands): the single 16-bucket table's
-        // recall collapsed to 0.32 once the corpus hit 200k vectors
-        val approx = Similarity.annTopK(e, q, "vec_id", "embedding",
-          k = 5, planes = 6, bands = 8)
-        Similarity.recallAtK(exact, approx, 5).orderBy("qid")
+        // of the hyperplane-LSH path (banded 6 planes × 8 bands — the
+        // single 16-bucket table's recall collapsed to 0.32 at 200k
+        // vectors) vs the exact brute-force top-k; both sides memoized
+        Similarity.recallAtK(simBrute5(s, d), simAnnLsh5(s, d), 5).orderBy("qid")
       },
       None), // approx side uses xxhash64 hyperplanes — not DuckDB-expressible
 
     Entry("sim_recall_ivf",
       (s, d) => { // recall@5 of the IVF path (nprobe=2 of nlist=8) vs brute
-        val e = embs(s, d)
-        val q = e.filter(col("vec_id") < 10)
-        val exact = Similarity.bruteTopK(e, q, "vec_id", "embedding", k = 5)
-        val idx = IvfIndex.build(s, e, "vec_id", "embedding", nlist = 8)
-        val approx = IvfIndex.topK(s, idx, q, "vec_id", "embedding", k = 5, nprobe = 2)
-        Similarity.recallAtK(exact, approx, 5).orderBy("qid")
+        Similarity.recallAtK(simBrute5(s, d), simIvf5(s, d), 5).orderBy("qid")
       },
       None), // KMeans quantizer — not DuckDB-expressible
 
@@ -1060,10 +1122,17 @@ object Catalog {
       Some(Oracles.langIdSql)),
 
     Entry("text_quality",
-      (s, d) => docs(s, d).select(col("doc_id"),
-        TextStats.tokensWs(col("text")).cast("long").as("n_tokens"),
-        TextStats.tokensBpeish(col("text")).cast("long").as("n_bpeish"),
-        TextStats.qualityScore(col("text")).as("quality"))
+      // ONE TextProfile kernel pass per doc: token counts AND the score
+      // derive from the same projected struct (the earlier form paid two
+      // extra regex scans — split for n_tokens, regexp_count for
+      // n_bpeish — on top of the kernel)
+      (s, d) => docs(s, d)
+        .select(col("doc_id"), graft.functions.text.text_profile(
+          col("text"), TextStats.LangStopwords.flatMap(_._2)).as("st"))
+        .select(col("doc_id"),
+          col("st.n_tokens_ws").cast("long").as("n_tokens"),
+          col("st.n_bpeish").cast("long").as("n_bpeish"),
+          TextStats.qualityFromProfile(col("st")).as("quality"))
         .orderBy("doc_id"),
       Some(Oracles.qualitySql)),
 
@@ -1114,8 +1183,11 @@ object Catalog {
           explode(Dedup.wordShingles(col("text"), 3)).as("sh"))
         val bench = sh.filter(col("doc_id") % 97 === 0)
           .select(col("sh").as("bsh")).distinct()
+        // the distinct benchmark shingle set is small by construction
+        // (held-out benchmarks are MBs, corpora are TBs) — broadcast it
+        // so the 10M-shingle corpus side never shuffles
         val flagged = sh.filter(col("doc_id") % 97 =!= 0)
-          .join(bench, col("sh") === col("bsh"), "left_outer")
+          .join(broadcast(bench), col("sh") === col("bsh"), "left_outer")
           .groupBy("doc_id")
           .agg(count(lit(1)).cast("long").as("n_ngrams"),
             count(col("bsh")).cast("long").as("n_contaminated"))

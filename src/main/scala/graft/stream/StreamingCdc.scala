@@ -147,10 +147,18 @@ object StreamingCdc {
   def continuousApplyBucketed(spark: org.apache.spark.sql.SparkSession, inputDir: String,
                               checkpointDir: String, snapshotDir: String, keyCol: String,
                               dataCols: Seq[String], nBuckets: Int,
-                              orderCol: Option[String] = None): Unit = {
+                              orderCol: Option[String] = None,
+                              maxFilesPerTrigger: Option[Int] = None): Unit = {
     import graft.core.{BucketedSnapshot => BS, Diff, Pipeline}
     val schema = spark.read.parquet(inputDir).schema
-    val stream = spark.readStream.schema(schema).parquet(inputDir)
+    // maxFilesPerTrigger splits already-present files into separate
+    // micro-batches (oldest mtime first) — N pending files become N
+    // versioned commits from ONE query startup, instead of paying the
+    // stream-startup fixed cost once per batch
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(inputDir)
     val q = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>

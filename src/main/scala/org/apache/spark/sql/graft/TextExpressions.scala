@@ -167,8 +167,8 @@ object NgramStats {
 }
 
 /** Whole text-quality profile — `(n_tokens_ws, n_chars, n_non_space,
-  * n_punct, n_stop)` — in ONE map-side pass. The relational quality
-  * score ran ~6 passes per row (trim+regex-split token count, two
+  * n_punct, n_stop, n_bpeish)` — in ONE map-side pass. The relational
+  * quality score ran ~6 passes per row (trim+regex-split token count, two
   * regexp_replace scans, a split, and an interpreted `filter` HOF doing
   * a 32-way `isin` per token — the dominant cost at corpus scale); this
   * kernel walks the characters once and checks stopwords against a hash
@@ -180,6 +180,10 @@ object NgramStats {
   *  - n_non_space  == length(regexp_replace(text, "\\s", ""))
   *  - n_punct      == n of chars outside [A-Za-z0-9] and \s
   *  - n_stop       == size(filter(split(text, " "), w -> w in stopwords))
+  *  - n_bpeish     == regexp_count(text, "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]")
+  *    (alpha RUNS + single digits + single punct code points — the
+  *    alternation is anchored-free and each branch is code-point-wise,
+  *    so run count + digit count + the punct count already computed)
   */
 case class TextProfile(child: Expression, stopwords: Seq[String])
     extends UnaryExpression with ExpectsInputTypes {
@@ -191,7 +195,8 @@ case class TextProfile(child: Expression, stopwords: Seq[String])
     StructField("n_chars", IntegerType, nullable = false),
     StructField("n_non_space", IntegerType, nullable = false),
     StructField("n_punct", IntegerType, nullable = false),
-    StructField("n_stop", IntegerType, nullable = false)))
+    StructField("n_stop", IntegerType, nullable = false),
+    StructField("n_bpeish", IntegerType, nullable = false)))
   override def prettyName: String = "text_profile"
 
   @transient private lazy val stopSet: java.util.HashSet[String] = {
@@ -247,6 +252,9 @@ object TextProfile {
     var prevWs = false
     var nStop = 0
     var tokStart = 0
+    var alphaRuns = 0
+    var digits = 0
+    var inAlphaRun = false
     var i = 0
     while (i <= len) {
       val c = if (i < len) s.charAt(i) else ' '
@@ -258,10 +266,13 @@ object TextProfile {
         Character.isHighSurrogate(s.charAt(i - 1))
       if (i < len && !isRegexWs(c) && !isLowOfPair) {
         nonSpace += 1
-        val alnum = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
-          (c >= '0' && c <= '9')
-        if (!alnum) punct += 1
-      }
+        val alpha = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')
+        val digit = c >= '0' && c <= '9'
+        if (!alpha && !digit) punct += 1
+        if (digit) digits += 1
+        if (alpha && !inAlphaRun) alphaRuns += 1
+        inAlphaRun = alpha
+      } else if (!isLowOfPair) inAlphaRun = false
       if (i >= st && i < en) {
         val ws = isRegexWs(c)
         if (ws && !prevWs) nTokens += 1
@@ -275,7 +286,8 @@ object TextProfile {
       i += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](nTokens, text.numChars(), nonSpace, punct, nStop))
+      Array[Any](nTokens, text.numChars(), nonSpace, punct, nStop,
+        alphaRuns + digits + punct))
   }
 }
 

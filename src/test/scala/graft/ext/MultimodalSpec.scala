@@ -38,6 +38,58 @@ class MultimodalSpec extends AnyFunSuite {
     assert(again.toSeq == frames.sortBy(f => (f.media_id, f.frame_idx)).toSeq)
   }
 
+  test("imageFeatures: REAL decode round-trip — dims, means, aHash all from actual pixels") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ids = (0L until 200L).toDF("id")
+    val media = Multimodal.renderMedia(spark, ids, "id", nVariants = 20)
+    val feats = Multimodal.imageFeatures(spark, media).collect().sortBy(_.media_id)
+    assert(feats.length == 200 && feats.forall(_.decode_ok))
+    // decoded dims match what renderMedia encoded for the id's variant
+    feats.foreach { f =>
+      val v = f.media_id % 20
+      assert(f.width == 48 + (v % 4).toInt * 8 && f.height == 32 + (v % 3).toInt * 8)
+      assert(f.mean_r > 0 && f.mean_r < 255 &&
+        f.mean_g >= 0 && f.mean_g < 255 && f.mean_b >= 0 && f.mean_b < 255)
+    }
+    // deterministic across batch sizes (vectorized-decode contract)
+    val again = Multimodal.imageFeatures(spark, media, batchSize = 7)
+      .collect().sortBy(_.media_id)
+    assert(again.toSeq == feats.toSeq)
+    // perceptual grouping: same variant ⇒ same aHash even though payload
+    // BYTES differ (per-id noise); different variants get distinct hashes
+    val byVariant = feats.groupBy(_.media_id % 20)
+    assert(byVariant.values.forall(g => g.map(_.ahash).distinct.length == 1),
+      "noisy copies of one variant must agree on the perceptual hash")
+    assert(byVariant.map(_._2.head.ahash).toSeq.distinct.length == 20,
+      "distinct variants must not collide")
+    val payloads = media.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(payloads(0L) != payloads(20L),
+      "same variant must still be byte-distinct (noise)")
+    // non-image payloads: decode_ok = false row, not a task failure
+    val garbage = Seq((999L, "not a png".getBytes("UTF-8"))).toDF("media_id", "payload")
+    val g = Multimodal.imageFeatures(spark, garbage).collect()
+    assert(g.length == 1 && !g.head.decode_ok && g.head.ahash == 0L)
+  }
+
+  test("resizeEncode: real pixel resample — output re-decodes at the fitted size, aHash preserved") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ids = Seq(7L, 27L).toDF("id") // same variant (7 % 20) at nVariants=20
+    val media = Multimodal.renderMedia(spark, ids, "id", nVariants = 20)
+    val resized = Multimodal.resizeEncode(spark, media, maxW = 28, maxH = 28)
+    val back = Multimodal.imageFeatures(spark,
+      resized.select(col("media_id"), col("payload"))).collect().sortBy(_.media_id)
+    assert(back.forall(_.decode_ok))
+    // variant 7: 48+3*8=72 wide, 32+1*8=40 tall -> fit into 28x28
+    assert(back.forall(f => f.width == 28 && f.height == 15))
+    // perceptual hash survives a real downscale (that is the point of aHash)
+    val orig = Multimodal.imageFeatures(spark, media).collect().sortBy(_.media_id)
+    assert(java.lang.Long.bitCount(orig.head.ahash ^ back.head.ahash) <= 6,
+      "aHash must be stable under resize (small hamming drift allowed)")
+  }
+
   test("resizeFit: aspect-preserving downscale, never upscale") {
     import spark.implicits._
     val feats = Seq(

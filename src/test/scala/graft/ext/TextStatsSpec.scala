@@ -101,9 +101,12 @@ class TextStatsSpec extends AnyFunSuite {
         st.getField("n_punct").as("a4"),
         (length(col("text")) - length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", ""))).as("b4"),
         st.getField("n_stop").as("a5"),
-        TextStats.stopwordHits(col("text"), stops).as("b5"))
+        TextStats.stopwordHits(col("text"), stops).as("b5"),
+        st.getField("n_bpeish").as("a6"),
+        TextStats.tokensBpeish(col("text")).as("b6"))
       .filter(col("a1") =!= col("b1") || col("a2") =!= col("b2") ||
-        col("a3") =!= col("b3") || col("a4") =!= col("b4") || col("a5") =!= col("b5"))
+        col("a3") =!= col("b3") || col("a4") =!= col("b4") ||
+        col("a5") =!= col("b5") || col("a6") =!= col("b6"))
       .count()
     assert(mismatches == 0)
   }

@@ -106,6 +106,26 @@ class ContinuousApplyBucketedSpec extends AnyFunSuite {
       touched.exists(b => rel.startsWith(s"${BucketedSnapshot.BucketCol}=$b/"))))
   }
 
+  test("maxFilesPerTrigger=1 drains pending files as separate versioned commits in one run") {
+    val (in, ckpt, snap) = dirs()
+    writeFlat(base, in, "b1.parquet")
+    writeFlat(Seq((1L, "n1", 99.0), (1001L, "x", 1.0)).toDF("id", "name", "value"),
+      in, "b2.parquet")
+    // strictly ordered mtimes: the file source picks oldest first
+    val b1 = java.nio.file.Paths.get(in, "b1.parquet")
+    java.nio.file.Files.setLastModifiedTime(b1,
+      java.nio.file.attribute.FileTime.fromMillis(
+        java.nio.file.Files.getLastModifiedTime(b1).toMillis - 60000))
+    StreamingCdc.continuousApplyBucketed(spark, in, ckpt, snap, "id",
+      Seq("name", "value"), NBuckets, maxFilesPerTrigger = Some(1))
+    // one startup, two micro-batches ⇒ versions 1 AND 2, applied in order
+    assert(Pipeline.currentVersion(snap).contains(2L))
+    assert(BucketedSnapshot.read(spark, snap, "snapshot", 1L).count() == 1000)
+    val got = BucketedSnapshot.read(spark, snap, "snapshot", 2L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got.size == 1001 && got(1L) == 99.0 && got(1001L) == 1.0)
+  }
+
   test("bucketed apply: replayed version is a no-op (idempotent commit)") {
     val (in, _, snap) = dirs()
     writeFlat(base.limit(10), in, "b1.parquet")
