@@ -1020,6 +1020,20 @@ object Catalog {
       },
       None), // pixel decode — not expressible in DuckDB
 
+    Entry("mm_audio_features",
+      // REAL audio decode through the JDK WAV codec: synthesize a
+      // deterministic tone per doc (fundamental keyed by doc_id % 50),
+      // decode the WAV back, emit stream format + signal stats (RMS,
+      // zero-crossing rate — for a pure tone zcr ≈ 2f/rate, so the
+      // decoded signal is verifiable, not a hash of bytes)
+      (s, d) => Multimodal.audioFeatures(s,
+          Multimodal.renderAudioMedia(s, docs(s, d), "doc_id")).toDF()
+        .select(col("media_id"), col("decode_ok"), col("sample_rate"),
+          col("channels"), col("n_frames"), round(col("duration_ms"), 2).as("duration_ms"),
+          round(col("rms"), 2).as("rms"), round(col("zcr"), 4).as("zcr"))
+        .orderBy("media_id"),
+      None), // PCM decode — not expressible in DuckDB
+
     Entry("dedup_embedding_cosine",
       // near-dup detection needs near-dups, and the fixture has none (max
       // pairwise cos ≈ 0.49) — so plant a deterministic perturbed SHADOW

@@ -90,6 +90,34 @@ class MultimodalSpec extends AnyFunSuite {
       "aHash must be stable under resize (small hamming drift allowed)")
   }
 
+  test("audioFeatures: REAL WAV decode — format, duration, and the signal itself verified") {
+    import spark.implicits._
+    val ids = (0L until 64L).toDF("id")
+    val media = Multimodal.renderAudioMedia(spark, ids, "id", nVariants = 16, nFrames = 2000)
+    val feats = Multimodal.audioFeatures(spark, media).collect().sortBy(_.media_id)
+    assert(feats.length == 64 && feats.forall(_.decode_ok))
+    feats.foreach { f =>
+      assert(f.sample_rate == 8000 && f.channels == 1 && f.n_frames == 2000)
+      assert(math.abs(f.duration_ms - 250.0) < 1e-9)
+      // two-harmonic tone at amplitudes (10000, 3000): rms = sqrt((10000^2
+      // + 3000^2)/2) ≈ 7382 — the DECODED samples must reproduce it
+      assert(math.abs(f.rms - 7382) < 150, s"rms ${f.rms}")
+      // zero-crossing rate tracks the fundamental: zcr ≈ 2 f0 / rate
+      val f0 = 220.0 + (f.media_id % 16) * 55.0
+      assert(math.abs(f.zcr - 2 * f0 / 8000) < 0.02,
+        s"zcr ${f.zcr} for f0 $f0")
+    }
+    // byte-distinct within a variant (noise), deterministic across batches
+    val payloads = media.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(payloads(0L) != payloads(16L))
+    val again = Multimodal.audioFeatures(spark, media, batchSize = 7).collect().sortBy(_.media_id)
+    assert(again.toSeq == feats.toSeq)
+    // garbage payload: decode_ok=false row, not a task failure
+    val g = Multimodal.audioFeatures(spark,
+      Seq((9L, "RIFFnope".getBytes("UTF-8"))).toDF("media_id", "payload")).collect()
+    assert(g.length == 1 && !g.head.decode_ok)
+  }
+
   test("resizeFit: aspect-preserving downscale, never upscale") {
     import spark.implicits._
     val feats = Seq(
