@@ -116,6 +116,10 @@ object Multimodal {
   def renderSyntheticPng(variant: Long, w: Int, h: Int, noise: Int = 0): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
+    // write the backing int[] directly — setRGB routes every pixel
+    // through the ColorModel
+    val px = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
     val seed = variant * 0x9E3779B97F4A7C15L
     var y = 0
     while (y < h) {
@@ -125,7 +129,7 @@ object Multimodal {
         val r = (x * 255 / math.max(w - 1, 1) + block) & 0xff
         val g = (y * 255 / math.max(h - 1, 1) ^ (seed >>> 8)) & 0xff
         val b = (seed >>> 16) & 0xff
-        img.setRGB(x, y, (r.toInt << 16) | (g.toInt << 8) | b.toInt)
+        px(y * w + x) = (r.toInt << 16) | (g.toInt << 8) | b.toInt
         x += 1
       }
       y += 1
@@ -166,9 +170,28 @@ object Multimodal {
     }.toDF("media_id", "payload")
   }
 
+  // in-memory streams only — the default ImageIO disk cache writes a
+  // temp file per encode/decode call
+  javax.imageio.ImageIO.setUseCache(false)
+
   private def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
     catch { case _: Exception => None }
+
+  /** Decoded PNGs come back TYPE_3BYTE_BGR (or palette types), where
+    * every `getRGB` routes through the ColorModel — one native-draw
+    * conversion to INT_RGB, then all pixel walks read the backing int[].
+    */
+  private def toIntRgb(img: java.awt.image.BufferedImage): java.awt.image.BufferedImage =
+    if (img.getType == java.awt.image.BufferedImage.TYPE_INT_RGB) img
+    else {
+      val c = new java.awt.image.BufferedImage(img.getWidth, img.getHeight,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = c.createGraphics()
+      g.drawImage(img, 0, 0, null)
+      g.dispose()
+      c
+    }
 
   /** 64-bit average hash (aHash): area-average the image down to 8x8
     * grayscale, set bit (row*8+col) where the cell is >= the 8x8 mean.
@@ -176,22 +199,36 @@ object Multimodal {
     * bits; hamming distance is the near-dup measure. Computed from raw
     * pixels — no per-cell resample call — one pass over the image.
     */
-  def aHash(img: java.awt.image.BufferedImage): Long = {
+  def aHash(img: java.awt.image.BufferedImage): Long =
+    pixelStats(toIntRgb(img))._4
+
+  /** One fused walk over the INT_RGB backing array: per-channel sums for
+    * the means AND the 8x8 gray cell sums for the aHash — no per-pixel
+    * ColorModel dispatch, no second pass.
+    */
+  private def pixelStats(rgb: java.awt.image.BufferedImage)
+      : (Double, Double, Double, Long) = {
+    val px = rgb.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
+    val w = rgb.getWidth
+    val h = rgb.getHeight
     val sums = new Array[Long](64)
     val counts = new Array[Long](64)
-    val w = img.getWidth
-    val h = img.getHeight
+    var (sr, sg, sb) = (0L, 0L, 0L)
     var y = 0
     while (y < h) {
-      val cy = math.min(y * 8 / h, 7)
+      val cyBase = math.min(y * 8 / h, 7) * 8
+      val rowOff = y * w
       var x = 0
       while (x < w) {
-        val cx = math.min(x * 8 / w, 7)
-        val rgb = img.getRGB(x, y)
-        val gray = ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
-          (rgb & 0xff) * 114) / 1000
-        sums(cy * 8 + cx) += gray
-        counts(cy * 8 + cx) += 1
+        val p = px(rowOff + x)
+        val r = (p >> 16) & 0xff
+        val g = (p >> 8) & 0xff
+        val b = p & 0xff
+        sr += r; sg += g; sb += b
+        val cell = cyBase + math.min(x * 8 / w, 7)
+        sums(cell) += (r * 299 + g * 587 + b * 114) / 1000
+        counts(cell) += 1
         x += 1
       }
       y += 1
@@ -205,7 +242,8 @@ object Multimodal {
       if (cells(i) >= mean) bits |= (1L << i)
       i += 1
     }
-    bits
+    val n = w.toDouble * h
+    (sr / n, sg / n, sb / n, bits)
   }
 
   /** REAL batched image decode: dims, per-channel means, perceptual
@@ -223,22 +261,10 @@ object Multimodal {
         batch.map { r =>
           decodeImage(r.payload) match {
             case Some(img) =>
-              val w = img.getWidth
-              val h = img.getHeight
-              var (sr, sg, sb) = (0L, 0L, 0L)
-              var y = 0
-              while (y < h) {
-                var x = 0
-                while (x < w) {
-                  val p = img.getRGB(x, y)
-                  sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
-                  x += 1
-                }
-                y += 1
-              }
-              val n = w.toLong * h
-              ImageFeatures(r.media_id, decode_ok = true, w, h,
-                sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, aHash(img))
+              val rgb = toIntRgb(img)
+              val (mr, mg, mb, hash) = pixelStats(rgb)
+              ImageFeatures(r.media_id, decode_ok = true,
+                rgb.getWidth, rgb.getHeight, mr, mg, mb, hash)
             case None =>
               ImageFeatures(r.media_id, decode_ok = false, 0, 0, 0.0, 0.0, 0.0, 0L)
           }
@@ -287,6 +313,73 @@ object Multimodal {
                                  sample_rate: Int, channels: Int, n_frames: Long,
                                  duration_ms: Double, rms: Double, zcr: Double)
 
+  /** Minimal REAL WAV (RIFF/PCM) codec, byte-compatible with the JDK's
+    * `javax.sound.sampled` writer/reader (MultimodalSpec proves the
+    * interop both directions). Hand-rolled because `AudioSystem` runs a
+    * synchronized service-provider scan on EVERY call — measured ~150 ms
+    * per row under 32 concurrent tasks, which turned a 50k-row decode
+    * into minutes; this parser is a few µs and fully parallel. WAV is a
+    * 44-byte RIFF header plus PCM — parsing it directly IS the codec.
+    */
+  private[ext] object Wav {
+    private def le32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+      b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    private def le16(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    private def rd32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+    private def rd16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def tag(b: Array[Byte], off: Int): String =
+      new String(b, off, 4, "US-ASCII")
+
+    /** 16-bit little-endian PCM → canonical 44-byte-header WAV. */
+    def encode16(pcm: Array[Byte], sampleRate: Int, channels: Int): Array[Byte] = {
+      val out = new Array[Byte](44 + pcm.length)
+      out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+      le32(out, 4, 36 + pcm.length)
+      out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+      out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+      le32(out, 16, 16); le16(out, 20, 1) // PCM
+      le16(out, 22, channels); le32(out, 24, sampleRate)
+      le32(out, 28, sampleRate * channels * 2); le16(out, 32, channels * 2)
+      le16(out, 34, 16)
+      out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+      le32(out, 40, pcm.length)
+      System.arraycopy(pcm, 0, out, 44, pcm.length)
+      out
+    }
+
+    /** Parse RIFF/WAVE, walking the chunk list (fmt may be followed by
+      * LIST/fact/etc before data). Returns (sampleRate, channels,
+      * dataOffset, dataLen) for 16-bit LE PCM; None for anything else.
+      */
+    def parse16(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+      if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+      var off = 12
+      var fmt: Option[(Int, Int)] = None // (rate, channels) once fmt seen
+      while (off + 8 <= b.length) {
+        val id = tag(b, off)
+        val sz = rd32(b, off + 4)
+        if (id == "fmt " && off + 8 + 16 <= b.length) {
+          val codec = rd16(b, off + 8)
+          val bits = rd16(b, off + 8 + 14)
+          if (codec != 1 || bits != 16) return None
+          fmt = Some((rd32(b, off + 8 + 4), rd16(b, off + 8 + 2)))
+        } else if (id == "data") {
+          val len = math.min(sz, b.length - off - 8)
+          return fmt.map { case (r, c) => (r, c, off + 8, len) }
+        }
+        off += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      None
+    }
+  }
+
   /** Deterministic synthetic WAV (16-bit LE mono): a two-harmonic tone
     * whose fundamental is keyed by `variant` (220 + (variant%16)*55 Hz),
     * with the low bit of `noise` samples flipped so same-variant renders
@@ -312,13 +405,7 @@ object Multimodal {
       pcm((p % nFrames).toInt * 2) = (pcm((p % nFrames).toInt * 2) ^ 0x1).toByte
       n += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
-    val out = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
-    out.toByteArray
+    Wav.encode16(pcm, sampleRate, channels = 1)
   }
 
   /** Synthetic per-id audio corpus (same variant-planting contract as
@@ -337,11 +424,13 @@ object Multimodal {
     }.toDF("media_id", "payload")
   }
 
-  /** REAL batched WAV decode via the JDK codec: stream format (rate,
-    * channels, frame count → duration) plus signal stats from the PCM
-    * samples — RMS amplitude and zero-crossing rate (the classic cheap
+  /** REAL batched WAV decode via the direct RIFF parser ([[Wav]] —
+    * byte-compatible with `javax.sound.sampled`, spec-proven, but with
+    * no per-row provider-registry scan): stream format (rate, channels,
+    * frame count → duration) plus signal stats from the PCM samples —
+    * RMS amplitude and zero-crossing rate (the classic cheap
     * pitch/noisiness proxy; for a pure tone zcr ≈ 2·f/sample_rate).
-    * Non-audio payloads and formats other than 16-bit LE yield
+    * Non-audio payloads and formats other than 16-bit LE PCM yield
     * `decode_ok = false` rows, never task failures.
     */
   def audioFeatures(spark: SparkSession, media: DataFrame,
@@ -350,35 +439,29 @@ object Multimodal {
     media.as[MediaRow].mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
-          try {
-            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-              new java.io.ByteArrayInputStream(r.payload))
-            val f = ais.getFormat
-            if (f.getSampleSizeInBits != 16 || f.isBigEndian)
-              AudioFeatures(r.media_id, decode_ok = false, 0, 0, 0L, 0.0, 0.0, 0.0)
-            else {
-              val bytes = ais.readAllBytes()
-              val nSamples = bytes.length / 2
+          Wav.parse16(r.payload) match {
+            case Some((rate, channels, dataOff, dataLen)) =>
+              val nSamples = dataLen / 2
               var sumSq = 0.0
               var crossings = 0L
               var prev = 0
               var i = 0
               while (i < nSamples) {
-                val s = ((bytes(2 * i) & 0xff) | (bytes(2 * i + 1) << 8)).toShort.toInt
+                val s = ((r.payload(dataOff + 2 * i) & 0xff) |
+                  (r.payload(dataOff + 2 * i + 1) << 8)).toShort.toInt
                 sumSq += s.toDouble * s
                 if (i > 0 && ((s >= 0) != (prev >= 0))) crossings += 1
                 prev = s
                 i += 1
               }
-              val frames = nSamples / f.getChannels
+              val frames = nSamples / channels
               AudioFeatures(r.media_id, decode_ok = true,
-                f.getSampleRate.toInt, f.getChannels, frames.toLong,
-                frames * 1000.0 / f.getSampleRate,
+                rate, channels, frames.toLong,
+                frames * 1000.0 / rate,
                 math.sqrt(sumSq / math.max(nSamples, 1)),
                 crossings.toDouble / math.max(nSamples - 1, 1))
-            }
-          } catch { case _: Exception =>
-            AudioFeatures(r.media_id, decode_ok = false, 0, 0, 0L, 0.0, 0.0, 0.0)
+            case None =>
+              AudioFeatures(r.media_id, decode_ok = false, 0, 0, 0L, 0.0, 0.0, 0.0)
           }
         }
       }

@@ -118,6 +118,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(g.length == 1 && !g.head.decode_ok)
   }
 
+  test("Wav codec: bidirectional byte-interop with the JDK javax.sound codec") {
+    import javax.sound.sampled._
+    // OUR bytes parse through the JDK codec with identical format/frames
+    val ours = Multimodal.renderSyntheticWav(variant = 3, nFrames = 500, noise = 1)
+    val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(ours))
+    assert(ais.getFormat.getSampleRate == 8000f && ais.getFormat.getChannels == 1 &&
+      ais.getFormat.getSampleSizeInBits == 16 && !ais.getFormat.isBigEndian &&
+      ais.getFrameLength == 500)
+    val jdkPcm = ais.readAllBytes()
+    // JDK-WRITTEN bytes parse through our parser with identical PCM
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(jdkPcm), fmt, 500L),
+      AudioFileFormat.Type.WAVE, out)
+    val Some((rate, ch, off, len)) = Multimodal.Wav.parse16(out.toByteArray)
+    assert(rate == 8000 && ch == 1 && len == 1000)
+    assert(out.toByteArray.slice(off, off + len).toSeq == jdkPcm.toSeq,
+      "PCM must round-trip bit-identically through both codecs")
+  }
+
   test("resizeFit: aspect-preserving downscale, never upscale") {
     import spark.implicits._
     val feats = Seq(
