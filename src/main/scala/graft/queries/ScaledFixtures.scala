@@ -6,11 +6,12 @@ import graft.core.Tables
 
 /** Benchmark-scale replication of the `documents`/`embeddings` fixtures.
   *
-  * The driver testdata ships 500 docs / 500 vectors at EVERY scale
-  * factor, so dedup/text/ANN bench numbers measured fixed overhead, not
-  * data. This derives a corpus that actually grows with sf — ~50k docs
-  * at sf0.1 — purely from the driver's own tables (deterministic, no
-  * RNG), materialized once under `target/scaled/` and reused.
+  * The driver testdata ships toy-sized docs/embeddings tables, so
+  * dedup/text/ANN bench numbers measured fixed overhead, not data. This
+  * derives a corpus that actually grows with sf — 500k docs / 200k
+  * vectors at sf0.1 (base 5000/2000 × multiplier 100) — purely from the
+  * driver's own tables (deterministic, no RNG), materialized once under
+  * `target/scaled/` and reused while the source fingerprint matches.
   *
   * Replication preserves the fixture's dedup structure instead of
   * inflating it: replica 0 is the original corpus verbatim; replica
