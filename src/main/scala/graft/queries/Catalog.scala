@@ -1020,6 +1020,26 @@ object Catalog {
       },
       None), // pixel decode — not expressible in DuckDB
 
+    Entry("mm_image_dedup_check",
+      // the REAL-decode dedup path, ORACLED: is_dup derived from the
+      // decoded images' aHash grouping must equal pure variant
+      // arithmetic (renderMedia plants variant = doc_id % 50; the spec
+      // proves same-variant renders hash identically and distinct
+      // variants don't collide) — so the t2 gate verifies the actual
+      // codec round-trip recovered the planted perceptual structure
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        mmImageFeats(s, d)
+          .select(col("media_id"),
+            when(col("media_id") =!= min("media_id")
+              .over(Window.partitionBy("ahash")), 1).otherwise(0).as("is_dup"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             | CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY doc_id % 50)
+             |      THEN 1 ELSE 0 END AS is_dup
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
     Entry("mm_audio_features",
       // REAL audio decode through the JDK WAV codec: synthesize a
       // deterministic tone per doc (fundamental keyed by doc_id % 50),
