@@ -360,19 +360,20 @@ object Multimodal {
       */
     def parse16(b: Array[Byte]): Option[(Int, Int, Int, Int)] = {
       if (b.length < 44 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
-      var off = 12
+      var off = 12L // long: a corrupt 32-bit chunk size must not wrap the cursor
       var fmt: Option[(Int, Int)] = None // (rate, channels) once fmt seen
       while (off + 8 <= b.length) {
-        val id = tag(b, off)
-        val sz = rd32(b, off + 4)
-        if (id == "fmt " && off + 8 + 16 <= b.length) {
-          val codec = rd16(b, off + 8)
-          val bits = rd16(b, off + 8 + 14)
+        val o = off.toInt
+        val id = tag(b, o)
+        val sz = rd32(b, o + 4).toLong & 0xffffffffL // size is unsigned
+        if (id == "fmt " && o + 8 + 16 <= b.length) {
+          val codec = rd16(b, o + 8)
+          val bits = rd16(b, o + 8 + 14)
           if (codec != 1 || bits != 16) return None
-          fmt = Some((rd32(b, off + 8 + 4), rd16(b, off + 8 + 2)))
+          fmt = Some((rd32(b, o + 8 + 4), rd16(b, o + 8 + 2)))
         } else if (id == "data") {
-          val len = math.min(sz, b.length - off - 8)
-          return fmt.map { case (r, c) => (r, c, off + 8, len) }
+          val len = math.min(sz, (b.length - o - 8).toLong).toInt
+          return fmt.map { case (r, c) => (r, c, o + 8, len) }
         }
         off += 8 + sz + (sz & 1) // chunks are word-aligned
       }

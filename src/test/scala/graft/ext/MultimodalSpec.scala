@@ -118,6 +118,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(g.length == 1 && !g.head.decode_ok)
   }
 
+  test("Wav codec: fuzz — random bytes never throw; random PCM round-trips exactly") {
+    val rnd = new scala.util.Random(42) // deterministic fuzz corpus
+    for (_ <- 0 until 300) {
+      val garbage = new Array[Byte](rnd.nextInt(200))
+      rnd.nextBytes(garbage)
+      Multimodal.Wav.parse16(garbage) // must not throw
+      // adversarial: valid magics + corrupt chunk sizes
+      if (garbage.length >= 44) {
+        "RIFF".getBytes.copyToArray(garbage, 0)
+        "WAVE".getBytes.copyToArray(garbage, 8)
+        Multimodal.Wav.parse16(garbage) // must not throw either
+      }
+    }
+    for (_ <- 0 until 50) {
+      val pcm = new Array[Byte](rnd.nextInt(500) * 2)
+      rnd.nextBytes(pcm)
+      val wav = Multimodal.Wav.encode16(pcm, sampleRate = 44100, channels = 2)
+      val Some((rate, ch, off, len)) = Multimodal.Wav.parse16(wav)
+      assert(rate == 44100 && ch == 2 && len == pcm.length)
+      assert(wav.slice(off, off + len).toSeq == pcm.toSeq)
+    }
+  }
+
   test("Wav codec: bidirectional byte-interop with the JDK javax.sound codec") {
     import javax.sound.sampled._
     // OUR bytes parse through the JDK codec with identical format/frames

@@ -52,6 +52,31 @@ class TextSketchProps extends AnyFunSuite {
     })
   }
 
+  test("TextProfile == relational building blocks on random texts incl. supplementary chars") {
+    val profWordGen: Gen[String] =
+      Gen.oneOf(Gen.alphaNumStr.map(_.take(6)), Gen.const(""), Gen.const("the"),
+        Gen.oneOf("naïve", "Ωmega", "日本", "a#b", "😀", "a😀b", "x\ty", "¡!"))
+    val profTextGen: Gen[String] =
+      Gen.listOfN(8, profWordGen).map(_.mkString(" ")).flatMap(t =>
+        Gen.oneOf(t, t.trim, " " + t + "  ", ""))
+    val stops = TextStats.LangStopwords.flatMap(_._2)
+    assertHolds(Prop.forAll(Gen.listOfN(6, profTextGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val st = graft.functions.text.text_profile(col("text"), stops)
+      docs.select(
+          (st.getField("n_tokens_ws") === size(split(trim(col("text")), "\\s+"))).as("c1"),
+          (st.getField("n_chars") === length(col("text"))).as("c2"),
+          (st.getField("n_non_space") ===
+            length(regexp_replace(col("text"), "\\s", ""))).as("c3"),
+          (st.getField("n_punct") === (length(col("text")) -
+            length(regexp_replace(col("text"), "[^A-Za-z0-9\\s]", "")))).as("c4"),
+          (st.getField("n_stop") === TextStats.stopwordHits(col("text"), stops)).as("c5"),
+          (st.getField("n_bpeish") === TextStats.tokensBpeish(col("text"))).as("c6"))
+        .collect().forall(r => (0 until 6).forall(r.getBoolean))
+    })
+  }
+
   test("SimHash64 == xxhash64 bit-vote built-in derivation on random texts") {
     assertHolds(Prop.forAll(Gen.listOfN(5, textGen)) { texts =>
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
