@@ -107,13 +107,14 @@ object Multimodal {
                                  ahash: Long)
 
   /** Deterministic synthetic PNG: `variant` selects the base pattern
-    * (near-dup copies of one image share a variant), `noise` flips a few
-    * pixels so copies are perceptually-equal-but-not-byte-equal. Pixels
-    * are a pure function of (variant, x, y) — a smooth gradient keyed by
-    * the variant plus a variant-hashed block pattern — so every render is
-    * reproducible across partitions/executors.
+    * (near-dup copies of one image share a variant); `watermark` is
+    * embedded in the low BLUE bit of the first 24 pixels, so distinct
+    * watermarks of one variant are GUARANTEED byte-distinct yet
+    * perceptually identical (a low blue bit moves a gray cell mean by
+    * ≤ 0.12/1000 of one level). Pixels are a pure function of
+    * (variant, watermark, x, y), reproducible across executors.
     */
-  def renderSyntheticPng(variant: Long, w: Int, h: Int, noise: Int = 0): Array[Byte] = {
+  def renderSyntheticPng(variant: Long, w: Int, h: Int, watermark: Long = 0): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
     // write the backing int[] directly — setRGB routes every pixel
@@ -134,15 +135,13 @@ object Multimodal {
       }
       y += 1
     }
-    // perceptual-preserving noise: flip the LOW BLUE BIT of `noise`
-    // pixels at hashed positions — the payload bytes change (PNG encodes
-    // the exact pixels) while the 8x8 gray cell means move by at most
-    // 1/cell-size of one gray level, so the perceptual aHash is stable
+    // watermark: write 24 bits into the low BLUE bit of the first 24
+    // pixels — bytes differ for every distinct watermark (PNG encodes
+    // exact pixels), gray cell means barely move, aHash is stable
     var n = 0
-    while (n < noise) {
-      val p = (seed ^ ((n + 1) * 0xBF58476D1CE4E5B9L)) & Long.MaxValue
-      val (nx, ny) = ((p % w).toInt, ((p / w) % h).toInt)
-      img.setRGB(nx, ny, img.getRGB(nx, ny) ^ 0x1)
+    while (n < 24) {
+      val bit = ((watermark >>> n) & 1L).toInt
+      px(n) = (px(n) & ~1) | bit
       n += 1
     }
     val out = new java.io.ByteArrayOutputStream()
@@ -152,7 +151,7 @@ object Multimodal {
 
   /** Deterministic per-id synthetic image corpus: `variant = id %
     * nVariants`, so ids sharing a variant render perceptually-identical
-    * images while per-id pixel noise keeps their bytes distinct — the
+    * images while the per-replica watermark keeps their bytes distinct — the
     * planted ground truth for perceptual dedup. Render cost is real
     * (PNG encode per row), partition-parallel, no shuffle.
     */
@@ -165,7 +164,7 @@ object Multimodal {
         val w = 48 + (variant % 4).toInt * 8
         val h = 32 + (variant % 3).toInt * 8
         MediaRow(id, renderSyntheticPng(variant, w, h,
-          noise = (id / nVariants % 3).toInt))
+          watermark = id / nVariants))
       })
     }.toDF("media_id", "payload")
   }
@@ -366,11 +365,20 @@ object Multimodal {
         val o = off.toInt
         val id = tag(b, o)
         val sz = rd32(b, o + 4).toLong & 0xffffffffL // size is unsigned
-        if (id == "fmt " && o + 8 + 16 <= b.length) {
+        if (id == "fmt ") {
+          // the declared chunk must actually CONTAIN the 16 format bytes
+          // — a truncated fmt followed by another chunk must not parse
+          // the neighbor's header as rate/channels
+          if (sz < 16 || o + 8 + 16 > b.length) return None
           val codec = rd16(b, o + 8)
           val bits = rd16(b, o + 8 + 14)
-          if (codec != 1 || bits != 16) return None
-          fmt = Some((rd32(b, o + 8 + 4), rd16(b, o + 8 + 2)))
+          val channels = rd16(b, o + 8 + 2)
+          val rate = rd32(b, o + 8 + 4)
+          // reject degenerate formats up front: channels=0 would divide
+          // by zero downstream, rate<=0 a nonsense duration — both must
+          // surface as decode_ok=false, not a task failure
+          if (codec != 1 || bits != 16 || channels < 1 || rate < 1) return None
+          fmt = Some((rate, channels))
         } else if (id == "data") {
           val len = math.min(sz, (b.length - o - 8).toLong).toInt
           return fmt.map { case (r, c) => (r, c, o + 8, len) }
@@ -383,11 +391,12 @@ object Multimodal {
 
   /** Deterministic synthetic WAV (16-bit LE mono): a two-harmonic tone
     * whose fundamental is keyed by `variant` (220 + (variant%16)*55 Hz),
-    * with the low bit of `noise` samples flipped so same-variant renders
-    * are byte-distinct but acoustically identical.
+    * with `watermark` embedded in the low bit of the first 24 samples —
+    * distinct watermarks of one variant are guaranteed byte-distinct but
+    * acoustically identical (±1/32768 amplitude).
     */
   def renderSyntheticWav(variant: Long, nFrames: Int, sampleRate: Int = 8000,
-                         noise: Int = 0): Array[Byte] = {
+                         watermark: Long = 0): Array[Byte] = {
     val f0 = 220.0 + (variant % 16) * 55.0
     val pcm = new Array[Byte](nFrames * 2)
     var i = 0
@@ -401,9 +410,9 @@ object Multimodal {
       i += 1
     }
     var n = 0
-    while (n < noise) {
-      val p = ((variant * 0x9E3779B97F4A7C15L) ^ ((n + 1) * 0xBF58476D1CE4E5B9L)) & Long.MaxValue
-      pcm((p % nFrames).toInt * 2) = (pcm((p % nFrames).toInt * 2) ^ 0x1).toByte
+    while (n < 24 && n < nFrames) {
+      val bit = ((watermark >>> n) & 1L).toInt
+      pcm(2 * n) = ((pcm(2 * n) & ~1) | bit).toByte
       n += 1
     }
     Wav.encode16(pcm, sampleRate, channels = 1)
@@ -411,7 +420,7 @@ object Multimodal {
 
   /** Synthetic per-id audio corpus (same variant-planting contract as
     * [[renderMedia]]): ~0.25 s of tone per id, byte-distinct within a
-    * variant via sample noise.
+    * variant via the per-replica watermark.
     */
   def renderAudioMedia(spark: SparkSession, ids: DataFrame, idCol: String,
                        nVariants: Int = 50, nFrames: Int = 2000,
@@ -420,7 +429,7 @@ object Multimodal {
     ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
       it.grouped(batchSize).flatMap(_.map { id =>
         MediaRow(id, renderSyntheticWav(id % nVariants, nFrames,
-          noise = (id / nVariants % 3).toInt))
+          watermark = id / nVariants))
       })
     }.toDF("media_id", "payload")
   }
@@ -443,6 +452,7 @@ object Multimodal {
           Wav.parse16(r.payload) match {
             case Some((rate, channels, dataOff, dataLen)) =>
               val nSamples = dataLen / 2
+              val frames = nSamples / channels
               var sumSq = 0.0
               var crossings = 0L
               var prev = 0
@@ -450,17 +460,22 @@ object Multimodal {
               while (i < nSamples) {
                 val s = ((r.payload(dataOff + 2 * i) & 0xff) |
                   (r.payload(dataOff + 2 * i + 1) << 8)).toShort.toInt
-                sumSq += s.toDouble * s
-                if (i > 0 && ((s >= 0) != (prev >= 0))) crossings += 1
-                prev = s
+                sumSq += s.toDouble * s // RMS over all channels
+                // zero crossings track ONE signal: multi-channel samples
+                // are interleaved L,R,L,R…, so compare only channel 0
+                // frames (adjacent-sample compare on stereo would count
+                // cross-channel sign disagreements, not pitch)
+                if (i % channels == 0) {
+                  if (i > 0 && ((s >= 0) != (prev >= 0))) crossings += 1
+                  prev = s
+                }
                 i += 1
               }
-              val frames = nSamples / channels
               AudioFeatures(r.media_id, decode_ok = true,
                 rate, channels, frames.toLong,
                 frames * 1000.0 / rate,
                 math.sqrt(sumSq / math.max(nSamples, 1)),
-                crossings.toDouble / math.max(nSamples - 1, 1))
+                crossings.toDouble / math.max(frames - 1, 1))
             case None =>
               AudioFeatures(r.media_id, decode_ok = false, 0, 0, 0L, 0.0, 0.0, 0.0)
           }

@@ -160,7 +160,10 @@ object Catalog {
     */
   private def scratchDir(query: String, d: String): String = {
     val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
-    val p = java.nio.file.Paths.get(s"target/qstate/$query/$safe")
+    // pid-scoped: a concurrent second JVM (e.g. Bench while a Verify
+    // runs) must not wipe this process's live streaming state
+    val pid = java.lang.ProcessHandle.current().pid()
+    val p = java.nio.file.Paths.get(s"target/qstate/$query/$safe-$pid")
     graft.core.Pipeline.deleteRecursively(p)
     java.nio.file.Files.createDirectories(p)
     p.toString
@@ -1009,13 +1012,16 @@ object Catalog {
       // perceptual image dedup over the decoded aHash: byte-distinct
       // renders of the same variant collapse to one 64-bit key; the
       // dedup_exact window shape (is_dup vs the group's min id) keeps the
-      // output LINEAR in corpus size — never pairs
+      // output LINEAR in corpus size — never pairs. decode_ok partitions
+      // the window AND gates the flag: undecodable payloads all carry
+      // ahash=0 and must never flag each other as dups
       (s, d) => {
         import org.apache.spark.sql.expressions.Window
         mmImageFeats(s, d)
           .select(col("media_id"), col("ahash"),
-            when(col("media_id") =!= min("media_id")
-              .over(Window.partitionBy("ahash")), 1).otherwise(0).as("is_dup"))
+            when(col("decode_ok") && col("media_id") =!= min("media_id")
+              .over(Window.partitionBy("decode_ok", "ahash")), 1)
+              .otherwise(0).as("is_dup"))
           .orderBy("media_id")
       },
       None), // pixel decode — not expressible in DuckDB
@@ -1031,8 +1037,9 @@ object Catalog {
         import org.apache.spark.sql.expressions.Window
         mmImageFeats(s, d)
           .select(col("media_id"),
-            when(col("media_id") =!= min("media_id")
-              .over(Window.partitionBy("ahash")), 1).otherwise(0).as("is_dup"))
+            when(col("decode_ok") && col("media_id") =!= min("media_id")
+              .over(Window.partitionBy("decode_ok", "ahash")), 1)
+              .otherwise(0).as("is_dup"))
           .orderBy("media_id")
       },
       Some("""SELECT doc_id AS media_id,
@@ -1217,11 +1224,13 @@ object Catalog {
           explode(Dedup.wordShingles(col("text"), 3)).as("sh"))
         val bench = sh.filter(col("doc_id") % 97 === 0)
           .select(col("sh").as("bsh")).distinct()
-        // the distinct benchmark shingle set is small by construction
-        // (held-out benchmarks are MBs, corpora are TBs) — broadcast it
-        // so the 10M-shingle corpus side never shuffles
+        // NO forced broadcast: this fixture derives the benchmark set as
+        // a 1/97 corpus fraction, so it grows linearly with sf — AQE
+        // broadcasts it while it fits and falls back to a shuffle join
+        // beyond that. (A REAL held-out benchmark set is fixed-size; a
+        // production caller would broadcast() it explicitly.)
         val flagged = sh.filter(col("doc_id") % 97 =!= 0)
-          .join(broadcast(bench), col("sh") === col("bsh"), "left_outer")
+          .join(bench, col("sh") === col("bsh"), "left_outer")
           .groupBy("doc_id")
           .agg(count(lit(1)).cast("long").as("n_ngrams"),
             count(col("bsh")).cast("long").as("n_contaminated"))

@@ -65,8 +65,13 @@ class MultimodalSpec extends AnyFunSuite {
       "distinct variants must not collide")
     val payloads = media.collect()
       .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
-    assert(payloads(0L) != payloads(20L),
-      "same variant must still be byte-distinct (noise)")
+    // the per-replica watermark guarantees EVERY same-variant pair is
+    // byte-distinct, not just one sampled pair
+    for (v <- 0L until 20L) {
+      val group = (0 until 10).map(rep => payloads(v + rep * 20L))
+      assert(group.distinct.length == group.length,
+        s"variant $v replicas must all be byte-distinct")
+    }
     // non-image payloads: decode_ok = false row, not a task failure
     val garbage = Seq((999L, "not a png".getBytes("UTF-8"))).toDF("media_id", "payload")
     val g = Multimodal.imageFeatures(spark, garbage).collect()
@@ -107,9 +112,13 @@ class MultimodalSpec extends AnyFunSuite {
       assert(math.abs(f.zcr - 2 * f0 / 8000) < 0.02,
         s"zcr ${f.zcr} for f0 $f0")
     }
-    // byte-distinct within a variant (noise), deterministic across batches
+    // byte-distinct within a variant (watermark), deterministic across batches
     val payloads = media.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
-    assert(payloads(0L) != payloads(16L))
+    for (v <- 0L until 16L) {
+      val group = (0 until 4).map(rep => payloads(v + rep * 16L))
+      assert(group.distinct.length == group.length,
+        s"variant $v audio replicas must all be byte-distinct")
+    }
     val again = Multimodal.audioFeatures(spark, media, batchSize = 7).collect().sortBy(_.media_id)
     assert(again.toSeq == feats.toSeq)
     // garbage payload: decode_ok=false row, not a task failure
@@ -144,7 +153,7 @@ class MultimodalSpec extends AnyFunSuite {
   test("Wav codec: bidirectional byte-interop with the JDK javax.sound codec") {
     import javax.sound.sampled._
     // OUR bytes parse through the JDK codec with identical format/frames
-    val ours = Multimodal.renderSyntheticWav(variant = 3, nFrames = 500, noise = 1)
+    val ours = Multimodal.renderSyntheticWav(variant = 3, nFrames = 500, watermark = 1)
     val ais = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(ours))
     assert(ais.getFormat.getSampleRate == 8000f && ais.getFormat.getChannels == 1 &&
       ais.getFormat.getSampleSizeInBits == 16 && !ais.getFormat.isBigEndian &&
