@@ -18,4 +18,20 @@ class CatalogSpec extends AnyFunSuite {
     val kinds = graft.SparkEntry.entry(spark).collect().map(_.getString(0)).toSet
     assert(kinds == Set("changed", "deleted", "new", "unchanged"))
   }
+
+  test("plan shapes: filters push to the parquet scan, projections prune ReadSchema") {
+    // the scan-efficiency claims PERFORMANCE.md makes, pinned as
+    // assertions: a selective predicate must reach PushedFilters (row
+    // groups skipped at the source), and a narrow projection must shrink
+    // ReadSchema (columns never read) — on the REAL declared queries
+    val fik = Catalog.queries("filter_in_keys")(spark, graft.TestSpark.Sf)
+      .queryExecution.executedPlan.toString
+    assert(fik.contains("PushedFilters: [In(o_custkey"),
+      s"filter_in_keys must push its IN predicate to the scan:\n${fik.take(1500)}")
+    val pc = Catalog.queries("project_columns")(spark, graft.TestSpark.Sf)
+      .queryExecution.executedPlan.toString
+    val readSchema = pc.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey") && !readSchema.contains("l_comment"),
+      s"project_columns must prune unread columns from ReadSchema: $readSchema")
+  }
 }
