@@ -107,11 +107,17 @@ object Multimodal {
                                  ahash: Long)
 
   /** Deterministic synthetic PNG: `variant` selects the base pattern
-    * (near-dup copies of one image share a variant); `watermark` is
-    * embedded in the low BLUE bit of the first 24 pixels, so distinct
-    * watermarks of one variant are GUARANTEED byte-distinct yet
-    * perceptually identical (a low blue bit moves a gray cell mean by
-    * ≤ 0.12/1000 of one level). Pixels are a pure function of
+    * (near-dup copies of one image share a variant); 48 bits of
+    * `watermark` are embedded in the low BLUE bit of 48 pixels spread
+    * uniformly across the image, so distinct watermarks of one variant
+    * (up to 2^48 replicas) are GUARANTEED byte-distinct. Perceptual
+    * stability bound, stated honestly: a blue-LSB flip can move a
+    * pixel's integer gray by at most 1 level (the /1000 quantization),
+    * and the spread puts ≤ ~1 watermark pixel per 8x8 aHash cell, so a
+    * cell mean moves by ≤ ~1/cell-size gray levels — no variant at the
+    * validated scales (sf0.001/0.01/0.1) sits within that margin of its
+    * aHash threshold (parity with the pure-arithmetic oracle is the
+    * mm_image_dedup_check t2 gate). Pixels are a pure function of
     * (variant, watermark, x, y), reproducible across executors.
     */
   def renderSyntheticPng(variant: Long, w: Int, h: Int, watermark: Long = 0): Array[Byte] = {
@@ -135,13 +141,14 @@ object Multimodal {
       }
       y += 1
     }
-    // watermark: write 24 bits into the low BLUE bit of the first 24
-    // pixels — bytes differ for every distinct watermark (PNG encodes
-    // exact pixels), gray cell means barely move, aHash is stable
+    // watermark: 48 bits into the low BLUE bit of 48 uniformly-spread
+    // pixels (≤ ~1 per aHash cell; see scaladoc for the stability bound)
+    val nBits = math.min(48, px.length)
+    val stride = math.max(px.length / 48, 1)
     var n = 0
-    while (n < 24) {
+    while (n < nBits) {
       val bit = ((watermark >>> n) & 1L).toInt
-      px(n) = (px(n) & ~1) | bit
+      px(n * stride) = (px(n * stride) & ~1) | bit
       n += 1
     }
     val out = new java.io.ByteArrayOutputStream()
@@ -391,9 +398,12 @@ object Multimodal {
 
   /** Deterministic synthetic WAV (16-bit LE mono): a two-harmonic tone
     * whose fundamental is keyed by `variant` (220 + (variant%16)*55 Hz),
-    * with `watermark` embedded in the low bit of the first 24 samples —
-    * distinct watermarks of one variant are guaranteed byte-distinct but
-    * acoustically identical (±1/32768 amplitude).
+    * with 48 bits of `watermark` embedded in the low bit of the first 48
+    * samples — distinct watermarks of one variant (up to 2^48 replicas)
+    * are guaranteed byte-distinct but acoustically negligible (±1/32768
+    * amplitude; an LSB flip can never change a sample's SIGN — 0→1 and
+    * -1→-2 both keep it — so the zero-crossing rate is exactly
+    * unaffected).
     */
   def renderSyntheticWav(variant: Long, nFrames: Int, sampleRate: Int = 8000,
                          watermark: Long = 0): Array[Byte] = {
@@ -410,7 +420,7 @@ object Multimodal {
       i += 1
     }
     var n = 0
-    while (n < 24 && n < nFrames) {
+    while (n < 48 && n < nFrames) {
       val bit = ((watermark >>> n) & 1L).toInt
       pcm(2 * n) = ((pcm(2 * n) & ~1) | bit).toByte
       n += 1

@@ -152,19 +152,30 @@ object Catalog {
     } finally graft.core.Pipeline.deleteRecursively(tmp)
   }
 
-  /** Scratch state directory for side-effecting harness queries, keyed by
-    * (query, input dir): wiped and recreated on each invocation, so
-    * repeated Bench/Verify rounds reuse ONE directory instead of
-    * accumulating temp copies of the corpus under /tmp. The latest run's
-    * state stays on disk (the returned DataFrame may read it lazily).
+  /** Scratch state directory for side-effecting harness queries, keyed
+    * by (query, input dir, pid). Pid-scoped so a CONCURRENT second JVM
+    * (e.g. Bench while a Verify runs) cannot wipe this process's live
+    * streaming state; dirs left by DEAD pids are garbage-collected on
+    * every call, so repeated rounds never accumulate corpus copies. The
+    * latest run's state stays on disk (the returned DataFrame may read
+    * it lazily).
     */
   private def scratchDir(query: String, d: String): String = {
     val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
-    // pid-scoped: a concurrent second JVM (e.g. Bench while a Verify
-    // runs) must not wipe this process's live streaming state
     val pid = java.lang.ProcessHandle.current().pid()
-    val p = java.nio.file.Paths.get(s"target/qstate/$query/$safe-$pid")
-    graft.core.Pipeline.deleteRecursively(p)
+    val parent = java.nio.file.Paths.get(s"target/qstate/$query")
+    if (java.nio.file.Files.isDirectory(parent)) {
+      val listing = java.nio.file.Files.list(parent)
+      try listing.forEach { sib =>
+        val name = sib.getFileName.toString
+        val owner = name.substring(name.lastIndexOf('-') + 1).toLongOption
+        val ownerAlive = owner.exists(o =>
+          java.lang.ProcessHandle.of(o).map[Boolean](_.isAlive).orElse(false))
+        if (!ownerAlive || owner.contains(pid))
+          graft.core.Pipeline.deleteRecursively(sib)
+      } finally listing.close()
+    }
+    val p = parent.resolve(s"$safe-$pid")
     java.nio.file.Files.createDirectories(p)
     p.toString
   }

@@ -127,6 +127,20 @@ class MultimodalSpec extends AnyFunSuite {
     assert(g.length == 1 && !g.head.decode_ok)
   }
 
+  test("watermark edges: tiny images don't overflow; >24-bit watermarks stay distinct") {
+    // 4x4 = 16 px < 48 watermark bits: must not throw (regression — the
+    // first watermark version indexed px(0..23) unguarded)
+    val tiny = Multimodal.renderSyntheticPng(0, 4, 4, watermark = 0xffffffffffffL)
+    assert(tiny.nonEmpty)
+    // replica indices beyond 2^24 must still be byte-distinct (48 bits)
+    val a = Multimodal.renderSyntheticPng(1, 48, 32, watermark = 7L)
+    val b = Multimodal.renderSyntheticPng(1, 48, 32, watermark = 7L + (1L << 24))
+    assert(a.toSeq != b.toSeq, "watermarks differing only above bit 24 must differ")
+    val wa = Multimodal.renderSyntheticWav(1, 2000, watermark = 7L)
+    val wb = Multimodal.renderSyntheticWav(1, 2000, watermark = 7L + (1L << 24))
+    assert(wa.toSeq != wb.toSeq)
+  }
+
   test("Wav codec: fuzz — random bytes never throw; random PCM round-trips exactly") {
     val rnd = new scala.util.Random(42) // deterministic fuzz corpus
     for (_ <- 0 until 300) {
