@@ -274,12 +274,18 @@ object Dedup {
                                delta: DataFrame, idCol: String, textCol: String,
                                threshold: Double, shingleN: Int = 3, k: Int = 8,
                                bands: Int = 4,
-                               deltaIndex: Option[DataFrame] = None): DataFrame = {
+                               deltaIndex: Option[DataFrame] = None,
+                               broadcastDelta: Boolean = false): DataFrame = {
     // deltaIndex short-circuits the sketch when the caller has already
     // materialized the batch's index (StreamNearDup persists it anyway) —
     // the dc/dd self-join below references the delta index three times,
-    // so a materialized input evaluates the sketch once, not thrice
-    val deltaIdx = deltaIndex.getOrElse(lshIndex(delta, idCol, textCol, shingleN, k, bands))
+    // so a materialized input evaluates the sketch once, not thrice.
+    // broadcastDelta: when the delta is micro-batch-sized (the streaming
+    // ingest gate — trigger-bounded by construction), broadcasting it
+    // makes the delta×corpus probe a broadcast hash join, so the corpus
+    // index side is scanned but NEVER shuffled, whatever its size.
+    val deltaIdx0 = deltaIndex.getOrElse(lshIndex(delta, idCol, textCol, shingleN, k, bands))
+    val deltaIdx = if (broadcastDelta) broadcast(deltaIdx0) else deltaIdx0
     val d = deltaIdx.as("d")
     val dc = d.join(corpusIndex.as("ci"), col("d.bucket") === col("ci.bucket"))
       .select(least(col("d.id"), col("ci.id")).as("id_a"),

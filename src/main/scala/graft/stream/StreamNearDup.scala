@@ -11,16 +11,30 @@ import graft.ext.Dedup
   * State layout under `stateDir` (all partitioned by ingest version, so a
   * replayed batch overwrites exactly its own contribution):
   * {{{
-  *   docs/batch=N/    raw (id, text) of every absorbed batch
-  *   index/batch=N/   the batch's LSH band rows (Dedup.lshIndex)
-  *   pairs/batch=N/   verified near-dup pairs the batch introduced
+  *   docs/batch=N/           raw (id, text) of every absorbed batch
+  *   index/batch=N/pb=X/     the batch's LSH band rows (Dedup.lshIndex),
+  *                           sub-partitioned by bucket prefix
+  *                           pb = xxhash64(bucket) mod indexPrefixes
+  *   pairs/batch=N/          verified near-dup pairs the batch introduced
   * }}}
   *
   * Per batch: the batch is sketched ONCE (native MinHashSig, map-side)
   * straight into its index partition; the persisted rows are read back to
   * probe the accumulated index by bucket and Jaccard-verify candidates
-  * ([[Dedup.incrementalVerifiedPairs]]). Cost per batch ∝ batch size +
-  * collisions; corpus size enters only through the keyed text-fetch join.
+  * ([[Dedup.incrementalVerifiedPairs]]).
+  *
+  * The probe never scans or shuffles the full accumulated index. The
+  * delta's distinct bucket-prefix set (≤ `indexPrefixes` small ints,
+  * trivially collectable) prunes the corpus-index read at DIRECTORY level
+  * through the `pb` partition column, and the delta side of the probe
+  * join is broadcast (a micro-batch is trigger-bounded by construction),
+  * so the surviving corpus rows are scanned once and never shuffled.
+  * Cost per batch ∝ batch size + the delta's bucket-prefix coverage of
+  * the index (→ collisions); the full corpus enters only through the
+  * keyed text-fetch join that verifies candidates
+  * (StreamNearDupSpec pins the delta-bounded probe via task input
+  * metrics, the same witness ContinuousApplyBucketedSpec uses for CDC
+  * state).
   *
   * Exactly-once: the corpus snapshot reads state with a
   * `batch < version` partition filter, so a replayed batch's own prior
@@ -40,7 +54,29 @@ import graft.ext.Dedup
 object StreamNearDup {
   final case class Params(idCol: String = "doc_id", textCol: String = "text",
                           threshold: Double = 0.5, shingleN: Int = 3,
-                          k: Int = 8, bands: Int = 4)
+                          k: Int = 8, bands: Int = 4,
+                          // bucket-prefix fan-out of the persisted index:
+                          // a probe reads ≤ |delta buckets| of these
+                          // directories per absorbed batch. Size so that a
+                          // typical micro-batch touches a small fraction
+                          // (delta_docs × bands ≪ indexPrefixes); 256 keeps
+                          // per-batch file counts sane at test scale —
+                          // production at 100 TB wants O(10^4).
+                          indexPrefixes: Int = 256)
+
+  /** Bucket-prefix partition column for the persisted index layout. */
+  private def withPb(idx: DataFrame, p: Params): DataFrame =
+    idx.withColumn("pb", pmod(xxhash64(col("bucket")), lit(p.indexPrefixes.toLong)).cast("int"))
+
+  /** Write one batch's index rows under `dir` partitioned by bucket
+    * prefix. The repartition on `pb` routes each prefix to exactly one
+    * task, so the layout lands as ~one file per touched prefix instead of
+    * tasks × prefixes small files.
+    */
+  private def writeIndex(idx: DataFrame, dir: String, p: Params): Unit =
+    withPb(idx, p)
+      .repartition(col("pb"))
+      .write.mode(SaveMode.Overwrite).partitionBy("pb").parquet(dir)
 
   /** Read a `batch=N`-partitioned state dir restricted to partitions
     * BELOW `maxBatchExclusive`, or an empty frame shaped like `template`
@@ -67,8 +103,8 @@ object StreamNearDup {
   def seedCorpus(docs: DataFrame, stateDir: String, p: Params = Params()): Unit = {
     docs.select(col(p.idCol), col(p.textCol))
       .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/docs/batch=0")
-    Dedup.lshIndex(docs, p.idCol, p.textCol, p.shingleN, p.k, p.bands)
-      .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/index/batch=0")
+    writeIndex(Dedup.lshIndex(docs, p.idCol, p.textCol, p.shingleN, p.k, p.bands),
+      s"$stateDir/index/batch=0", p)
   }
 
   /** Process one ingest batch at `version` (streaming uses batchId+1;
@@ -88,17 +124,26 @@ object StreamNearDup {
     val corpusDocs = readOrEmpty(spark, s"$stateDir/docs",
         batch.select(col(p.idCol), col(p.textCol)), version)
       .select(col(p.idCol), col(p.textCol))
-    val corpusIdx = readOrEmpty(spark, s"$stateDir/index",
-        Dedup.lshIndex(batch.limit(0), p.idCol, p.textCol, p.shingleN, p.k, p.bands), version)
-      .select(col("id"), col("bucket"))
     // sketch the batch exactly once, straight into its index partition,
     // and probe with the materialized rows read back
-    Dedup.lshIndex(batch, p.idCol, p.textCol, p.shingleN, p.k, p.bands)
-      .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/index/batch=$version")
+    writeIndex(Dedup.lshIndex(batch, p.idCol, p.textCol, p.shingleN, p.k, p.bands),
+      s"$stateDir/index/batch=$version", p)
     val deltaIdx = spark.read.parquet(s"$stateDir/index/batch=$version")
+    // the delta's bucket-prefix footprint: ≤ indexPrefixes distinct small
+    // ints (bounded by construction, NOT by data volume), read from the
+    // just-written partition directory names. It prunes the corpus-index
+    // read below at directory level — only `pb` partitions the delta can
+    // possibly collide with are listed, opened, or decoded.
+    val deltaPbs = deltaIdx.select("pb").distinct().collect().map(_.getInt(0)).toSeq
+    val idxTemplate = withPb(
+      Dedup.lshIndex(batch.limit(0), p.idCol, p.textCol, p.shingleN, p.k, p.bands), p)
+    val corpusIdx = readOrEmpty(spark, s"$stateDir/index", idxTemplate, version)
+      .where(if (deltaPbs.isEmpty) lit(false) else col("pb").isin(deltaPbs: _*))
+      .select(col("id"), col("bucket"))
     Dedup.incrementalVerifiedPairs(corpusIdx, corpusDocs, batch,
         p.idCol, p.textCol, p.threshold, p.shingleN, p.k, p.bands,
-        deltaIndex = Some(deltaIdx))
+        deltaIndex = Some(deltaIdx.select(col("id"), col("bucket"))),
+        broadcastDelta = true)
       .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/pairs/batch=$version")
     batch.select(col(p.idCol), col(p.textCol))
       .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/docs/batch=$version")
