@@ -14,21 +14,33 @@ import org.apache.spark.sql.functions._
   *    [[imageFeatures]] (dims + per-channel means + a 64-bit perceptual
   *    aHash) and [[resizeEncode]] (true pixel resample, Graphics2D
   *    area-averaging, re-encoded PNG). No external libraries.
-  *  - VIDEO/AUDIO frame extraction stays an honest STUB
-  *    ([[frameSample]]'s byte-range CRC): the JDK has no container
-  *    demuxers; a JNI/FFI decoder (or `mapInArrow` to an ffmpeg worker)
-  *    would plug into the same batched-partition contract.
+  *  - VIDEO is decoded FOR REAL too: AVI is a RIFF container, so the
+  *    same chunk-walking discipline as [[Wav]] demuxes MJPEG-AVI
+  *    ([[Avi]]) — each `00dc` chunk is a plain JPEG frame fed to the
+  *    ImageIO image path. [[videoFrameFeatures]] samples and decodes
+  *    real frames; [[decodeFeatures]] dispatches on magic bytes
+  *    (PNG/JPEG → image, RIFF/WAVE → audio, RIFF/AVI → video) with no
+  *    CRC stand-ins anywhere.
   *
   * Every operator is a narrow transform: no shuffles, scales linearly
   * with the corpus.
   */
 object Multimodal {
   final case class MediaRow(media_id: Long, payload: Array[Byte])
-  final case class MediaFeatures(media_id: Long, n_bytes: Int,
-                                 width: Int, height: Int, feature_crc: Long)
-  /** One sampled "frame": a deterministic byte-range of the payload. */
-  final case class Frame(media_id: Long, frame_idx: Int, offset: Int,
-                         n_bytes: Int, frame_crc: Long)
+
+  /** Magic-dispatch decode result: `kind` ∈ image|audio|video|unknown;
+    * (width, height) of the decoded image / first video frame,
+    * `n_frames` = 1 for images, PCM frame count for audio, container
+    * frame count for video; `feature` = perceptual aHash (image, first
+    * video frame) or RMS amplitude ×1000 (audio).
+    */
+  final case class MediaFeatures(media_id: Long, kind: String, decode_ok: Boolean,
+                                 n_bytes: Int, width: Int, height: Int,
+                                 n_frames: Long, feature: Long)
+
+  /** One REAL sampled frame: demuxed from the container and pixel-decoded. */
+  final case class FrameFeatures(media_id: Long, frame_idx: Int, decode_ok: Boolean,
+                                 width: Int, height: Int, ahash: Long)
 
   /** Simulate an opaque media payload column from the documents fixture
     * (text bytes as stand-in blob) + typed metadata.
@@ -37,25 +49,13 @@ object Multimodal {
     docs.select(col(idCol).cast("long").as("media_id"),
       col(textCol).cast("binary").as("payload"))
 
-  private def crc(bytes: Array[Byte], from: Int, len: Int): Long = {
-    val c = new java.util.zip.CRC32()
-    c.update(bytes, from, len)
-    c.getValue
-  }
-
-  /** STUB decode: deterministic pseudo-dimensions + feature hash from a
-    * CRC32 of the bytes. Replace with a real decoder; the signature
-    * (bytes in, fixed-width features out) and the batched partition
-    * iteration are the contract.
-    */
-  private def fakeDecode(payload: Array[Byte]): (Int, Int, Long) = {
-    val h = crc(payload, 0, payload.length)
-    (((h % 1920) + 1).toInt, ((h / 1920 % 1080) + 1).toInt, h)
-  }
-
-  /** Batched per-partition "decode": mirrors the mapInPandas/mapInArrow
-    * batch shape (`batchSize` rows per decode call) so a vectorized
-    * decoder drops in without changing the plan. Partition-parallel,
+  /** Batched per-partition decode with REAL codecs behind a magic-byte
+    * dispatch: PNG/JPEG/BMP/GIF payloads run the ImageIO pixel path,
+    * RIFF/WAVE the direct PCM parser, RIFF/AVI the MJPEG demux (first
+    * frame decoded for dims + aHash). Unrecognized payloads yield
+    * `decode_ok = false` rows, never task failures. The `batchSize`
+    * grouping mirrors the mapInArrow batch shape so a vectorized
+    * decoder drops in without changing the plan; partition-parallel,
     * no shuffle.
     */
   def decodeFeatures(spark: SparkSession, media: DataFrame,
@@ -65,32 +65,48 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // one "vectorized decode call" per batch
         batch.map { r =>
-          val (w, h, f) = fakeDecode(r.payload)
-          MediaFeatures(r.media_id, r.payload.length, w, h, f)
-        }
-      }
-    }
-  }
-
-  /** Frame sampling for video-like payloads: `nFrames` evenly-spaced
-    * byte-ranges per payload (the stub analog of keyframe extraction).
-    * Offsets are deterministic; per-frame CRC stands in for the decoded
-    * frame tensor. Emits up to payload-length frames for tiny payloads.
-    */
-  def frameSample(spark: SparkSession, media: DataFrame, nFrames: Int,
-                  batchSize: Int = 64): Dataset[Frame] = {
-    import spark.implicits._
-    media.as[MediaRow].mapPartitions { it =>
-      it.grouped(batchSize).flatMap { batch =>
-        batch.flatMap { r =>
-          val len = r.payload.length
-          val frames = math.min(nFrames, math.max(len, 1))
-          val step = math.max(len / frames, 1)
-          (0 until frames).iterator.map { i =>
-            val off = math.min(i * step, math.max(len - 1, 0))
-            val n = math.min(step, len - off)
-            Frame(r.media_id, i, off, n,
-              if (n > 0) crc(r.payload, off, n) else 0L)
+          val b = r.payload
+          val n = b.length
+          def bad(kind: String) =
+            MediaFeatures(r.media_id, kind, decode_ok = false, n, 0, 0, 0L, 0L)
+          if (Avi.isAvi(b)) {
+            val ranges = Avi.frameRanges(b)
+            val first = ranges.headOption.flatMap { case (off, len) =>
+              decodeImage(java.util.Arrays.copyOfRange(b, off, off + len))
+            }
+            first match {
+              case Some(img) =>
+                val rgb = toIntRgb(img)
+                MediaFeatures(r.media_id, "video", decode_ok = true, n,
+                  rgb.getWidth, rgb.getHeight, ranges.size.toLong, pixelStats(rgb)._4)
+              case None => bad("video")
+            }
+          } else if (n >= 12 && Riff.tag(b, 0) == "RIFF" && Riff.tag(b, 8) == "WAVE") {
+            Wav.parse16(b) match {
+              case Some((_, channels, dataOff, dataLen)) =>
+                val frames = dataLen / 2 / channels
+                // RMS over all samples, scaled to an integral feature
+                var sumSq = 0.0
+                var i = 0
+                while (i < dataLen / 2) {
+                  val s = ((b(dataOff + 2 * i) & 0xff) |
+                    (b(dataOff + 2 * i + 1) << 8)).toShort.toInt
+                  sumSq += s.toDouble * s
+                  i += 1
+                }
+                MediaFeatures(r.media_id, "audio", decode_ok = true, n, 0, 0,
+                  frames.toLong,
+                  (math.sqrt(sumSq / math.max(dataLen / 2, 1)) * 1000).toLong)
+              case None => bad("audio")
+            }
+          } else {
+            decodeImage(b) match {
+              case Some(img) =>
+                val rgb = toIntRgb(img)
+                MediaFeatures(r.media_id, "image", decode_ok = true, n,
+                  rgb.getWidth, rgb.getHeight, 1L, pixelStats(rgb)._4)
+              case None => bad("unknown")
+            }
           }
         }
       }
@@ -120,11 +136,14 @@ object Multimodal {
     * mm_image_dedup_check t2 gate). Pixels are a pure function of
     * (variant, watermark, x, y), reproducible across executors.
     */
-  def renderSyntheticPng(variant: Long, w: Int, h: Int, watermark: Long = 0): Array[Byte] = {
+  /** The deterministic pixel pattern behind every synthetic fixture
+    * frame: pure function of (variant, x, y), written straight into the
+    * INT_RGB backing array (setRGB routes every pixel through the
+    * ColorModel). Shared by the PNG corpus and the MJPEG video frames.
+    */
+  private def renderPattern(variant: Long, w: Int, h: Int): java.awt.image.BufferedImage = {
     val img = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
-    // write the backing int[] directly — setRGB routes every pixel
-    // through the ColorModel
     val px = img.getRaster.getDataBuffer
       .asInstanceOf[java.awt.image.DataBufferInt].getData
     val seed = variant * 0x9E3779B97F4A7C15L
@@ -141,6 +160,13 @@ object Multimodal {
       }
       y += 1
     }
+    img
+  }
+
+  def renderSyntheticPng(variant: Long, w: Int, h: Int, watermark: Long = 0): Array[Byte] = {
+    val img = renderPattern(variant, w, h)
+    val px = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
     // watermark: 48 bits into the low BLUE bit of 48 uniformly-spread
     // pixels (≤ ~1 per aHash cell; see scaladoc for the stability bound)
     val nBits = math.min(48, px.length)
@@ -327,21 +353,30 @@ object Multimodal {
     * into minutes; this parser is a few µs and fully parallel. WAV is a
     * 44-byte RIFF header plus PCM — parsing it directly IS the codec.
     */
-  private[ext] object Wav {
-    private def le32(b: Array[Byte], off: Int, v: Int): Unit = {
+  /** Little-endian RIFF primitives shared by the WAV and AVI codecs. */
+  private[ext] object Riff {
+    def le32(b: Array[Byte], off: Int, v: Int): Unit = {
       b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
       b(off + 2) = ((v >> 16) & 0xff).toByte; b(off + 3) = ((v >> 24) & 0xff).toByte
     }
-    private def le16(b: Array[Byte], off: Int, v: Int): Unit = {
+    def le16(b: Array[Byte], off: Int, v: Int): Unit = {
       b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
     }
-    private def rd32(b: Array[Byte], off: Int): Int =
+    def rd32(b: Array[Byte], off: Int): Int =
       (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
         ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
-    private def rd16(b: Array[Byte], off: Int): Int =
+    def rd16(b: Array[Byte], off: Int): Int =
       (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
-    private def tag(b: Array[Byte], off: Int): String =
+    def tag(b: Array[Byte], off: Int): String =
       new String(b, off, 4, "US-ASCII")
+    def putTag(b: Array[Byte], off: Int, t: String): Unit = {
+      var i = 0
+      while (i < 4) { b(off + i) = t.charAt(i).toByte; i += 1 }
+    }
+  }
+
+  private[ext] object Wav {
+    import Riff.{le32, le16, rd32, rd16, tag}
 
     /** 16-bit little-endian PCM → canonical 44-byte-header WAV. */
     def encode16(pcm: Array[Byte], sampleRate: Int, channels: Int): Array[Byte] = {
@@ -393,6 +428,177 @@ object Multimodal {
         off += 8 + sz + (sz & 1) // chunks are word-aligned
       }
       None
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // REAL video path (MJPEG-AVI: RIFF demux + ImageIO frame decode)
+  // ------------------------------------------------------------------
+
+  /** Minimal REAL MJPEG-AVI (RIFF) container codec — the same chunk-walk
+    * discipline as [[Wav]], because AVI IS RIFF. The muxer writes the
+    * canonical `hdrl(avih + strl(strh:vids/MJPG + strf:BITMAPINFOHEADER))`
+    * header tree, a JUNK chunk (carrying the replica watermark in the
+    * synthetic corpus: byte-distinct containers, identical frames), and a
+    * `LIST/movi` of `00dc` chunks each holding one complete JPEG. The
+    * demuxer walks top-level chunks, descends into LISTs, and returns the
+    * (offset, length) of every frame chunk; corrupt sizes are
+    * cursor-guarded exactly like `Wav.parse16` (long cursor, unsigned
+    * 32-bit sizes, word alignment), so malformed bytes demux to zero
+    * frames, never a task failure. Layout per the public Microsoft AVI
+    * RIFF spec. Reference analog: none — §7.5 multimodal extension.
+    */
+  private[ext] object Avi {
+    import Riff._
+
+    def isAvi(b: Array[Byte]): Boolean =
+      b.length >= 12 && tag(b, 0) == "RIFF" && tag(b, 8) == "AVI "
+
+    /** Mux JPEG frames into an MJPEG-AVI container. */
+    def encodeMjpeg(frames: Seq[Array[Byte]], w: Int, h: Int, fps: Int = 10,
+                    junk: Long = 0L): Array[Byte] = {
+      val hdrlSize = 4 + (8 + 56) + (8 + 4 + (8 + 56) + (8 + 40))
+      val junkSize = 8
+      val moviBody = frames.map(f => 8 + f.length + (f.length & 1)).sum + 4
+      val riffBody = 4 + (8 + hdrlSize) + (8 + junkSize) + (8 + moviBody)
+      val out = new Array[Byte](8 + riffBody)
+      putTag(out, 0, "RIFF"); le32(out, 4, riffBody); putTag(out, 8, "AVI ")
+      var o = 12
+      putTag(out, o, "LIST"); le32(out, o + 4, hdrlSize); putTag(out, o + 8, "hdrl")
+      o += 12
+      putTag(out, o, "avih"); le32(out, o + 4, 56) // 56-byte MainAVIHeader
+      le32(out, o + 8, 1000000 / fps)              // dwMicroSecPerFrame
+      le32(out, o + 8 + 16, frames.size)           // dwTotalFrames
+      le32(out, o + 8 + 24, 1)                     // dwStreams
+      le32(out, o + 8 + 32, w)                     // dwWidth
+      le32(out, o + 8 + 36, h)                     // dwHeight
+      o += 8 + 56
+      val strlSize = 4 + (8 + 56) + (8 + 40)
+      putTag(out, o, "LIST"); le32(out, o + 4, strlSize); putTag(out, o + 8, "strl")
+      o += 12
+      putTag(out, o, "strh"); le32(out, o + 4, 56) // 56-byte AVIStreamHeader
+      putTag(out, o + 8, "vids"); putTag(out, o + 12, "MJPG")
+      le32(out, o + 8 + 20, 1)                     // dwScale
+      le32(out, o + 8 + 24, fps)                   // dwRate
+      le32(out, o + 8 + 32, frames.size)           // dwLength
+      o += 8 + 56
+      putTag(out, o, "strf"); le32(out, o + 4, 40) // BITMAPINFOHEADER
+      le32(out, o + 8, 40)                         // biSize
+      le32(out, o + 12, w); le32(out, o + 16, h)
+      le16(out, o + 20, 1); le16(out, o + 22, 24)  // planes, bitcount
+      putTag(out, o + 24, "MJPG")                  // biCompression
+      o += 8 + 40
+      putTag(out, o, "JUNK"); le32(out, o + 4, junkSize)
+      le32(out, o + 8, (junk & 0xffffffffL).toInt)
+      le32(out, o + 12, ((junk >>> 32) & 0xffffffffL).toInt)
+      o += 8 + junkSize
+      putTag(out, o, "LIST"); le32(out, o + 4, moviBody); putTag(out, o + 8, "movi")
+      o += 12
+      frames.foreach { f =>
+        putTag(out, o, "00dc"); le32(out, o + 4, f.length)
+        System.arraycopy(f, 0, out, o + 8, f.length)
+        o += 8 + f.length + (f.length & 1) // pad byte stays zero
+      }
+      out
+    }
+
+    /** (offset, length) of each `00dc`/`00db` frame chunk inside
+      * `LIST/movi`, in stream order. Empty for malformed input.
+      */
+    def frameRanges(b: Array[Byte]): IndexedSeq[(Int, Int)] = {
+      if (!isAvi(b)) return Vector.empty
+      val found = Vector.newBuilder[(Int, Int)]
+      def walk(from: Long, end: Long, inMovi: Boolean): Unit = {
+        var off = from
+        while (off + 8 <= end) {
+          val o = off.toInt
+          val id = tag(b, o)
+          val sz = rd32(b, o + 4).toLong & 0xffffffffL // size is unsigned
+          val bodyEnd = math.min(o + 8 + sz, end)
+          if (id == "LIST" && sz >= 4 && o + 12 <= end)
+            walk(o + 12, bodyEnd, inMovi || tag(b, o + 8) == "movi")
+          else if (inMovi && (id == "00dc" || id == "00db") &&
+            sz > 0 && o + 8 + sz <= end)
+            found += ((o + 8, sz.toInt))
+          off += 8 + sz + (sz & 1) // chunks are word-aligned
+        }
+      }
+      walk(12, b.length.toLong, inMovi = false)
+      found.result()
+    }
+  }
+
+  /** Deterministic synthetic MJPEG-AVI: `nFrames` JPEG frames of the
+    * variant's pixel pattern (frame i uses pattern seed
+    * variant*131 + i*17 + 7 so frames differ within one video), muxed
+    * with the 48-bit `watermark` in the container's JUNK chunk — same
+    * planting contract as [[renderSyntheticPng]]/[[renderSyntheticWav]]:
+    * replicas of one variant are byte-distinct at the CONTAINER level
+    * while their frame payloads stay bit-identical, so frame-level
+    * perceptual grouping must recover the variant.
+    */
+  def renderSyntheticAvi(variant: Long, w: Int, h: Int, nFrames: Int = 3,
+                         watermark: Long = 0): Array[Byte] = {
+    val frames = (0 until nFrames).map { i =>
+      val img = renderPattern(variant * 131 + i * 17 + 7, w, h)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", out)
+      out.toByteArray
+    }
+    Avi.encodeMjpeg(frames, w, h, junk = watermark)
+  }
+
+  /** Synthetic per-id video corpus (same variant-planting contract as
+    * [[renderMedia]]): `nFrames` small MJPEG frames per id, container
+    * bytes distinct within a variant via the JUNK watermark.
+    */
+  def renderVideoMedia(spark: SparkSession, ids: DataFrame, idCol: String,
+                       nVariants: Int = 50, nFrames: Int = 3,
+                       batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { id =>
+        val variant = id % nVariants
+        val w = 32 + (variant % 4).toInt * 8
+        val h = 24 + (variant % 3).toInt * 8
+        MediaRow(id, renderSyntheticAvi(variant, w, h, nFrames,
+          watermark = id / nVariants))
+      })
+    }.toDF("media_id", "payload")
+  }
+
+  /** REAL frame sampling: demux the AVI container, pick `nFrames`
+    * evenly-spaced frame chunks, pixel-decode each JPEG through the
+    * ImageIO path, and emit per-frame dims + perceptual aHash. Payloads
+    * that are not AVI (or whose frames fail to decode) yield a single
+    * `decode_ok = false` row so every media id stays visible downstream.
+    * Narrow transform, batched like every other decode path.
+    */
+  def videoFrameFeatures(spark: SparkSession, media: DataFrame, nFrames: Int,
+                         batchSize: Int = 64): Dataset[FrameFeatures] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { r =>
+          val ranges = Avi.frameRanges(r.payload)
+          if (ranges.isEmpty)
+            Seq(FrameFeatures(r.media_id, 0, decode_ok = false, 0, 0, 0L))
+          else {
+            val take = math.min(nFrames, ranges.size)
+            val step = ranges.size.toDouble / take
+            (0 until take).map { i =>
+              val (off, len) = ranges(math.min((i * step).toInt, ranges.size - 1))
+              decodeImage(java.util.Arrays.copyOfRange(r.payload, off, off + len)) match {
+                case Some(img) =>
+                  val rgb = toIntRgb(img)
+                  FrameFeatures(r.media_id, i, decode_ok = true,
+                    rgb.getWidth, rgb.getHeight, pixelStats(rgb)._4)
+                case None => FrameFeatures(r.media_id, i, decode_ok = false, 0, 0, 0L)
+              }
+            }
+          }
+        }
+      }
     }
   }
 

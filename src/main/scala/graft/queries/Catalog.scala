@@ -80,7 +80,19 @@ object Catalog {
   private def embShadowed(s: SparkSession, d: String): DataFrame =
     embShadowCache.get(s, d) { (ss, dd) =>
       val e = embs(ss, dd).select(col("vec_id"), col("embedding"))
-      val shadow = e.select((col("vec_id") + lit(5000000L)).as("vec_id"),
+      // shadow ids live at +IdStride/2 inside each replica's id band —
+      // collision-free ONLY while base ids stay below that offset, so the
+      // guard is woven into the id expression itself (a detached check
+      // would be optimizer-pruned): a future fixture with ≥ IdStride/2
+      // vectors per replica fails loudly instead of silently aliasing
+      // shadows onto real vectors and corrupting the planted ground truth
+      val off = ScaledFixtures.IdStride / 2
+      val guardedId = when(pmod(col("vec_id"), lit(ScaledFixtures.IdStride)) < lit(off),
+          col("vec_id"))
+        .otherwise(raise_error(concat(
+          lit(s"embShadowed: vec_id band position >= $off aliases shadow ids: "),
+          col("vec_id").cast("string"))).cast("long"))
+      val shadow = e.select((guardedId + lit(off)).as("vec_id"),
         transform(col("embedding"), (x, i) =>
           (x.cast("double") +
             (pmod(xxhash64(col("vec_id"), lit(777), i), lit(2001L)) - lit(1000L))
@@ -98,6 +110,19 @@ object Catalog {
     mmFeatsCache.get(s, d) { (ss, dd) =>
       Multimodal.imageFeatures(ss,
         Multimodal.renderMedia(ss, docs(ss, dd), "doc_id")).toDF()
+    }
+
+  /** Memoized REAL video frame features (MJPEG-AVI demux + per-frame
+    * JPEG decode of the synthetic per-doc video corpus): rendered +
+    * decoded once per (session, dir), shared by `mm_frame_sample` and
+    * `mm_video_dedup_check`.
+    */
+  private val mmVideoCache = new QueryCache("documents.parquet")
+
+  private def mmVideoFrames(s: SparkSession, d: String): DataFrame =
+    mmVideoCache.get(s, d) { (ss, dd) =>
+      Multimodal.videoFrameFeatures(ss,
+        Multimodal.renderVideoMedia(ss, docs(ss, dd), "doc_id"), nFrames = 3).toDF()
     }
 
   /** Memoized similarity-search building blocks shared across the sim_*
@@ -158,7 +183,10 @@ object Catalog {
     * streaming state; dirs left by DEAD pids are garbage-collected on
     * every call, so repeated rounds never accumulate corpus copies. The
     * latest run's state stays on disk (the returned DataFrame may read
-    * it lazily).
+    * it lazily). Own-pid deletion is scoped to the EXACT `$safe-$pid`
+    * target being recreated: wiping every own-pid sibling would pull the
+    * state out from under a previously returned (lazily reading) frame
+    * for a different dataset dir in the same JVM.
     */
   private def scratchDir(query: String, d: String): String = {
     val safe = d.replaceAll("[^A-Za-z0-9._-]", "_")
@@ -171,7 +199,7 @@ object Catalog {
         val owner = name.substring(name.lastIndexOf('-') + 1).toLongOption
         val ownerAlive = owner.exists(o =>
           java.lang.ProcessHandle.of(o).map[Boolean](_.isAlive).orElse(false))
-        if (!ownerAlive || owner.contains(pid))
+        if (!ownerAlive || name == s"$safe-$pid")
           graft.core.Pipeline.deleteRecursively(sib)
       } finally listing.close()
     }
@@ -1000,10 +1028,36 @@ object Catalog {
              |ORDER BY doc_id""".stripMargin)),
 
     Entry("mm_frame_sample",
-      (s, d) => Multimodal.frameSample(s,
-        Multimodal.asMedia(docs(s, d), "doc_id", "text"), nFrames = 4).toDF()
-        .orderBy("media_id", "frame_idx"),
-      None), // CRC-stub frame decode — engine-internal
+      // REAL video frame sampling: one synthetic MJPEG-AVI per doc
+      // (variant = doc_id % 50 plants perceptual dup groups; the replica
+      // watermark rides the container's JUNK chunk so same-variant
+      // containers are byte-distinct with bit-identical frames), RIFF
+      // demux → per-frame JPEG pixel decode → dims + perceptual aHash
+      (s, d) => mmVideoFrames(s, d).orderBy("media_id", "frame_idx"),
+      None), // pixel decode — not expressible in DuckDB
+
+    Entry("mm_video_dedup_check",
+      // the REAL video-decode dedup path, ORACLED like
+      // mm_image_dedup_check: per-video signature = the ordered sequence
+      // of decoded-frame aHashes; grouping on it must reproduce pure
+      // variant arithmetic, so the t2 gate verifies the whole
+      // mux → demux → JPEG decode → perceptual hash round-trip
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val sig = mmVideoFrames(s, d).groupBy("media_id")
+          .agg(min(when(col("decode_ok"), 1).otherwise(0)).as("all_ok"),
+            md5(to_json(sort_array(collect_list(
+              struct(col("frame_idx"), col("ahash")))))).as("vsig"))
+        sig.select(col("media_id"),
+            when(col("all_ok") === 1 && col("media_id") =!= min("media_id")
+              .over(Window.partitionBy("all_ok", "vsig")), 1)
+              .otherwise(0).as("is_dup"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             | CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY doc_id % 50)
+             |      THEN 1 ELSE 0 END AS is_dup
+             |FROM documents ORDER BY media_id""".stripMargin)),
 
     Entry("mm_image_features",
       // REAL image decode, end-to-end through the JDK codec: render one
@@ -1338,12 +1392,36 @@ object Catalog {
               |   '${TextStats.UrlPattern}', '<URL>', 'g'), '\\s+', ' ', 'g')) AS clean_text
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
-    // ----- §7.5 multimodal plumbing (stubbed decode)
+    // ----- §7.5 multimodal magic-byte dispatch (REAL codecs, oracled)
     Entry("mm_decode_features",
-      (s, d) => Multimodal.decodeFeatures(s,
-        Multimodal.asMedia(docs(s, d), "doc_id", "text")).toDF()
-        .orderBy("media_id"),
-      None) // CRC-based stub decode — engine-internal
+      // a MIXED media corpus — every doc renders as PNG (id%3=0), WAV
+      // (id%3=1) or MJPEG-AVI (id%3=2) — pushed through the magic-byte
+      // dispatch decode. ORACLED: kind, decoded dims and frame counts
+      // are pure variant arithmetic, so the t2 gate proves all three
+      // codec round-trips AND the dispatch itself (the perceptual
+      // feature column is engine-internal and excluded).
+      (s, d) => {
+        val ids = docs(s, d)
+        val media = Multimodal.renderMedia(s, ids.filter(col("doc_id") % 3 === 0), "doc_id")
+          .unionByName(Multimodal.renderAudioMedia(s, ids.filter(col("doc_id") % 3 === 1), "doc_id"))
+          .unionByName(Multimodal.renderVideoMedia(s, ids.filter(col("doc_id") % 3 === 2), "doc_id"))
+        Multimodal.decodeFeatures(s, media).toDF()
+          .select(col("media_id"), col("kind"),
+            col("decode_ok").cast("int").as("decode_ok"),
+            col("width"), col("height"), col("n_frames"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT doc_id AS media_id,
+             | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             | CAST(1 AS INTEGER) AS decode_ok,
+             | CAST(CASE doc_id % 3 WHEN 0 THEN 48 + ((doc_id % 50) % 4) * 8
+             |                      WHEN 1 THEN 0
+             |                      ELSE 32 + ((doc_id % 50) % 4) * 8 END AS INTEGER) AS width,
+             | CAST(CASE doc_id % 3 WHEN 0 THEN 32 + ((doc_id % 50) % 3) * 8
+             |                      WHEN 1 THEN 0
+             |                      ELSE 24 + ((doc_id % 50) % 3) * 8 END AS INTEGER) AS height,
+             | CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2000 ELSE 3 END AS BIGINT) AS n_frames
+             |FROM documents ORDER BY media_id""".stripMargin))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.q).toMap
