@@ -5,6 +5,17 @@ import org.apache.spark.sql.SparkSession
   * on SPARK_GRAFT_SF_DIR, prints ONE JSON line with per-query seconds.
   * Queries are fully materialized via the noop sink — `count()` would let
   * Catalyst prune projections and skip most of the work being measured.
+  *
+  * Measurement discipline: queries costing ≥ 1 s run THREE times and
+  * report the MEDIAN in `queries` — single-shot numbers on a shared,
+  * variably-loaded driver box have diverged up to 4× from exclusive
+  * reruns round-over-round, and the median of three kills transient
+  * load spikes. `first_runs` keeps every query's first (cold) time:
+  * continuity with earlier rounds' single-run numbers, and for the
+  * memoized families (sim_*, mm_*, keep-best) it is where the shared
+  * materialization cost shows up — repeats measure warm steady state.
+  * `value` stays the sum of first runs (the comparable total);
+  * `wall_sec` is the whole timed section including repeats.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -37,18 +48,36 @@ object Bench {
         sfDir
       }
     val failures = scala.collection.mutable.ListBuffer.empty[String]
+    val RepeatFloor = 1.0 // sec: cheaper queries don't repeat — their
+                          // variance is noise-level and repeats cost time
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                dir: String): (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
+    }
+    val wall0 = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val dir = if (graft.queries.ScaledFixtures.appliesTo(name)) scaledDir else sfDir
-      val t0 = System.nanoTime()
-      try fn(spark, dir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        failures += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-      }
-      name -> (System.nanoTime() - t0) / 1e9
+      val (t1, ok1) = runOnce(name, fn, dir)
+      if (!ok1) failures += name
+      val times =
+        if (ok1 && t1 >= RepeatFloor)
+          t1 +: (1 to 2).map(_ => runOnce(name, fn, dir)).filter(_._2).map(_._1)
+        else Seq(t1)
+      val median = times.sorted.apply(times.size / 2)
+      (name, t1, median, times.size)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val wallSec = (System.nanoTime() - wall0) / 1e9
+    def jmap(f: ((String, Double, Double, Int)) => String) =
+      results.map(f).mkString("{", ",", "}")
+    val qs = jmap { case (k, _, med, _) => "\"" + k + "\":" + med }
+    val firsts = jmap { case (k, t1, _, _) => "\"" + k + "\":" + t1 }
+    val reps = jmap { case (k, _, _, n) => "\"" + k + "\":" + n }
     val total = results.map(_._2).sum
     val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     // report the scale the docs/emb queries actually ran at: 1 when
@@ -56,7 +85,7 @@ object Bench {
     // mistaken for a scaled one in round-over-round comparisons
     val docsScale =
       if (scaledDir == sfDir) 1 else graft.queries.ScaledFixtures.multiplier(sfDir)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$fails,"docs_scale":$docsScale,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"first_runs":$firsts,"repeats":$reps,"wall_sec":$wallSec,"failures":$fails,"docs_scale":$docsScale,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

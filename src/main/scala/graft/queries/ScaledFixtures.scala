@@ -54,7 +54,7 @@ object ScaledFixtures {
   /** Bump when the replication scheme changes (word bijection, noise
     * amplitude, IdStride, partitioning) — invalidates cached corpora.
     */
-  private val SchemeVersion = 2
+  private val SchemeVersion = 3
 
   /** Fingerprint of everything the cached corpus derives from: scheme
     * version, multiplier, and the source parquet files' (name, size,
@@ -82,16 +82,34 @@ object ScaledFixtures {
     val out = s"target/scaled/${new java.io.File(sfDir).getName}"
     val marker = new java.io.File(s"$out/_SCALED_OK")
     val fp = fingerprint(sfDir, m)
-    val fresh = marker.exists() &&
+    def fresh() = marker.exists() &&
       java.nio.file.Files.readString(marker.toPath) == fp
-    if (!fresh) {
-      marker.delete() // no marker while (re)building — crash ⇒ rebuild
-      scaledDocs(spark, sfDir, m)
-        .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
-      scaledEmbeddings(spark, sfDir, m)
-        .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
-      marker.getParentFile.mkdirs()
-      java.nio.file.Files.writeString(marker.toPath, fp)
+    if (!fresh()) {
+      // `synchronized` only excludes THIS JVM; two concurrent processes
+      // (Bench alongside a Verify) could interleave the marker-delete /
+      // rebuild and one would read a torn corpus. An OS file lock on a
+      // sibling lockfile makes the rebuild a cross-process critical
+      // section; freshness is re-checked under the lock because the
+      // other process may have completed the same rebuild while we
+      // waited.
+      new java.io.File(out).mkdirs()
+      val ch = java.nio.channels.FileChannel.open(
+        java.nio.file.Paths.get(out, "_SCALED_LOCK"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try {
+        val lock = ch.lock()
+        try {
+          if (!fresh()) {
+            marker.delete() // no marker while (re)building — crash ⇒ rebuild
+            scaledDocs(spark, sfDir, m)
+              .write.mode(SaveMode.Overwrite).parquet(s"$out/documents.parquet")
+            scaledEmbeddings(spark, sfDir, m)
+              .write.mode(SaveMode.Overwrite).parquet(s"$out/embeddings.parquet")
+            java.nio.file.Files.writeString(marker.toPath, fp)
+          }
+        } finally lock.release()
+      } finally ch.close()
     }
     out
   }
@@ -105,9 +123,14 @@ object ScaledFixtures {
       .select(
         (col("doc_id") + col("rep") * lit(IdStride)).as("doc_id"),
         when(col("rep") === 0, col("text"))
+          // 14 hex chars (56 bits) of the md5: at ~10^6 distinct words
+          // per replica the birthday collision odds are ~10^-5, so the
+          // word rewrite is a bijection in practice and set overlap —
+          // hence planted Jaccard — is preserved exactly (8 chars / 32
+          // bits had ~10% collision odds at that vocabulary)
           .otherwise(concat_ws(" ", transform(split(col("text"), " "),
             w => substring(md5(concat(w, lit("|"), col("rep").cast("string"))
-              .cast("binary")), 1, 8))))
+              .cast("binary")), 1, 14))))
           .as("text"),
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
