@@ -59,6 +59,9 @@ object Layout {
   def writeZordered(df: DataFrame, dir: String, zCols: Seq[String],
                     numFiles: Int, maxRecordsPerFile: Long = 5000000L,
                     bits: Int = 16): Unit = {
+    // shrink per-column bits for wide z keys so the interleave always
+    // fits one long — locality degrades gracefully instead of throwing
+    val useBits = math.max(1, math.min(bits, 63 / math.max(zCols.size, 1)))
     val aggs = zCols.flatMap(c => Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
     val stats = df.agg(aggs.head, aggs.tail: _*).head()
     if (zCols.indices.exists(i => stats.isNullAt(2 * i) || stats.isNullAt(2 * i + 1))) {
@@ -71,7 +74,7 @@ object Layout {
     // greatest(0, null) — deliberate: they stay clustered together
     val mins = zCols.indices.map(i => stats.getLong(2 * i))
     val maxs = zCols.indices.map(i => stats.getLong(2 * i + 1))
-    df.withColumn("__z", zorderValue(zCols.map(col), mins, maxs, bits))
+    df.withColumn("__z", zorderValue(zCols.map(col), mins, maxs, useBits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")

@@ -18,9 +18,20 @@ object Runner {
 
   /** Run all extracts in parallel, committing each as a new version under
     * `$baseDir/$table`. Returns committed versions per table.
+    *
+    * The default commit layout is Z-ordered on the table key: committed
+    * snapshots carry tight parquet min/max statistics on every key
+    * column, so the NEXT run's diff scan — and any keyed read-side query
+    * — prunes files instead of scanning the whole snapshot
+    * (RunnerSpec pins the post-commit pruning). Non-numeric keys degrade
+    * to the range-sorted writer inside [[Layout.writeZordered]]; pass
+    * `layout = _ => Pipeline.SnapshotLayout.Plain` to skip the one extra
+    * commit-time shuffle the layout pass costs.
     */
   def extractAll(spark: SparkSession, sources: Seq[Source], baseDir: String,
-                 maxDeletes: Long = Pipeline.DefaultMaxDeletes): Map[String, Long] = {
+                 maxDeletes: Long = Pipeline.DefaultMaxDeletes,
+                 layout: Source => Pipeline.SnapshotLayout =
+                   src => Pipeline.SnapshotLayout.Zordered(src.key)): Map[String, Long] = {
     val versions = new java.util.concurrent.ConcurrentHashMap[String, Long]()
     Pipeline.runParallel(spark, sources.map { src =>
       src.name -> (() => {
@@ -38,7 +49,7 @@ object Runner {
         }
         val r = Pipeline.warm(internal, external, src.key, src.dataCols,
           maxDeletes, src.deriveFetched, state = Some(state))
-        try versions.put(src.name, Pipeline.commitVersioned(r, dir))
+        try versions.put(src.name, Pipeline.commitVersioned(r, dir, layout(src)))
         finally r.release()
         ()
       })

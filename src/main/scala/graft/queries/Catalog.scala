@@ -459,6 +459,32 @@ object Catalog {
       Some(s"""${Fixture.OracleCtes}
               |SELECT * FROM base ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    Entry("diff_apply_scaled",
+      // the CDC core at SYNTHETIC scale, declared so its at-scale
+      // throughput is tracked round-over-round like the dedup family
+      // (the fixture diffs ~600k keys at sf0.1; this runs 100k × the sf
+      // multiplier — 10M keys at sf0.1, the tools/DiffBench shape):
+      // ~1% changed / 0.5% new / 0.5% deleted, full classify + apply.
+      // Output: per-kind counts plus the applied snapshot's row count —
+      // wrong classification or apply algebra shifts the counts.
+      (s, d) => {
+        val n = 100000L * ScaledFixtures.multiplier(d)
+        val internal = s.range(n)
+          .selectExpr("id", "hash(id, 1) AS a", "hash(id, 2) AS b")
+          .filter(col("id") % 200 =!= 0) // these exist only externally -> new
+        val external = s.range(n).selectExpr("id",
+            "CASE WHEN id % 100 = 1 THEN hash(id, 99) ELSE hash(id, 1) END AS a",
+            "hash(id, 2) AS b")
+          .filter(col("id") % 200 =!= 3) // these vanish -> deleted
+        val kinds = Diff.classify(internal, external, Seq("id"), Seq("a", "b"))
+          .groupBy("kind").agg(count(lit(1)).as("n"))
+        val applied = Diff.diffApply(internal, external, Seq("id"), Seq("a", "b"))
+          .select(lit("applied_rows").as("kind"))
+          .groupBy("kind").agg(count(lit(1)).as("n"))
+        kinds.unionByName(applied).orderBy("kind")
+      },
+      None), // synthetic input built from Spark's hash() — engine-internal
+
     // ----- §2.6 window
     Entry("changelog_latest",
       (s, d) => {
@@ -874,6 +900,37 @@ object Catalog {
           .orderBy("version")
       },
       None), // side-effecting state machine — filesystem metrics, rows-only
+
+    Entry("snapshot_asof",
+      // TIME TRAVEL over the versioned commit protocol, ORACLED by
+      // version parity: commit v1 = the internal fixture ingested cold
+      // (everything classifies new), commit v2 = the warm diff-applied
+      // snapshot, then read back AS OF v1 through the v=N directory +
+      // VERSION-pointer layout. The returned rows must equal the
+      // internal fixture replayed independently by DuckDB — proving the
+      // read path returns the PAST committed state, not the latest.
+      (s, d) => {
+        val root = scratchDir("snapshot_asof", d)
+        val i = Fixture.internal(s, d)
+        val e = Fixture.external(s, d)
+        val dataCols = Fixture.dataCols(e)
+        // v1: cold ingest of the internal fixture via the same warm
+        // algebra (empty replica -> all rows classify new)
+        val r1 = Pipeline.warm(i.limit(0), i, K, dataCols, nullSafeKeys = false)
+        Pipeline.commitVersionedAt(r1, root, 1L)
+        r1.release()
+        // v2: the warm incremental run lands the external state
+        val r2 = Pipeline.warm(i, e, K, dataCols, nullSafeKeys = false)
+        Pipeline.commitVersionedAt(r2, root, 2L)
+        r2.release()
+        // read AS OF v1 while the pointer names v2
+        require(Pipeline.currentVersion(root).contains(2L))
+        Pipeline.readVersion(s, root, "snapshot", 1L)
+          .select(i.columns.map(col): _*)
+          .orderBy(keyCols: _*)
+      },
+      Some(s"""${Fixture.OracleCtes}
+              |SELECT * FROM internal ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     Entry("json_props_agg",
       (s, d) => Tables.loadEvents(s, d)

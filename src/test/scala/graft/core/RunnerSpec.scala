@@ -55,6 +55,29 @@ class RunnerSpec extends AnyFunSuite {
     assert(stats.columns.toSet == Set("n_nationkey", "members", "active", "o_totalprice"))
   }
 
+  test("default commit layout is z-ordered on the key: post-commit keyed scans prune files") {
+    val base = java.nio.file.Files.createTempDirectory("graft_zcommit").toString
+    val d = TestSpark.Sf
+    Runner.extractAll(spark, Seq(Runner.Source("lineitem",
+      () => Fixture.external(spark, d), Fixture.Key, Fixture.DataCols)), base)
+    val snap = Pipeline.readLatest(spark, base + "/lineitem", "snapshot")
+    assert(snap.count() == Fixture.external(spark, d).count())
+    val total = snap.select(input_file_name()).distinct().count()
+    assert(total >= 2, s"need multiple committed files to prove pruning ($total)")
+    // a narrow range on the LEADING key column must touch few files —
+    // the z curve keeps min/max stats tight on every key column
+    val cut = snap.agg(expr("percentile(l_orderkey, 0.05)")).head().getDouble(0).toLong
+    val touched = snap.filter(col("l_orderkey") <= cut)
+      .select(input_file_name()).distinct().count()
+    assert(touched < total,
+      s"keyed scan did not prune the committed snapshot's files ($touched/$total)")
+    // and the predicate itself reaches the parquet scan (row-group skip)
+    val plan = snap.filter(col("l_orderkey") <= cut)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("LessThanOrEqual(l_orderkey"),
+      s"key predicate must be pushed to the committed-snapshot scan:\n${plan.take(1200)}")
+  }
+
   test("name normalization inside extract: committed, and never churns the diff") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("graft_norm").toString
