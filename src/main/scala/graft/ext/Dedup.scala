@@ -243,6 +243,28 @@ object Dedup {
     labels.withColumnRenamed("label", "cluster_id")
   }
 
+  /** Cross-modal dedup composition: merge per-signal duplicate groupings
+    * (each a per-item `(id, label)` frame — e.g. text-LSH clusters and
+    * perceptual-image-hash groups) into ONE connected-component
+    * clustering by unioning each signal's STAR edge set (member ↔ its
+    * group label) and re-running [[dupClusters]] label propagation.
+    *
+    * Star edges preserve each signal's connectivity exactly while
+    * keeping the union edge list LINEAR in corpus size — a k-member
+    * group contributes k-1 edges, never k² pairs — so arbitrarily many
+    * signals compose at 100 TB without a quadratic blow-up. This is the
+    * resolution shape a real training pipeline runs: a document is a
+    * duplicate if ANY modality says so, and the final keep-best picks
+    * one representative per merged component.
+    */
+  def composeSignals(signals: Seq[DataFrame]): DataFrame = {
+    val edges = signals.map { s =>
+      s.filter(col("id") =!= col("label"))
+        .select(col("label").as("id_a"), col("id").as("id_b"))
+    }.reduce(_ unionByName _)
+    dupClusters(edges)
+  }
+
   /** LSH bucket index of a corpus: one (id, bucket) row per band per doc.
     * This is the PERSISTABLE dedup artifact — written once when the corpus
     * is committed (a few dozen bytes per doc), then probed by

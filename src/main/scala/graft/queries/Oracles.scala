@@ -222,6 +222,40 @@ object Oracles {
        |    ORDER BY quality DESC, id) AS rn FROM jn) WHERE rn = 1
        |ORDER BY cluster_id""".stripMargin
 
+  /** Cross-modal dedup resolution: text-LSH clusters ∪ image perceptual
+    * groups → star edges → BFS connected components → keep-best by
+    * quality. The image signal is derived here by pure variant
+    * arithmetic (`doc_id % 50` — renderMedia plants that structure, and
+    * the `mm_image_dedup_check` gate independently proves the decoded
+    * aHash grouping equals it), while the Spark side uses the REAL
+    * decoded aHash — so this gate verifies the codec round-trip AND the
+    * multi-signal composition together.
+    */
+  val multimodalOracle: String =
+    s"""WITH RECURSIVE $lshClusterCtesBody,
+       |img AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY doc_id % 50) AS grp
+       |        FROM documents),
+       |med AS (SELECT cluster_id AS src, id AS dst FROM clusters WHERE id <> cluster_id
+       |        UNION SELECT id, cluster_id FROM clusters WHERE id <> cluster_id
+       |        UNION SELECT grp, doc_id FROM img WHERE doc_id <> grp
+       |        UNION SELECT doc_id, grp FROM img WHERE doc_id <> grp),
+       |mreach(rid, rlabel) AS (
+       |  SELECT src, src FROM med
+       |  UNION
+       |  SELECT e.dst, mreach.rlabel FROM mreach JOIN med e ON e.src = mreach.rid),
+       |mcomp AS (SELECT rid, min(rlabel) AS mcid FROM mreach GROUP BY rid),
+       |mcl AS (SELECT d.doc_id AS id, coalesce(mcomp.mcid, d.doc_id) AS cluster_id
+       |        FROM documents d LEFT JOIN mcomp ON mcomp.rid = d.doc_id),
+       |q AS (SELECT doc_id, quality FROM ($qualitySql)),
+       |jn AS (SELECT mcl.id, mcl.cluster_id, q.quality
+       |       FROM mcl JOIN q ON q.doc_id = mcl.id),
+       |kb AS (SELECT cluster_id, id AS kept_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |    ORDER BY quality DESC, id) AS rn FROM jn) WHERE rn = 1)
+       |SELECT jn.id, jn.cluster_id, kb.kept_id
+       |FROM jn JOIN kb ON kb.cluster_id = jn.cluster_id
+       |ORDER BY jn.id""".stripMargin
+
   /** The cleaned-corpus export: documents surviving keep-best-per-LSH-
     * cluster, with full payload columns.
     */

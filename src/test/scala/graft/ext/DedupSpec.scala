@@ -31,6 +31,20 @@ class DedupSpec extends AnyFunSuite {
     assert(mismatches == 0)
   }
 
+  test("composeSignals: cross-signal groups merge, singletons drop out, edges stay linear") {
+    // signal A (e.g. text LSH): {1,2} share a cluster, rest self-labeled
+    val a = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L), (5L, 5L))
+      .toDF("id", "label")
+    // signal B (e.g. image aHash): {2,3} share a group, {4} alone
+    val b = Seq((1L, 1L), (2L, 2L), (3L, 2L), (4L, 4L), (5L, 5L))
+      .toDF("id", "label")
+    val cc = Dedup.composeSignals(Seq(a, b))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 1-2 (A) and 2-3 (B) chain into one component labeled by min id 1;
+    // 4 and 5 are in no non-trivial group of either signal → absent
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("wordShingles: n-gram count and short-text guard") {
     val df = Seq("a b c d e", "a b").toDF("text")
     val sizes = df.select(size(Dedup.wordShingles(col("text"), 3))).collect().map(_.getInt(0))
