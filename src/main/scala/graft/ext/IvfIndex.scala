@@ -67,11 +67,117 @@ object IvfIndex {
     Index(centroids, assigned)
   }
 
+  /** Persist the index: posting lists PARTITIONED BY `list` (one
+    * directory per list) plus the tiny centroid table. This is the ANN
+    * analog of [[Dedup.lshIndex]] — build once when the corpus is
+    * committed, probe per query batch — and the layout is what makes the
+    * probe cheap at scale: [[topK]]'s join on `list` against the
+    * broadcast probe set triggers dynamic partition pruning, so a query
+    * batch READS only its probed lists' files (~nprobe/nlist of the
+    * corpus), enforced by the directory layout rather than trusted to a
+    * post-scan filter.
+    */
+  def write(idx: Index, path: String): Unit = {
+    val spark = idx.assigned.sparkSession
+    import spark.implicits._
+    // co-locate each list's rows before the partitioned write: without
+    // the repartition every task writes a file into every list directory
+    // it touches (tasks × nlist small files); with it, one file per list
+    idx.assigned.repartition(col("list")).write.mode("overwrite")
+      .partitionBy("list").parquet(s"$path/assigned")
+    idx.centroids.toSeq.toDF("list", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Incremental maintenance of a persisted index under CDC — the ANN
+    * analog of the row-keyed [[Dedup.lshIndex]] upsert algebra. The
+    * delta's vectors are assigned to their nearest EXISTING centroid
+    * (the coarse quantizer is stable between planned rebuilds —
+    * retraining per delta would re-scan the corpus), then only the
+    * TOUCHED lists' partitions are rewritten: (their existing rows minus
+    * upserted/deleted ids) ∪ (the delta's assignments), via dynamic
+    * partition overwrite. Per-delta cost ∝ delta size + touched lists'
+    * rows — never the corpus; untouched list directories are not read
+    * or written.
+    *
+    * Remove-then-add algebra, matching what the diff classifier emits:
+    * `deletes` holds every row LEAVING the index (true deletes AND the
+    * OLD vector of each update — otherwise an update that crosses lists
+    * would leave its stale row in the old list), `upserts` every row
+    * ENTERING (inserts and each update's NEW vector). Both carry
+    * (id, vector): locating a leaving row's list needs its outgoing
+    * vector, which the CDC snapshot state always has (same reasoning as
+    * the classifier's full-outer on state).
+    */
+  def applyDelta(spark: SparkSession, path: String, upserts: DataFrame,
+                 deletes: DataFrame, idCol: String, vecCol: String): Unit = {
+    val idx = load(spark, path)
+    import spark.implicits._
+    val cents = idx.centroids.toSeq.toDF("list", "centroid")
+    // nearest centroid by squared Euclidean (matches the KMeans
+    // assignment in build): |v|² + |c|² − 2·v·c, minimized
+    def assign(df: DataFrame): DataFrame = {
+      val d2 = vectors.float_norm(col("v")) * vectors.float_norm(col("v")) +
+        vectors.float_norm(col("centroid")) * vectors.float_norm(col("centroid")) -
+        lit(2.0) * vectors.float_dot(col("v"), col("centroid"))
+      val w = Window.partitionBy("vid").orderBy(d2.asc, col("list").asc)
+      df.select(col(idCol).as("vid"), col(vecCol).as("v"))
+        .crossJoin(broadcast(cents))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") === 1)
+        .select(col("vid"), col("v"), col("list"))
+    }
+    val up = assign(upserts)
+    val del = assign(deletes).select(col("vid"), col("list"))
+    // touched list ids: bounded by nlist ints, like the probe's prune set
+    val touched = up.select("list").unionByName(del.select("list")).distinct()
+      .collect().map(_.getInt(0))
+    if (touched.isEmpty) return
+    val existing = idx.assigned.filter(col("list").isin(touched.toSeq: _*))
+    val gone = up.select("vid").unionByName(del.select("vid"))
+    val out = existing.join(gone, Seq("vid"), "left_anti")
+      .select("vid", "v", "list")
+      .unionByName(up.select("vid", "v", "list"))
+      // sever the lineage from the files about to be overwritten (Spark
+      // refuses to overwrite a path it is reading); only touched rows
+      // materialize — the incremental claim holds
+      .localCheckpoint(true)
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      out.repartition(col("list")).write.mode("overwrite")
+        .partitionBy("list").parquet(s"$path/assigned")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+  }
+
+  /** Load a persisted index. The `assigned` frame reads the partitioned
+    * layout lazily — nothing is scanned until a probe runs.
+    */
+  def load(spark: SparkSession, path: String): Index = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
+      .sortBy(_._1)
+    val assigned = spark.read.parquet(s"$path/assigned")
+      .select(col("vid"), col("v"), col("list").cast("int").as("list"))
+    Index(centroids, assigned)
+  }
+
   /** ANN top-k through the index: probe the `nprobe` nearest posting lists
     * per query, exact cosine rerank inside them.
+    *
+    * `pruneScan = true` is the persisted-index fast path: the distinct
+    * probed list ids (at most `nlist` ints — bounded like the capped
+    * hot-key collect in [[graft.core.Skew]]) come back to the driver and
+    * become a STATIC `IN` filter on the partition column, so a
+    * [[load]]-ed layout reads only the probed lists' directories. This
+    * is deliberate two-phase planning: Spark's dynamic partition pruning
+    * declined this join shape (`dynamicpruningexpression(true)` — the
+    * heuristic sees a broadcast exchange it cannot reuse for the
+    * subquery), and a bounded driver round-trip of list IDS (never
+    * vectors) buys plan-time file pruning that holds at any corpus size.
     */
   def topK(spark: SparkSession, index: Index, queries: DataFrame, idCol: String,
-           vecCol: String, k: Int, nprobe: Int): DataFrame = {
+           vecCol: String, k: Int, nprobe: Int, pruneScan: Boolean = false): DataFrame = {
     import spark.implicits._
     val cents = index.centroids.toSeq.toDF("list", "centroid")
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
@@ -84,8 +190,15 @@ object IvfIndex {
       .withColumn("__cr", row_number().over(wc))
       .filter(col("__cr") <= nprobe)
       .select(col("qid"), col("qv"), col("qn"), col("list"))
+    val assigned =
+      if (!pruneScan) index.assigned
+      else {
+        val lists = probes.select("list").distinct().collect().map(_.getInt(0))
+        if (lists.isEmpty) index.assigned.filter(lit(false))
+        else index.assigned.filter(col("list").isin(lists.toSeq: _*))
+      }
     // rerank within the probed lists only
-    val scored = index.assigned.join(broadcast(probes), Seq("list"))
+    val scored = assigned.join(broadcast(probes), Seq("list"))
       .filter(col("qid") =!= col("vid"))
       .withColumn("cos", vectors.float_dot(col("qv"), col("v")) /
         (col("qn") * vectors.float_norm(col("v"))))

@@ -5,15 +5,19 @@ import org.apache.spark.storage.StorageLevel
 import java.nio.file.{Files, Paths}
 import scala.jdk.CollectionConverters._
 
-/** Session-scoped memoization of persisted derived DataFrames, keyed on
-  * (session, dir) and invalidated by a fingerprint of the source parquet
-  * (file names + sizes + mtimes): reloading a dir whose data changed
-  * recomputes instead of serving stale clusters, and every eviction or
-  * invalidation unpersists so executor storage is bounded — entries never
-  * leak across many dirs in one long-lived session.
+/** Session-scoped memoization of derived values, keyed on (session, dir)
+  * and invalidated by a fingerprint of the source parquet (file names +
+  * sizes + mtimes): reloading a dir whose data changed recomputes instead
+  * of serving stale clusters, and every eviction or invalidation releases
+  * the value so executor storage is bounded — entries never leak across
+  * many dirs in one long-lived session.
+  *
+  * `acquire` runs on insert (e.g. persist a frame), `release` on
+  * eviction/invalidation (e.g. unpersist).
   */
-private[queries] final class QueryCache(sourceFile: String, maxEntries: Int = 4) {
-  private case class Entry(fp: String, df: DataFrame)
+private[queries] class ValueCache[A](sourceFile: String, maxEntries: Int = 4)(
+    acquire: A => A, release: A => Unit) {
+  private case class Entry(fp: String, v: A)
   private val cache =
     scala.collection.mutable.LinkedHashMap.empty[(SparkSession, String), Entry]
 
@@ -30,7 +34,7 @@ private[queries] final class QueryCache(sourceFile: String, maxEntries: Int = 4)
   }
 
   def get(s: SparkSession, dir: String)
-         (compute: (SparkSession, String) => DataFrame): DataFrame = synchronized {
+         (compute: (SparkSession, String) => A): A = synchronized {
     val key = (s, dir)
     val fp = fingerprint(dir)
     cache.get(key) match {
@@ -40,18 +44,23 @@ private[queries] final class QueryCache(sourceFile: String, maxEntries: Int = 4)
         // persisted frame (e.g. the expensive LSH cluster DataFrame)
         cache.remove(key)
         cache.put(key, e)
-        e.df
+        e.v
       case stale =>
-        stale.foreach(_.df.unpersist())
+        stale.foreach(e => release(e.v))
         cache.remove(key)
         if (cache.size >= maxEntries) {
           val (k0, e0) = cache.head // eldest-inserted
-          e0.df.unpersist()
+          release(e0.v)
           cache.remove(k0)
         }
-        val df = compute(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
-        cache.put(key, Entry(fp, df))
-        df
+        val v = acquire(compute(s, dir))
+        cache.put(key, Entry(fp, v))
+        v
     }
   }
 }
+
+/** [[ValueCache]] specialized to persisted DataFrames — the common case. */
+private[queries] final class QueryCache(sourceFile: String, maxEntries: Int = 4)
+  extends ValueCache[DataFrame](sourceFile, maxEntries)(
+    _.persist(StorageLevel.MEMORY_AND_DISK), _.unpersist())

@@ -29,6 +29,108 @@ class IvfIndexSpec extends AnyFunSuite {
     part.collect().foreach(r => assert(r.getDouble(2) <= bruteBest(r.getLong(0)) + 1e-9))
   }
 
+  test("persisted index: probe parity with in-memory, scan reads only probed partitions") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val e = Tables.load(spark, TestSpark.Sf, "embeddings")
+    val idx = IvfIndex.build(spark, e, "vec_id", "embedding", nlist = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    IvfIndex.write(idx, dir)
+    val loaded = IvfIndex.load(spark, dir)
+    assert(loaded.centroids.map(_._1).toSeq == idx.centroids.map(_._1).toSeq)
+    assert(loaded.centroids.zip(idx.centroids).forall {
+      case ((_, a), (_, b)) => a.sameElements(b)
+    })
+
+    val q = e.filter(col("vec_id") < 3)
+    val mem = IvfIndex.topK(spark, idx, q, "vec_id", "embedding", k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))).sorted
+    val prb = IvfIndex.topK(spark, loaded, q, "vec_id", "embedding", k = 3, nprobe = 2,
+      pruneScan = true)
+    val disk = prb.collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getLong(1), r.getDouble(2))).sorted
+    assert(disk.toSeq == mem.toSeq)
+
+    // the assigned/ scan must be PLAN-TIME pruned to the probed lists:
+    // the write lays one file per list, so files read == partitions read
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec => scans(qs.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans(_))
+    }
+    val assignedScans = scans(prb.queryExecution.executedPlan).filter(
+      _.relation.location.rootPaths.exists(_.toString.contains("assigned")))
+    assert(assignedScans.nonEmpty, "no FileSourceScanExec over the persisted index")
+    val filesRead = assignedScans.map(_.metrics("numFiles").value).sum
+    // 3 queries × nprobe=2 touch at most 6 distinct lists of the 8
+    assert(filesRead <= 6, s"expected ≤6 of 8 partition files read, got $filesRead")
+  }
+
+  test("applyDelta: upserts + deletes land, untouched list partitions are not rewritten") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val e = Tables.load(spark, TestSpark.Sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val idx = IvfIndex.build(spark, e, "vec_id", "embedding", nlist = 8)
+    val dir = Files.createTempDirectory("ivf_delta").toString
+    IvfIndex.write(idx, dir)
+
+    def partFiles(): Map[String, Set[String]] = {
+      val s = Files.list(Paths.get(dir, "assigned"))
+      try s.iterator.asScala.filter(p => p.getFileName.toString.startsWith("list="))
+        .map { p =>
+          val f = Files.list(p)
+          try p.getFileName.toString ->
+            f.iterator.asScala.map(q => s"${q.getFileName}:${Files.getLastModifiedTime(q)}").toSet
+          finally f.close()
+        }.toMap
+      finally s.close()
+    }
+    val before = partFiles()
+
+    // delta: UPDATE vec 0 to the opposite point (remove-then-add — its
+    // old vector rides deletes, its new one upserts, so a cross-list
+    // move cannot strand a stale row), INSERT a brand-new id, DELETE
+    // vec 1 (its outgoing vector locates its list)
+    val v0 = e.filter(col("vec_id") === 0).select(col("embedding")).first()
+      .getSeq[Float](0).toArray
+    val v1row = e.filter(col("vec_id") === 1).select(col("embedding")).first()
+      .getSeq[Float](0).toArray
+    import spark.implicits._
+    val upserts = Seq((0L, v0.map(x => -x)), (900001L, v0)).toDF("vec_id", "embedding")
+    val deletes = Seq((0L, v0), (1L, v1row)).toDF("vec_id", "embedding")
+    IvfIndex.applyDelta(spark, dir, upserts, deletes, "vec_id", "embedding")
+
+    val maintained = IvfIndex.load(spark, dir)
+    val n0 = e.count()
+    assert(maintained.assigned.count() == n0 + 1 - 1) // +new id, -deleted
+    assert(maintained.assigned.filter(col("vid") === 1L).count() == 0)
+    assert(maintained.assigned.filter(col("vid") === 900001L).count() == 1)
+
+    // full probe over the MAINTAINED layout == brute force over the
+    // updated corpus: any consistent partitioning gives exact results
+    // when every list is probed, so this pins the whole delta algebra
+    val updated = e.filter(col("vec_id") =!= 0 && col("vec_id") =!= 1)
+      .unionByName(upserts)
+    val q = updated.filter(col("vec_id") < 5)
+    val full = IvfIndex.topK(spark, maintained, q, "vec_id", "embedding",
+        k = 3, nprobe = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).sorted
+    val brute = Similarity.bruteTopK(updated, q, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).sorted
+    assert(full.toSeq == brute.toSeq)
+
+    // incremental claim: the 4 delta rows touch at most 4 of the 8 list
+    // dirs; the rest are byte-stable (not read, not written)
+    val after = partFiles()
+    assert(after.keySet == before.keySet)
+    val changed = before.keySet.count(k => before(k) != after(k))
+    assert(changed <= 4, s"expected ≤4 rewritten list partitions, got $changed")
+    assert(before.keySet.size - changed >= 4,
+      s"expected ≥4 untouched list partitions, got ${before.keySet.size - changed}")
+  }
+
   test("quantizer trains on a bounded sample, assignment still covers the corpus") {
     val e = Tables.load(spark, TestSpark.Sf, "embeddings")
     val n = e.count()
