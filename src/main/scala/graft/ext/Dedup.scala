@@ -369,6 +369,67 @@ object Dedup {
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
+  /** Banded hyperplane-LSH bucket index of an embedding corpus: one
+    * (id, band, bucket) row per band per vector — the persistable ANN
+    * near-dup artifact, the embedding analog of [[lshIndex]]. Computed
+    * map-side by the codegen'd `hyperplane_bucket_band` expression (a few
+    * dozen bytes per vector, no shuffle); maintained row-keyed under CDC
+    * exactly like the text index.
+    */
+  def embeddingIndex(embs: DataFrame, idCol: String, vecCol: String,
+                     planes: Int = 18, bands: Int = 8): DataFrame = {
+    import graft.functions.vectors
+    embs.select(col(idCol).as("id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            vectors.hyperplane_bucket_band(col(vecCol), planes, b).as("bucket"))): _*))
+          .as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Incremental embedding near-dup: cosine-verified pairs touching a
+    * DELTA of newly-ingested vectors, probing a pre-built corpus
+    * [[embeddingIndex]] — the ANN analog of [[incrementalVerifiedPairs]],
+    * with (band, bucket) as the collision key and exact cosine as the
+    * verifier. Only the delta is sketched; candidates are delta×index
+    * plus delta×delta band-bucket joins; vectors are fetched by id for
+    * candidates only. Per-ingest cost ∝ delta size + bucket collisions —
+    * independent of corpus size except the keyed vector-fetch join.
+    * Contract: corpus and delta id sets are disjoint; replay overlap is
+    * tolerated identically to the text form (self-pair drop + anti-join).
+    * Output: (id_a, id_b, cosine) with id_a < id_b, cosine >= threshold.
+    */
+  def incrementalEmbeddingPairs(corpusIndex: DataFrame, corpusVecs: DataFrame,
+                                delta: DataFrame, idCol: String, vecCol: String,
+                                threshold: Double, planes: Int = 18, bands: Int = 8,
+                                deltaIndex: Option[DataFrame] = None,
+                                broadcastDelta: Boolean = false): DataFrame = {
+    import graft.functions.vectors
+    val deltaIdx0 = deltaIndex.getOrElse(embeddingIndex(delta, idCol, vecCol, planes, bands))
+    val deltaIdx = if (broadcastDelta) broadcast(deltaIdx0) else deltaIdx0
+    val d = deltaIdx.as("d")
+    val dc = d.join(corpusIndex.as("ci"),
+        col("d.band") === col("ci.band") && col("d.bucket") === col("ci.bucket"))
+      .select(least(col("d.id"), col("ci.id")).as("id_a"),
+        greatest(col("d.id"), col("ci.id")).as("id_b"))
+    val dd = d.join(deltaIdx.as("e"),
+        col("d.band") === col("e.band") && col("d.bucket") === col("e.bucket") &&
+          col("d.id") < col("e.id"))
+      .select(col("d.id").as("id_a"), col("e.id").as("id_b"))
+    val cands = dc.filter(col("id_a") =!= col("id_b")).unionByName(dd).distinct()
+    val vecs = corpusVecs.select(col(idCol), col(vecCol))
+      .join(delta.select(col(idCol)), Seq(idCol), "left_anti")
+      .unionByName(delta.select(col(idCol), col(vecCol)))
+    val a = vecs.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = vecs.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    cands.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(vectors.float_dot(col("__va"), col("__vb")) /
+          (vectors.float_norm(col("__va")) * vectors.float_norm(col("__vb"))), 6)
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Embedding near-dup: pairs with cosine above `threshold`, via BANDED
     * hyperplane LSH — `bands` independent hyperplane families of `planes`
     * planes each; a pair is a candidate when ANY band agrees on the

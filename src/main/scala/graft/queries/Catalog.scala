@@ -1262,6 +1262,29 @@ object Catalog {
           .orderBy("id_a", "id_b"),
       None), // LSH bucketing uses xxhash64 — not expressible in DuckDB
 
+    Entry("dedup_vec_ingest_gate",
+      // the EMBEDDING ingest gate's batch contract: run the real
+      // StreamVecDup state machine over the shadow-planted corpus — seed
+      // (wave vec_id % 3 == 0) indexed, two ingest waves probed against
+      // the accumulating banded-hyperplane index, bucket-prefix-pruned
+      // per batch — and read back every cosine-verified pair, versioned
+      // by the detecting batch. The shadow offset (IdStride/2 ≡ 2 mod 3)
+      // guarantees every planted pair SPANS waves, so cross-batch
+      // detection is exactly what the row count measures.
+      (s, d) => {
+        val all = embShadowed(s, d)
+        val st = scratchDir("dedup_vec_ingest_gate", d)
+        val p = graft.stream.StreamVecDup.Params()
+        graft.stream.StreamVecDup.seedCorpus(all.filter(col("vec_id") % 3 === 0), st, p)
+        graft.stream.StreamVecDup.processBatch(all.filter(col("vec_id") % 3 === 1), st, 1L, p)
+        graft.stream.StreamVecDup.processBatch(all.filter(col("vec_id") % 3 === 2), st, 2L, p)
+        graft.stream.StreamVecDup.pairs(s, st)
+          .select(col("id_a"), col("id_b"), col("cosine"),
+            col("ingest_version").cast("long").as("ingest_version"))
+          .orderBy("id_a", "id_b")
+      },
+      None), // xxhash64 hyperplanes — not expressible in DuckDB
+
     // ----- §7.5 similarity search
     Entry("sim_topk_brute",
       (s, d) => simBrute5(s, d)

@@ -1,0 +1,120 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ext.Dedup
+
+/** Streaming ingest-time near-dup gate over EMBEDDINGS: every micro-batch
+  * of incoming vectors is checked against the committed corpus by banded
+  * hyperplane LSH + exact-cosine verify — without ever re-sketching the
+  * corpus — then absorbed. The vector twin of [[StreamNearDup]]; the two
+  * gates compose at ingest the way `dedup_multimodal` composes their
+  * batch outputs.
+  *
+  * State layout under `stateDir` (partitioned by ingest version, so a
+  * replayed batch overwrites exactly its own contribution):
+  * {{{
+  *   vecs/batch=N/           raw (id, vec) of every absorbed batch
+  *   index/batch=N/pb=X/     the batch's (id, band, bucket) LSH rows
+  *                           (Dedup.embeddingIndex), sub-partitioned by
+  *                           pb = xxhash64(band, bucket) mod indexPrefixes
+  *   pairs/batch=N/          cosine-verified pairs the batch introduced
+  * }}}
+  *
+  * The probe never scans or shuffles the full accumulated index: the
+  * delta's distinct bucket-prefix set prunes the corpus-index read at
+  * DIRECTORY level, and the delta index is broadcast (micro-batches are
+  * trigger-bounded), so surviving corpus rows are scanned once and never
+  * shuffled — the same delta-bounded witness StreamNearDupSpec pins for
+  * text. Exactly-once follows the identical `batch < version` partition
+  * filter + Overwrite discipline (see [[StreamNearDup]]'s scaladoc for
+  * the replay argument; the layout is the same shape).
+  *
+  * Reference analog: none — §7.5 training-pipeline extension.
+  */
+object StreamVecDup {
+  final case class Params(idCol: String = "vec_id", vecCol: String = "embedding",
+                          threshold: Double = 0.9, planes: Int = 18, bands: Int = 8,
+                          indexPrefixes: Int = 256)
+
+  /** Bucket-prefix partition column for the persisted index layout. */
+  private def withPb(idx: DataFrame, p: Params): DataFrame =
+    idx.withColumn("pb",
+      pmod(xxhash64(col("band"), col("bucket")), lit(p.indexPrefixes.toLong)).cast("int"))
+
+  private def writeIndex(idx: DataFrame, dir: String, p: Params): Unit =
+    withPb(idx, p)
+      .repartition(col("pb"))
+      .write.mode(SaveMode.Overwrite).partitionBy("pb").parquet(dir)
+
+  private def readOrEmpty(spark: SparkSession, dir: String, template: DataFrame,
+                          maxBatchExclusive: Long): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(path) &&
+      fs.listStatus(path).exists(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+    if (hasData) spark.read.parquet(dir).where(col("batch") < lit(maxBatchExclusive))
+    else template.limit(0)
+  }
+
+  /** Seed the state with an existing corpus as ingest version 0 (outside
+    * the checkpoint — re-run on failure, idempotent).
+    */
+  def seedCorpus(vecs: DataFrame, stateDir: String, p: Params = Params()): Unit = {
+    vecs.select(col(p.idCol), col(p.vecCol))
+      .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/vecs/batch=0")
+    writeIndex(Dedup.embeddingIndex(vecs, p.idCol, p.vecCol, p.planes, p.bands),
+      s"$stateDir/index/batch=0", p)
+  }
+
+  /** Process one ingest batch at `version` (streaming uses batchId+1;
+    * version 0 is the seed). Idempotent under replay.
+    */
+  def processBatch(batch: DataFrame, stateDir: String, version: Long,
+                   p: Params = Params()): Unit = {
+    val spark = batch.sparkSession
+    val corpusVecs = readOrEmpty(spark, s"$stateDir/vecs",
+        batch.select(col(p.idCol), col(p.vecCol)), version)
+      .select(col(p.idCol), col(p.vecCol))
+    writeIndex(Dedup.embeddingIndex(batch, p.idCol, p.vecCol, p.planes, p.bands),
+      s"$stateDir/index/batch=$version", p)
+    val deltaIdx = spark.read.parquet(s"$stateDir/index/batch=$version")
+    val deltaPbs = deltaIdx.select("pb").distinct().collect().map(_.getInt(0)).toSeq
+    val idxTemplate = withPb(
+      Dedup.embeddingIndex(batch.limit(0), p.idCol, p.vecCol, p.planes, p.bands), p)
+    val corpusIdx = readOrEmpty(spark, s"$stateDir/index", idxTemplate, version)
+      .where(if (deltaPbs.isEmpty) lit(false) else col("pb").isin(deltaPbs: _*))
+      .select(col("id"), col("band"), col("bucket"))
+    Dedup.incrementalEmbeddingPairs(corpusIdx, corpusVecs, batch,
+        p.idCol, p.vecCol, p.threshold, p.planes, p.bands,
+        deltaIndex = Some(deltaIdx.select(col("id"), col("band"), col("bucket"))),
+        broadcastDelta = true)
+      .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/pairs/batch=$version")
+    batch.select(col(p.idCol), col(p.vecCol))
+      .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/vecs/batch=$version")
+  }
+
+  /** All cosine-verified pairs detected so far. */
+  def pairs(spark: SparkSession, stateDir: String): DataFrame =
+    spark.read.parquet(s"$stateDir/pairs")
+      .withColumnRenamed("batch", "ingest_version")
+
+  /** Wire [[processBatch]] to a file-source stream and drain it
+    * synchronously (tests / bounded backfills; production swaps the
+    * source for Kafka/Delta — the per-batch plan is unchanged).
+    */
+  def runIngestDedup(spark: SparkSession, inputDir: String, checkpointDir: String,
+                     stateDir: String, p: Params = Params()): Unit = {
+    val schema = spark.read.parquet(inputDir).schema
+    val q = spark.readStream.schema(schema).parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        processBatch(batch.toDF(), stateDir, batchId + 1, p)
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

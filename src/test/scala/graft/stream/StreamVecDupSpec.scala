@@ -1,0 +1,95 @@
+package graft.stream
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+
+class StreamVecDupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // deterministic unit-ish test vectors: e(k) is the k-th basis direction,
+  // near(k) is e(k) nudged by 0.01 in the next dimension (cos ≈ 0.99995 —
+  // far above the 0.9 gate), distinct k's are orthogonal (cos 0)
+  private def e(k: Int): Array[Float] =
+    Array.tabulate(64)(i => if (i == k) 1.0f else 0.0f)
+  private def near(k: Int): Array[Float] =
+    Array.tabulate(64)(i => if (i == k) 1.0f else if (i == k + 1) 0.01f else 0.0f)
+
+  test("seed + two ingest batches: dups vs seed, vs earlier batch, within batch; replay idempotent") {
+    val st = java.nio.file.Files.createTempDirectory("graft_svd").toString
+    StreamVecDup.seedCorpus(
+      Seq(1L -> e(0), 2L -> e(1)).toDF("vec_id", "embedding"), st)
+
+    val b1 = Seq(10L -> near(0), 11L -> e(2)).toDF("vec_id", "embedding")
+    StreamVecDup.processBatch(b1, st, 1L)
+    def pairSet() = StreamVecDup.pairs(spark, st)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairSet() == Set((1L, 10L)))
+
+    val b2 = Seq(
+      20L -> near(2), // dups vec 11 from the PREVIOUS batch — the index grew
+      21L -> e(4),
+      22L -> near(4)) // twin planted within one ingest batch
+      .toDF("vec_id", "embedding")
+    StreamVecDup.processBatch(b2, st, 2L)
+    assert(pairSet() == Set((1L, 10L), (11L, 20L), (21L, 22L)))
+
+    // crash-replay of batch 2 after its state was absorbed: identical
+    // pairs, no duplicates, no self-pairs
+    StreamVecDup.processBatch(b2, st, 2L)
+    assert(pairSet() == Set((1L, 10L), (11L, 20L), (21L, 22L)))
+    assert(StreamVecDup.pairs(spark, st).count() == 3)
+    // verified cosine rides the pair (exact, rounded)
+    val cos = StreamVecDup.pairs(spark, st).select("cosine")
+      .collect().map(_.getDouble(0))
+    assert(cos.forall(_ >= 0.9))
+  }
+
+  test("probe is bucket-pruned: a small batch reads a fraction of the accumulated index") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val st = java.nio.file.Files.createTempDirectory("graft_svd3").toString
+    // 2000 pseudo-random 64-dim directions (near-orthogonal in high dim):
+    // index = 2000 × 8 bands = 16000 rows across the 256 default prefixes
+    val seed = spark.range(1, 2001).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), j =>
+        ((pmod(xxhash64(col("id"), j), lit(2001L)) - lit(1000L)).cast("double") / 1000.0)
+          .cast("float")).as("embedding"))
+    StreamVecDup.seedCorpus(seed, st)
+    assert(spark.read.parquet(s"$st/index").count() == 16000L)
+
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        recordsRead.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // 2 vecs × 8 bands = ≤16 of 256 prefixes → the probe may open at
+      // most 16/256 of the index (~1000 of 16000 rows expected)
+      StreamVecDup.processBatch(
+        Seq(5000L -> e(0), 5001L -> e(33)).toDF("vec_id", "embedding"), st, 1L)
+      Thread.sleep(1000) // drain queued listener events
+    } finally spark.sparkContext.removeSparkListener(listener)
+
+    // read budget: 2×2000 corpus-vec rows (both sides of the candidate
+    // vector-fetch join) + ≤16/256 of the 16000-row index + batch
+    // re-reads. An unpruned probe adds the full index scan on top.
+    assert(recordsRead.get() < 8000,
+      s"probe read ${recordsRead.get()} rows — index not bucket-pruned")
+  }
+
+  test("file-stream wiring: a streamed batch is gated against the seeded corpus") {
+    val st = java.nio.file.Files.createTempDirectory("graft_svd2").toString
+    val in = java.nio.file.Files.createTempDirectory("graft_svd_in").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_svd_ck").toString
+    StreamVecDup.seedCorpus(
+      Seq(1L -> e(0), 2L -> e(1)).toDF("vec_id", "embedding"), st)
+    Seq(100L -> near(1), 101L -> e(5)).toDF("vec_id", "embedding")
+      .write.parquet(s"$in/data")
+    StreamVecDup.runIngestDedup(spark, s"$in/data", ck, st)
+    val got = StreamVecDup.pairs(spark, st)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 100L)))
+  }
+}
