@@ -1,0 +1,114 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Training-sequence packing — the step between a cleaned corpus and a
+  * token pipeline (SURVEY.md §7.5 extension; no reference analog).
+  *
+  * Two industry shapes:
+  *  - [[packSequences]]: GPT-style "concatenate in order, chop every
+  *    seqLen tokens" — documents may straddle sequence boundaries, so
+  *    the result is a per-doc token interval and the sequence range it
+  *    spans. Exactly reproducible in SQL (the oracle re-derives it with
+  *    one window cumsum).
+  *  - [[packBinsFFD]]: no-split bin packing (each doc must fit whole —
+  *    instruction-tuning style). First-fit-decreasing within each
+  *    partition, bin ids globally unique via partition-id prefixing.
+  */
+object Packing {
+  /** Token intervals under order-preserving concatenation, distributed.
+    *
+    * The naive formulation — `sum(tokens) OVER (ORDER BY id)` with no
+    * partition — is a scale-killer: an unpartitioned window serializes
+    * the WHOLE corpus through one task. This is the classic two-phase
+    * parallel prefix scan instead: range-partition by id, aggregate one
+    * total per partition (a handful of longs to the driver), cumulate
+    * those into per-partition start offsets, broadcast-join them back,
+    * and run the running sum per partition in parallel — the global
+    * window never exists, and every phase is ∝ corpus/parallelism.
+    *
+    * Output: (id, n_tokens, tok_start, tok_end, seq_first, seq_last)
+    * where the doc occupies tokens [tok_start, tok_end) of the
+    * concatenated stream and appears in training sequences seq_first..
+    * seq_last of length `seqLen`. Empty docs pin seq_last = seq_first.
+    */
+  def packSequences(docs: DataFrame, idCol: String, tokenCol: String,
+                    seqLen: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val parted = docs.select(col(idCol).as("id"), col(tokenCol).cast("long").as("n_tokens"))
+      .repartitionByRange(col("id"))
+      .withColumn("__pid", spark_partition_id())
+      // the partition layout must be IDENTICAL between the totals pass
+      // and the window pass; the eager localCheckpoint freezes the range
+      // boundaries so a re-evaluation can never re-sample them
+      .localCheckpoint(true)
+    val totals = parted.groupBy("__pid").agg(sum("n_tokens").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (pid, t) => val o = (pid, acc); acc += t; o }
+    val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
+    val w = Window.partitionBy("__pid").orderBy("id")
+    val L = lit(seqLen.toLong)
+    parted.join(offDf, "__pid")
+      .withColumn("tok_end", sum("n_tokens").over(w) + col("__off"))
+      .withColumn("tok_start", col("tok_end") - col("n_tokens"))
+      .withColumn("seq_first", floor(col("tok_start") / L).cast("long"))
+      .withColumn("seq_last",
+        greatest(col("seq_first"), floor((col("tok_end") - 1) / L)).cast("long"))
+      .select(col("id"), col("n_tokens"), col("tok_start"), col("tok_end"),
+        col("seq_first"), col("seq_last"))
+  }
+
+  /** No-split bin packing, first-fit-decreasing per partition.
+    *
+    * True FFD is inherently sequential; the distributed shape every
+    * large pipeline uses is FFD WITHIN a partition with globally-unique
+    * bin ids (`pid * 2^40 + local_bin`) — packing quality is within a
+    * few percent of global FFD once partitions hold thousands of docs,
+    * and the pack itself is embarrassingly parallel. Docs longer than
+    * `budget` get a singleton bin (flagged `oversize`).
+    *
+    * Output: (id, n_tokens, bin_id, oversize).
+    */
+  def packBinsFFD(docs: DataFrame, idCol: String, tokenCol: String,
+                  budget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    val in = docs.select(col(idCol).cast("long").as("id"),
+      col(tokenCol).cast("long").as("n_tokens"))
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("bin_id", LongType, nullable = false),
+      StructField("oversize", BooleanType, nullable = false)))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    in.repartitionByRange(col("id")).mapPartitions { it =>
+      val rows = it.map(r => (r.getLong(0), r.getLong(1))).toArray
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        val base = pid << 40
+        // first-fit-decreasing: sort by size desc (id asc tie-break for
+        // determinism), drop each doc into the first bin with room
+        val sorted = rows.sortBy { case (id, n) => (-n, id) }
+        val binFree = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val out = sorted.map { case (id, n) =>
+          if (n > budget) {
+            binFree += -1L // burn a bin id slot for the oversize singleton
+            Row(id, n, base + binFree.length - 1L, true)
+          } else {
+            var b = 0
+            while (b < binFree.length && binFree(b) < n) b += 1
+            if (b == binFree.length) binFree += budget
+            binFree(b) -= n
+            Row(id, n, base + b.toLong, false)
+          }
+        }
+        out.iterator
+      }
+    }(enc)
+  }
+}

@@ -1111,6 +1111,44 @@ object Catalog {
       },
       Some(Oracles.dedupExportOracle)),
 
+    Entry("pack_sequences",
+      // GPT-style training-sequence packing: docs concatenated in id
+      // order, chopped every 2048 tokens — per-doc token interval + the
+      // sequence range it spans. The Spark side runs a DISTRIBUTED
+      // two-phase prefix scan (range partition → per-partition totals →
+      // cumulated offsets broadcast back → per-partition parallel
+      // window); the naive global ORDER BY window would serialize the
+      // corpus through one task. The oracle replays it with DuckDB's
+      // single-node cumsum — same arithmetic, opposite execution.
+      (s, d) => Packing.packSequences(
+          docs(s, d).select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n")),
+          "doc_id", "n", seqLen = 2048)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+             |          FROM documents),
+             |c AS (SELECT doc_id, n_tokens,
+             |      CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS tok_end FROM t)
+             |SELECT doc_id, n_tokens, tok_end - n_tokens AS tok_start, tok_end,
+             |  CAST(floor((tok_end - n_tokens) / 2048) AS BIGINT) AS seq_first,
+             |  greatest(CAST(floor((tok_end - n_tokens) / 2048) AS BIGINT),
+             |           CAST(floor((tok_end - 1) / 2048) AS BIGINT)) AS seq_last
+             |FROM c ORDER BY doc_id""".stripMargin)),
+
+    Entry("pack_bins",
+      // no-split bin packing (instruction-tuning shape): first-fit-
+      // decreasing per range partition, bin ids globally unique via
+      // pid-prefixing. Inherently order-dependent heuristic — not
+      // SQL-expressible; PackingSpec pins the invariants (exactly-one
+      // bin per doc, budget never exceeded, near-optimal bin count).
+      (s, d) => Packing.packBinsFFD(
+          docs(s, d).select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n")),
+          "doc_id", "n", budget = 2048L)
+        .orderBy("id"),
+      None),
+
     Entry("sample_stratified",
       (s, d) => { // deterministic stratified sampling for corpus mixing:
         // per-language target rates applied via an md5-threshold predicate

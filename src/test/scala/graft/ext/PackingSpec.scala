@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.TestSpark
+import graft.core.Tables
+
+class PackingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("packSequences: intervals are contiguous, chop arithmetic matches a sequential replay") {
+    val docs = Seq((1L, 100L), (2L, 2048L), (3L, 1L), (4L, 0L), (5L, 5000L))
+      .toDF("doc_id", "n")
+    val got = Packing.packSequences(docs, "doc_id", "n", seqLen = 2048)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    // sequential replay: cumsum chop at 2048
+    var cs = 0L
+    val want = Seq((1L, 100L), (2L, 2048L), (3L, 1L), (4L, 0L), (5L, 5000L)).map {
+      case (id, n) =>
+        val s = cs; cs += n
+        val sf = s / 2048
+        val sl = if (n == 0) sf else (cs - 1) / 2048
+        (id, s, cs, sf, math.max(sf, sl))
+    }
+    assert(got.toSeq == want)
+  }
+
+  test("packSequences: distributed scan equals the one-task global window on fixture docs") {
+    val docs = Tables.load(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    val got = Packing.packSequences(docs, "doc_id", "n", seqLen = 512)
+      .select("id", "tok_start", "tok_end", "seq_first", "seq_last")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+    val ref = docs
+      .withColumn("tok_end", sum("n").over(w))
+      .withColumn("tok_start", col("tok_end") - col("n"))
+      .withColumn("seq_first", floor(col("tok_start") / 512).cast("long"))
+      .withColumn("seq_last",
+        greatest(col("seq_first"), floor((col("tok_end") - 1) / 512)).cast("long"))
+      .select(col("doc_id").as("id"), col("tok_start"), col("tok_end"),
+        col("seq_first"), col("seq_last"))
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+  }
+
+  test("packBinsFFD: every doc in exactly one bin, budgets hold, count near optimal") {
+    val docs = Tables.load(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+    val budget = 200L
+    val packed = Packing.packBinsFFD(docs, "doc_id", "n", budget)
+    assert(packed.count() == docs.count())
+    assert(packed.select("id").distinct().count() == docs.count())
+    // no non-oversize bin exceeds the budget; oversize bins are singletons
+    val overfull = packed.filter(!col("oversize"))
+      .groupBy("bin_id").agg(sum("n_tokens").as("t"))
+      .filter(col("t") > budget).count()
+    assert(overfull == 0)
+    val fatSingletons = packed.filter(col("oversize"))
+      .groupBy("bin_id").count().filter(col("count") =!= 1).count()
+    assert(fatSingletons == 0)
+    // quality: bins used ≤ 1.5 × the fractional lower bound + #partitions
+    // slack (per-partition FFD cannot mix across partitions)
+    val totalTok = packed.filter(!col("oversize")).agg(sum("n_tokens")).first().getLong(0)
+    val bins = packed.filter(!col("oversize")).select("bin_id").distinct().count()
+    val lower = math.max(1L, totalTok / budget)
+    assert(bins <= (lower * 3) / 2 + 32, s"bins=$bins lower=$lower")
+  }
+}
