@@ -42,6 +42,33 @@ class PackingSpec extends AnyFunSuite {
       .select(col("doc_id").as("id"), col("tok_start"), col("tok_end"),
         col("seq_first"), col("seq_last"))
     assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+
+    // pinned plan shape: the distributed scan must contain NO
+    // single-partition exchange (the global-window trap this operator
+    // exists to avoid), while the reference form above contains exactly
+    // that — so the assertion is meaningful, not vacuous
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
+    def countSP(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => countSP(a.executedPlan)
+      case qs: QueryStageExec => countSP(qs.plan)
+      case other =>
+        val self = other match {
+          case e: ShuffleExchangeLike if e.outputPartitioning == SinglePartition => 1
+          case _ => 0
+        }
+        self + other.children.map(countSP).sum
+    }
+    def singlePartitionExchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      df.count() // finalize the adaptive plan
+      countSP(df.queryExecution.executedPlan)
+    }
+    assert(singlePartitionExchanges(got) == 0,
+      "distributed prefix scan planned a single-partition exchange")
+    assert(singlePartitionExchanges(ref) > 0,
+      "expected the naive global window to show the single-partition shuffle")
   }
 
   test("packBinsFFD: every doc in exactly one bin, budgets hold, count near optimal") {
