@@ -200,6 +200,30 @@ object Catalog {
       IvfIndex.build(ss, embs(ss, dd), "vec_id", "embedding")
     }
 
+  /** Memoized maintenance-path probe for `sim_ivf_delta`: seed the
+    * persisted layout from 90% of the corpus, applyDelta the held-out
+    * vec_id % 10 == 0 slice in, probe the MAINTAINED layout. Its own
+    * cache — the quantizer is trained on the seed slice, so it cannot
+    * share [[simIvfIndex]].
+    */
+  private val simIvfDeltaCache = new QueryCache("embeddings.parquet")
+
+  private def simIvfDelta5(s: SparkSession, d: String): DataFrame =
+    simIvfDeltaCache.get(s, d) { (ss, dd) =>
+      val e = embs(ss, dd)
+      val dir = scratchDir("sim_ivf_delta", dd)
+      val delta = e.filter(col("vec_id") % 10 === 0)
+      val idx = IvfIndex.build(ss, e.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding")
+      IvfIndex.write(idx, dir)
+      IvfIndex.applyDelta(ss, dir, upserts = delta, deletes = delta.limit(0),
+        "vec_id", "embedding")
+      val maintained = IvfIndex.load(ss, dir)
+      IvfIndex.topK(ss, maintained, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5,
+        nprobe = math.min(16, maintained.centroids.length), pruneScan = true)
+    }
+
   private val simIvfCache = new QueryCache("embeddings.parquet")
 
   private def simIvf5(s: SparkSession, d: String): DataFrame =
@@ -1420,6 +1444,20 @@ object Catalog {
           .withColumn("rk", col("rk").cast("long"))
           .orderBy("qid", "rk")
       },
+      None), // KMeans quantizer — not DuckDB-expressible
+
+    Entry("sim_ivf_delta",
+      // the index LIFECYCLE as one tracked query: build the persisted
+      // layout from 90% of the corpus, applyDelta the held-out 10%
+      // (remove-then-add CDC algebra, only touched lists rewritten),
+      // probe the MAINTAINED layout with a pruned scan. The query ids
+      // (vec_id < 10) straddle the split — vec 0 arrives via the delta,
+      // 1-9 via the seed — so the probe exercises both populations and
+      // only returns sane neighbors if the delta landed in the right
+      // posting lists.
+      (s, d) => simIvfDelta5(s, d)
+        .withColumn("rk", col("rk").cast("long"))
+        .orderBy("qid", "rk"),
       None), // KMeans quantizer — not DuckDB-expressible
 
     // ----- §7.5 text analysis
