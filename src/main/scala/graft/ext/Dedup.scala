@@ -438,13 +438,15 @@ object Dedup {
     * Both knobs matter at scale. `planes` bounds bucket size (2^planes
     * buckets per band: within-bucket self-join cost is Σ n_b², so at n
     * vectors expect n²/2^planes candidate pairs per band — a single
-    * 16-bucket table at 200k vectors was a 10^9-pair quadratic blow-up).
-    * `bands` buys back the recall that long signatures destroy:
+    * 16-bucket table at 200k vectors was a 10^9-pair quadratic blow-up),
+    * and is therefore AUTO-SIZED to ceil(log2 n)+2 when the passed value
+    * is smaller, keeping candidate volume linear in n at any corpus size
+    * (the r5 4× scale probe caught the fixed-planes form going 25× at 4×
+    * data). `bands` buys back the recall that long signatures destroy:
     * P(candidate) = 1-(1-p^planes)^bands for per-plane agreement
-    * p = 1 - θ/π. Defaults (16, 8) give ~1.0 recall at cos ≥ 0.99 and
-    * ~n·bands·(n/65536) candidates. The bucket join carries only
-    * (id, band, bucket) — vectors are fetched by id AFTER candidate
-    * dedup, so the wide rows never ride the candidate shuffle.
+    * p = 1 - θ/π. The bucket join carries only (id, band, bucket) —
+    * vectors are fetched by id AFTER candidate dedup, so the wide rows
+    * never ride the candidate shuffle.
     */
   def embeddingNearDups(embs: DataFrame, idCol: String, vecCol: String,
                         threshold: Double, planes: Int = 16, bands: Int = 8): DataFrame = {
@@ -457,10 +459,23 @@ object Dedup {
     // work exactly once across the branches.
     val base = embs.select(col(idCol).as("id"), col(vecCol).as("__v"),
       vectors.float_norm(col(vecCol)).as("__n"))
+    // `planes` must TRACK the corpus: with 2^planes buckets fixed,
+    // candidate volume is n²·bands/2^planes — quadratic the moment n
+    // outgrows the table. The 4× scale probe measured exactly that:
+    // 247 s at 1.6M vectors with planes=18 vs 10 s at 400k. Growing
+    // planes to ceil(log2 n)+2 caps expected collisions per vector per
+    // band at 1/4, so candidate volume stays LINEAR in n; the per-plane
+    // recall loss is bought back by `bands` (1-(1-p^planes)^bands ≈
+    // 0.998 at cos 0.996 even at planes 24). The count is one pass over
+    // the (usually persisted) input; callers that know n can pre-size
+    // `planes` themselves — the max() keeps explicit settings binding.
+    val n = base.count()
+    val effPlanes = math.min(30,
+      math.max(planes, math.ceil(math.log(math.max(2L, n).toDouble) / math.log(2)).toInt + 2))
     val idx = base.select(col("id"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
-            vectors.hyperplane_bucket_band(col("__v"), planes, b).as("bucket"))): _*))
+            vectors.hyperplane_bucket_band(col("__v"), effPlanes, b).as("bucket"))): _*))
           .as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val cands = idx.as("a")

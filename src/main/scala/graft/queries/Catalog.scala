@@ -1312,12 +1312,12 @@ object Catalog {
       // pairwise cos ≈ 0.49) — so plant a deterministic perturbed SHADOW
       // of every vector (±0.02/dim hash noise on a unit vector ⇒ cos ≈
       // 0.996) and detect at a real threshold. Banded hyperplane LSH
-      // (18 planes × 8 bands ⇒ 2^18 buckets/band) proposes candidates —
-      // ~n·bands·n/262144 pairs, never all-pairs — and exact cosine
-      // ≥ 0.9 verifies. The earlier single-band 16-bucket form was
-      // quadratic at 200k vectors (~10^9 candidate pairs). The perturbed
-      // input is memoized+persisted (embShadowed) so the interpreted
-      // transform runs once, not once per plan branch.
+      // (8 bands; planes AUTO-SIZED to ceil(log2 n)+2, floor 18, so
+      // candidate volume stays ~n·bands/4 — LINEAR at any corpus size;
+      // the r5 scale probe caught fixed planes going quadratic at 1.6M
+      // vectors) proposes candidates, and exact cosine ≥ 0.9 verifies.
+      // The perturbed input is memoized+persisted (embShadowed) so the
+      // interpreted transform runs once, not once per plan branch.
       (s, d) =>
         Dedup.embeddingNearDups(embShadowed(s, d), "vec_id", "embedding",
             threshold = 0.9, planes = 18, bands = 8)

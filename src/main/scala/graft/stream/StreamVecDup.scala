@@ -33,6 +33,12 @@ import graft.ext.Dedup
   * Reference analog: none — §7.5 training-pipeline extension.
   */
 object StreamVecDup {
+  /** `planes` must be sized for the corpus the index will GROW INTO:
+    * per-batch probe candidates are delta·bands·corpus/2^planes, so a
+    * corpus of n vectors wants planes ≥ log2(n)+2 (the batch-path
+    * auto-sizing in [[Dedup.embeddingNearDups]] — a streaming index
+    * cannot resketch, so the choice is made once, at seed time).
+    */
   final case class Params(idCol: String = "vec_id", vecCol: String = "embedding",
                           threshold: Double = 0.9, planes: Int = 18, bands: Int = 8,
                           indexPrefixes: Int = 256)
