@@ -1534,19 +1534,28 @@ object Catalog {
           explode(Dedup.wordShingles(col("text"), 3)).as("sh"))
         val bench = sh.filter(col("doc_id") % 97 === 0)
           .select(col("sh").as("bsh")).distinct()
-        // NO forced broadcast: this fixture derives the benchmark set as
-        // a 1/97 corpus fraction, so it grows linearly with sf — AQE
-        // broadcasts it while it fits and falls back to a shuffle join
-        // beyond that. (A REAL held-out benchmark set is fixed-size; a
-        // production caller would broadcast() it explicitly.)
-        val flagged = sh.filter(col("doc_id") % 97 =!= 0)
-          .join(bench, col("sh") === col("bsh"), "left_outer")
+        // per-doc totals come from a MAP-SIDE size(), not the join: the
+        // earlier left-outer form shuffled every corpus shingle (~94M
+        // rows at the 4× probe scale) just to count them — the 10.5×
+        // scale cliff when the benchmark side outgrew AQE's broadcast.
+        // Only MATCHES ride the inner join now, and the shuffle_hash
+        // hint keeps the beyond-broadcast fallback a hash join instead
+        // of sorting the whole corpus-shingle side. (A REAL held-out
+        // benchmark set is fixed-size; a production caller would
+        // broadcast() it explicitly — this fixture's grows as corpus/97.)
+        val totals = docs(s, d).select(col("doc_id"),
+            size(Dedup.wordShingles(col("text"), 3)).cast("long").as("n_ngrams"))
+          .filter(col("doc_id") % 97 =!= 0 && col("n_ngrams") > 0)
+        val matched = sh.filter(col("doc_id") % 97 =!= 0)
+          .join(bench.hint("shuffle_hash"), col("sh") === col("bsh"))
           .groupBy("doc_id")
-          .agg(count(lit(1)).cast("long").as("n_ngrams"),
-            count(col("bsh")).cast("long").as("n_contaminated"))
+          .agg(count(lit(1)).cast("long").as("n_contaminated"))
+        totals.join(matched, "doc_id")
           .withColumn("contamination",
             round(col("n_contaminated") / col("n_ngrams"), 6))
-        flagged.filter(col("n_contaminated") > 0).orderBy("doc_id")
+          .select(col("doc_id"), col("n_ngrams"), col("n_contaminated"),
+            col("contamination"))
+          .orderBy("doc_id")
       },
       Some("""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
              |x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM dd),
