@@ -65,11 +65,17 @@ object Bench {
       val dir = if (graft.queries.ScaledFixtures.appliesTo(name)) scaledDir else sfDir
       val (t1, ok1) = runOnce(name, fn, dir)
       if (!ok1) failures += name
-      val times =
-        if (ok1 && t1 >= RepeatFloor)
-          t1 +: (1 to 2).map(_ => runOnce(name, fn, dir)).filter(_._2).map(_._1)
-        else Seq(t1)
-      val median = times.sorted.apply(times.size / 2)
+      val repeats =
+        if (ok1 && t1 >= RepeatFloor) (1 to 2).map(_ => runOnce(name, fn, dir))
+        else Seq.empty
+      // a failed REPEAT is a failure too — silently dropping it from the
+      // sample reports the run healthy while the "median" of the two
+      // survivors quietly degrades
+      if (repeats.exists(!_._2)) failures += s"$name (repeat)"
+      val times = t1 +: repeats.filter(_._2).map(_._1)
+      // lower middle: with an even sample (a repeat failed) this takes
+      // the smaller value rather than silently reporting the maximum
+      val median = times.sorted.apply((times.size - 1) / 2)
       (name, t1, median, times.size)
     }
     val wallSec = (System.nanoTime() - wall0) / 1e9

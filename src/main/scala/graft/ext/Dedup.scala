@@ -369,6 +369,17 @@ object Dedup {
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 
+  /** Hyperplane count sized to a corpus of `n` vectors: ceil(log2 n)+2
+    * (never below `floor`, capped at the bucket expression's 30-bit
+    * width). Keeps expected bucket collisions per vector per band ≤ 1/4,
+    * so banded-LSH candidate volume stays LINEAR in n — the r5 scale
+    * probe measured fixed planes going quadratic (247 s at 1.6M vectors
+    * vs 10 s at 400k). One formula, shared by the batch near-dup path
+    * and the ingest gate's seed-time sizing.
+    */
+  def autoPlanes(n: Long, floor: Int): Int = math.min(30,
+    math.max(floor, math.ceil(math.log(math.max(2L, n).toDouble) / math.log(2)).toInt + 2))
+
   /** Banded hyperplane-LSH bucket index of an embedding corpus: one
     * (id, band, bucket) row per band per vector — the persistable ANN
     * near-dup artifact, the embedding analog of [[lshIndex]]. Computed
@@ -470,8 +481,7 @@ object Dedup {
     // the (usually persisted) input; callers that know n can pre-size
     // `planes` themselves — the max() keeps explicit settings binding.
     val n = base.count()
-    val effPlanes = math.min(30,
-      math.max(planes, math.ceil(math.log(math.max(2L, n).toDouble) / math.log(2)).toInt + 2))
+    val effPlanes = autoPlanes(n, planes)
     val idx = base.select(col("id"),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),

@@ -91,51 +91,57 @@ object IvfIndex {
 
   /** Incremental maintenance of a persisted index under CDC — the ANN
     * analog of the row-keyed [[Dedup.lshIndex]] upsert algebra. The
-    * delta's vectors are assigned to their nearest EXISTING centroid
+    * delta's NEW vectors are assigned to their nearest EXISTING centroid
     * (the coarse quantizer is stable between planned rebuilds —
-    * retraining per delta would re-scan the corpus), then only the
-    * TOUCHED lists' partitions are rewritten: (their existing rows minus
-    * upserted/deleted ids) ∪ (the delta's assignments), via dynamic
-    * partition overwrite. Per-delta cost ∝ delta size + touched lists'
-    * rows — never the corpus; untouched list directories are not read
-    * or written.
+    * retraining per delta would re-scan the corpus); the lists that rows
+    * currently LIVE in come from the stored index itself — a
+    * column-pruned (vid, list) scan probed by a broadcast of the delta's
+    * ids, never a re-derived assignment (float re-assignment of a
+    * borderline vector could point at the wrong list and strand the
+    * stale row). Then only the TOUCHED lists' partitions are rewritten:
+    * (their existing rows minus the delta's ids) ∪ (the upserts'
+    * assignments), via dynamic partition overwrite, and a touched list
+    * whose rows ALL left is deleted explicitly (dynamic overwrite only
+    * rewrites partitions present in the output — an emptied list would
+    * otherwise keep its stale files).
     *
-    * Remove-then-add algebra, matching what the diff classifier emits:
-    * `deletes` holds every row LEAVING the index (true deletes AND the
-    * OLD vector of each update — otherwise an update that crosses lists
-    * would leave its stale row in the old list), `upserts` every row
-    * ENTERING (inserts and each update's NEW vector). Both carry
-    * (id, vector): locating a leaving row's list needs its outgoing
-    * vector, which the CDC snapshot state always has (same reasoning as
-    * the classifier's full-outer on state).
+    * `upserts` carries (id, vector) — inserts and updates alike (the
+    * stored copy of an update is located by id and dropped); `deletes`
+    * needs only ids. Per-delta cost: one skinny two-column scan of the
+    * index (no shuffle — broadcast semi-join; sorted/z-ordered layouts
+    * file-skip it) plus a rewrite of the touched lists' rows.
     */
   def applyDelta(spark: SparkSession, path: String, upserts: DataFrame,
                  deletes: DataFrame, idCol: String, vecCol: String): Unit = {
     val idx = load(spark, path)
     import spark.implicits._
     val cents = idx.centroids.toSeq.toDF("list", "centroid")
-    // nearest centroid by squared Euclidean (matches the KMeans
-    // assignment in build): |v|² + |c|² − 2·v·c, minimized
-    def assign(df: DataFrame): DataFrame = {
-      val d2 = vectors.float_norm(col("v")) * vectors.float_norm(col("v")) +
-        vectors.float_norm(col("centroid")) * vectors.float_norm(col("centroid")) -
-        lit(2.0) * vectors.float_dot(col("v"), col("centroid"))
-      val w = Window.partitionBy("vid").orderBy(d2.asc, col("list").asc)
-      df.select(col(idCol).as("vid"), col(vecCol).as("v"))
-        .crossJoin(broadcast(cents))
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") === 1)
-        .select(col("vid"), col("v"), col("list"))
-    }
-    val up = assign(upserts)
-    val del = assign(deletes).select(col("vid"), col("list"))
-    // touched list ids: bounded by nlist ints, like the probe's prune set
-    val touched = up.select("list").unionByName(del.select("list")).distinct()
+    // nearest centroid for the delta only: delta × nlist stays
+    // delta-bounded. Squared Euclidean (the KMeans criterion):
+    // |v|² + |c|² − 2·v·c, minimized; ties broken by list asc.
+    val d2 = vectors.float_norm(col("v")) * vectors.float_norm(col("v")) +
+      vectors.float_norm(col("centroid")) * vectors.float_norm(col("centroid")) -
+      lit(2.0) * vectors.float_dot(col("v"), col("centroid"))
+    val w = Window.partitionBy("vid").orderBy(d2.asc, col("list").asc)
+    // materialized once — consumed by the touched-list collect AND the
+    // output union (an unpersisted plan would re-run per consumer)
+    val up = upserts.select(col(idCol).as("vid"), col(vecCol).as("v"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("vid"), col("v"), col("list"))
+      .localCheckpoint(true)
+    val goneIds = upserts.select(col(idCol).as("vid"))
+      .unionByName(deletes.select(col(idCol).as("vid"))).distinct()
+    // where those ids currently live: the stored truth, by id
+    val stored = idx.assigned.select(col("vid"), col("list"))
+      .join(broadcast(goneIds), Seq("vid"))
+      .localCheckpoint(true)
+    val touched = up.select("list").unionByName(stored.select("list")).distinct()
       .collect().map(_.getInt(0))
     if (touched.isEmpty) return
     val existing = idx.assigned.filter(col("list").isin(touched.toSeq: _*))
-    val gone = up.select("vid").unionByName(del.select("vid"))
-    val out = existing.join(gone, Seq("vid"), "left_anti")
+    val out = existing.join(goneIds, Seq("vid"), "left_anti")
       .select("vid", "v", "list")
       .unionByName(up.select("vid", "v", "list"))
       // sever the lineage from the files about to be overwritten (Spark
@@ -148,6 +154,14 @@ object IvfIndex {
       out.repartition(col("list")).write.mode("overwrite")
         .partitionBy("list").parquet(s"$path/assigned")
     } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    // dynamic overwrite never rewrites a partition absent from `out`:
+    // a touched list whose rows all left must be deleted explicitly
+    val surviving = out.select("list").distinct().collect().map(_.getInt(0)).toSet
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(surviving).foreach { l =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/assigned/list=$l"), true)
+    }
   }
 
   /** Load a persisted index. The `assigned` frame reads the partitioned
@@ -186,10 +200,14 @@ object IvfIndex {
     val wc = Window.partitionBy("qid").orderBy(
       (vectors.float_dot(col("qv"), col("centroid")) /
         (col("qn") * vectors.float_norm(col("centroid")))).desc)
-    val probes = q.crossJoin(broadcast(cents))
+    val probes0 = q.crossJoin(broadcast(cents))
       .withColumn("__cr", row_number().over(wc))
       .filter(col("__cr") <= nprobe)
       .select(col("qid"), col("qv"), col("qn"), col("list"))
+    // pruneScan consumes the probe set twice (the prune-list collect AND
+    // the rerank join): materialize it once, so a nondeterministic query
+    // frame cannot produce a prune set that disagrees with the join side
+    val probes = if (pruneScan) probes0.localCheckpoint(true) else probes0
     val assigned =
       if (!pruneScan) index.assigned
       else {

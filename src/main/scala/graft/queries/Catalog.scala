@@ -1339,9 +1339,8 @@ object Catalog {
         // seed-time index sizing (StreamVecDup.Params scaladoc): planes
         // tracks the corpus the index will grow into — fixed planes was
         // the quadratic the scale probe caught in the batch path
-        val n = all.count()
-        val p = graft.stream.StreamVecDup.Params(planes = math.min(30,
-          math.max(18, math.ceil(math.log(math.max(2L, n).toDouble) / math.log(2)).toInt + 2)))
+        val p = graft.stream.StreamVecDup.Params(
+          planes = Dedup.autoPlanes(all.count(), 18))
         graft.stream.StreamVecDup.seedCorpus(all.filter(col("vec_id") % 3 === 0), st, p)
         graft.stream.StreamVecDup.processBatch(all.filter(col("vec_id") % 3 === 1), st, 1L, p)
         graft.stream.StreamVecDup.processBatch(all.filter(col("vec_id") % 3 === 2), st, 2L, p)

@@ -64,38 +64,15 @@ object StreamNearDup {
                           // production at 100 TB wants O(10^4).
                           indexPrefixes: Int = 256)
 
-  /** Bucket-prefix partition column for the persisted index layout. */
-  private def withPb(idx: DataFrame, p: Params): DataFrame =
-    idx.withColumn("pb", pmod(xxhash64(col("bucket")), lit(p.indexPrefixes.toLong)).cast("int"))
+  // state layout + replay-safe reads shared with the vector gate
+  private def pbCols = Seq(col("bucket"))
 
-  /** Write one batch's index rows under `dir` partitioned by bucket
-    * prefix. The repartition on `pb` routes each prefix to exactly one
-    * task, so the layout lands as ~one file per touched prefix instead of
-    * tasks × prefixes small files.
-    */
   private def writeIndex(idx: DataFrame, dir: String, p: Params): Unit =
-    withPb(idx, p)
-      .repartition(col("pb"))
-      .write.mode(SaveMode.Overwrite).partitionBy("pb").parquet(dir)
+    IngestState.writeIndex(idx, dir, p.indexPrefixes, pbCols)
 
-  /** Read a `batch=N`-partitioned state dir restricted to partitions
-    * BELOW `maxBatchExclusive`, or an empty frame shaped like `template`
-    * when nothing was absorbed yet. The partition filter is load-bearing
-    * for replay: pruning happens at directory level, so files under an
-    * in-flight `batch=version` partition — which the caller is about to
-    * Overwrite — are never opened, even though the eager file listing saw
-    * them. Existence is probed through the Hadoop filesystem of the path,
-    * so state may live on HDFS/S3, not only the local disk.
-    */
   private def readOrEmpty(spark: SparkSession, dir: String, template: DataFrame,
-                          maxBatchExclusive: Long): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasData = fs.exists(path) &&
-      fs.listStatus(path).exists(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-    if (hasData) spark.read.parquet(dir).where(col("batch") < lit(maxBatchExclusive))
-    else template.limit(0)
-  }
+                          maxBatchExclusive: Long): DataFrame =
+    IngestState.readOrEmpty(spark, dir, template, maxBatchExclusive)
 
   /** Seed the state with an existing corpus as ingest version 0. Not
     * covered by a streaming checkpoint — re-run on failure (idempotent).
@@ -135,8 +112,9 @@ object StreamNearDup {
     // read below at directory level — only `pb` partitions the delta can
     // possibly collide with are listed, opened, or decoded.
     val deltaPbs = deltaIdx.select("pb").distinct().collect().map(_.getInt(0)).toSeq
-    val idxTemplate = withPb(
-      Dedup.lshIndex(batch.limit(0), p.idCol, p.textCol, p.shingleN, p.k, p.bands), p)
+    val idxTemplate = IngestState.withPb(
+      Dedup.lshIndex(batch.limit(0), p.idCol, p.textCol, p.shingleN, p.k, p.bands),
+      p.indexPrefixes, pbCols)
     val corpusIdx = readOrEmpty(spark, s"$stateDir/index", idxTemplate, version)
       .where(if (deltaPbs.isEmpty) lit(false) else col("pb").isin(deltaPbs: _*))
       .select(col("id"), col("bucket"))

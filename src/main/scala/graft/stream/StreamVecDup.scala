@@ -43,25 +43,15 @@ object StreamVecDup {
                           threshold: Double = 0.9, planes: Int = 18, bands: Int = 8,
                           indexPrefixes: Int = 256)
 
-  /** Bucket-prefix partition column for the persisted index layout. */
-  private def withPb(idx: DataFrame, p: Params): DataFrame =
-    idx.withColumn("pb",
-      pmod(xxhash64(col("band"), col("bucket")), lit(p.indexPrefixes.toLong)).cast("int"))
+  // state layout + replay-safe reads shared with the text gate
+  private def pbCols = Seq(col("band"), col("bucket"))
 
   private def writeIndex(idx: DataFrame, dir: String, p: Params): Unit =
-    withPb(idx, p)
-      .repartition(col("pb"))
-      .write.mode(SaveMode.Overwrite).partitionBy("pb").parquet(dir)
+    IngestState.writeIndex(idx, dir, p.indexPrefixes, pbCols)
 
   private def readOrEmpty(spark: SparkSession, dir: String, template: DataFrame,
-                          maxBatchExclusive: Long): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(dir)
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasData = fs.exists(path) &&
-      fs.listStatus(path).exists(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
-    if (hasData) spark.read.parquet(dir).where(col("batch") < lit(maxBatchExclusive))
-    else template.limit(0)
-  }
+                          maxBatchExclusive: Long): DataFrame =
+    IngestState.readOrEmpty(spark, dir, template, maxBatchExclusive)
 
   /** Seed the state with an existing corpus as ingest version 0 (outside
     * the checkpoint — re-run on failure, idempotent).
@@ -86,8 +76,9 @@ object StreamVecDup {
       s"$stateDir/index/batch=$version", p)
     val deltaIdx = spark.read.parquet(s"$stateDir/index/batch=$version")
     val deltaPbs = deltaIdx.select("pb").distinct().collect().map(_.getInt(0)).toSeq
-    val idxTemplate = withPb(
-      Dedup.embeddingIndex(batch.limit(0), p.idCol, p.vecCol, p.planes, p.bands), p)
+    val idxTemplate = IngestState.withPb(
+      Dedup.embeddingIndex(batch.limit(0), p.idCol, p.vecCol, p.planes, p.bands),
+      p.indexPrefixes, pbCols)
     val corpusIdx = readOrEmpty(spark, s"$stateDir/index", idxTemplate, version)
       .where(if (deltaPbs.isEmpty) lit(false) else col("pb").isin(deltaPbs: _*))
       .select(col("id"), col("band"), col("bucket"))

@@ -28,13 +28,8 @@ object IvfTune {
       (r, (System.nanoTime() - t0) / 1e9)
     }
 
-    val (brute, tBrute) = timed {
-      graft.ext.Similarity
-        .bruteTopK(e, queries, "vec_id", "embedding", k = 5)
-        .cache().count()
-    }
     val bruteDf = graft.ext.Similarity.bruteTopK(e, queries, "vec_id", "embedding", k = 5).cache()
-    bruteDf.count()
+    val (brute, tBrute) = timed { bruteDf.count() }
     println(f"[ivf] brute ground truth: $brute rows in $tBrute%6.2f s")
 
     val nlists = args.headOption.map(_.split(",").map(_.toInt).toSeq)

@@ -37,8 +37,13 @@ object ScaleProbe {
       println(s"[scale] $dir -> $scaled ($nDocs docs)")
       for (name <- Probes ++ args) {
         val t0 = System.nanoTime()
-        val n = graft.SparkEntry.queries(name)(spark, scaled).count()
-        println(f"[scale] ${new java.io.File(dir).getName}%-8s $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.1f s  rows=$n")
+        // materialize through the noop sink exactly like Bench: count()
+        // lets Catalyst PRUNE projected expressions, so a pure-projection
+        // probe (e.g. text_quality) would time only the parquet scan
+        val df = graft.SparkEntry.queries(name)(spark, scaled)
+        df.write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        println(f"[scale] ${new java.io.File(dir).getName}%-8s $name%-24s $t%8.1f s")
       }
     }
     spark.stop()

@@ -89,17 +89,15 @@ class IvfIndexSpec extends AnyFunSuite {
     }
     val before = partFiles()
 
-    // delta: UPDATE vec 0 to the opposite point (remove-then-add — its
-    // old vector rides deletes, its new one upserts, so a cross-list
-    // move cannot strand a stale row), INSERT a brand-new id, DELETE
-    // vec 1 (its outgoing vector locates its list)
+    // delta: UPDATE vec 0 to the opposite point (its stored copy is
+    // located BY ID from the index, so a cross-list move cannot strand
+    // a stale row), INSERT a brand-new id, DELETE vec 1 (ids suffice —
+    // no outgoing vector needed)
     val v0 = e.filter(col("vec_id") === 0).select(col("embedding")).first()
-      .getSeq[Float](0).toArray
-    val v1row = e.filter(col("vec_id") === 1).select(col("embedding")).first()
       .getSeq[Float](0).toArray
     import spark.implicits._
     val upserts = Seq((0L, v0.map(x => -x)), (900001L, v0)).toDF("vec_id", "embedding")
-    val deletes = Seq((0L, v0), (1L, v1row)).toDF("vec_id", "embedding")
+    val deletes = Seq(1L).toDF("vec_id")
     IvfIndex.applyDelta(spark, dir, upserts, deletes, "vec_id", "embedding")
 
     val maintained = IvfIndex.load(spark, dir)
@@ -121,14 +119,32 @@ class IvfIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).sorted
     assert(full.toSeq == brute.toSeq)
 
-    // incremental claim: the 4 delta rows touch at most 4 of the 8 list
-    // dirs; the rest are byte-stable (not read, not written)
+    // incremental claim: the 3 delta ids touch at most 4 of the 8 list
+    // dirs (old+new list of the update, insert's list, delete's list);
+    // the rest are byte-stable (not read, not written)
     val after = partFiles()
     assert(after.keySet == before.keySet)
     val changed = before.keySet.count(k => before(k) != after(k))
     assert(changed <= 4, s"expected ≤4 rewritten list partitions, got $changed")
     assert(before.keySet.size - changed >= 4,
       s"expected ≥4 untouched list partitions, got ${before.keySet.size - changed}")
+
+    // emptying an ENTIRE list must remove its partition directory —
+    // dynamic overwrite alone would leave the stale files in place
+    val victims = maintained.assigned
+      .groupBy("list").agg(org.apache.spark.sql.functions.count("*").as("c"))
+      .orderBy(col("c")).first()
+    val victimList = victims.getInt(0)
+    val victimIds = maintained.assigned.filter(col("list") === victimList)
+      .select("vid").as[Long].collect().toSeq
+    IvfIndex.applyDelta(spark, dir,
+      upserts = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+      deletes = victimIds.toDF("vec_id"), "vec_id", "embedding")
+    val after2 = IvfIndex.load(spark, dir)
+    assert(after2.assigned.filter(col("list") === victimList).count() == 0)
+    assert(!partFiles().contains(s"list=$victimList"),
+      "emptied list partition directory was not deleted")
+    assert(after2.assigned.count() == n0 + 1 - 1 - victimIds.size)
   }
 
   test("quantizer trains on a bounded sample, assignment still covers the corpus") {
