@@ -71,6 +71,31 @@ class PackingSpec extends AnyFunSuite {
       "expected the naive global window to show the single-partition shuffle")
   }
 
+  test("packSequences property: random token counts — contiguity, totals, span arithmetic") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val countsGen = Gen.listOfN(40, Gen.chooseNum(0L, 5000L))
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10),
+      Prop.forAll(countsGen) { ns =>
+        val docs = ns.zipWithIndex.map { case (n, i) => (i.toLong, n) }
+          .toDF("doc_id", "n")
+        val got = Packing.packSequences(docs, "doc_id", "n", seqLen = 1024)
+          .orderBy("id").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getLong(4), r.getLong(5)))
+        val contiguous = got.sliding(2).forall {
+          case Array(a, b) => a._4 == b._3 // prev tok_end == next tok_start
+          case _ => true
+        }
+        val total = got.lastOption.map(_._4).getOrElse(0L) == ns.sum
+        val spans = got.forall { case (_, n, s, e, sf, sl) =>
+          e - s == n && sf == s / 1024 &&
+            sl == (if (n == 0) sf else math.max(sf, (e - 1) / 1024))
+        }
+        contiguous && total && spans && got.length == ns.length
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("packBinsFFD: every doc in exactly one bin, budgets hold, count near optimal") {
     val docs = Tables.load(spark, TestSpark.Sf, "documents")
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
