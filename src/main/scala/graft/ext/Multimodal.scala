@@ -62,6 +62,7 @@ object Multimodal {
                      batchSize: Int = 64): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
+      val dec = new ReusableImageDecoder
       it.grouped(batchSize).flatMap { batch =>
         // one "vectorized decode call" per batch
         batch.map { r =>
@@ -72,13 +73,13 @@ object Multimodal {
           if (Avi.isAvi(b)) {
             val ranges = Avi.frameRanges(b)
             val first = ranges.headOption.flatMap { case (off, len) =>
-              decodeImage(java.util.Arrays.copyOfRange(b, off, off + len))
+              dec.decode(b, off, len) // in-place range: no frame slice copy
             }
             first match {
               case Some(img) =>
-                val rgb = toIntRgb(img)
+                val (_, _, _, hash) = pixelStatsOf(img)
                 MediaFeatures(r.media_id, "video", decode_ok = true, n,
-                  rgb.getWidth, rgb.getHeight, ranges.size.toLong, pixelStats(rgb)._4)
+                  img.getWidth, img.getHeight, ranges.size.toLong, hash)
               case None => bad("video")
             }
           } else if (n >= 12 && Riff.tag(b, 0) == "RIFF" && Riff.tag(b, 8) == "WAVE") {
@@ -100,11 +101,11 @@ object Multimodal {
               case None => bad("audio")
             }
           } else {
-            decodeImage(b) match {
+            dec.decode(b) match {
               case Some(img) =>
-                val rgb = toIntRgb(img)
+                val (_, _, _, hash) = pixelStatsOf(img)
                 MediaFeatures(r.media_id, "image", decode_ok = true, n,
-                  rgb.getWidth, rgb.getHeight, 1L, pixelStats(rgb)._4)
+                  img.getWidth, img.getHeight, 1L, hash)
               case None => bad("unknown")
             }
           }
@@ -210,6 +211,80 @@ object Multimodal {
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
     catch { case _: Exception => None }
 
+  /** Per-task reusable decoder: one cached `ImageReader` per container
+    * format and one cached destination image per (raw image type, w, h),
+    * so the steady-state decode loop allocates no BufferedImage/Raster
+    * per row. The r5 4x scale probe measured the per-row image churn as
+    * GC-bound — `mm_image_dedup_check` wall grew 7x at 4x data on linear
+    * work — and destination reuse is the standard ImageIO fix
+    * (`ImageReadParam.setDestination` with a type taken from the
+    * reader's own `getImageTypes`, so it is always legal).
+    *
+    * CONTRACT: the returned image is OWNED by the decoder and
+    * overwritten by the next `decode` call — extract features before
+    * decoding the next payload; never hold a reference across rows.
+    * Instantiate one per partition inside `mapPartitions`; not
+    * thread-safe (one Spark task = one thread, so that is free).
+    */
+  private[ext] final class ReusableImageDecoder {
+    private val readers =
+      scala.collection.mutable.HashMap.empty[String, javax.imageio.ImageReader]
+    private val dests = scala.collection.mutable.HashMap
+      .empty[(javax.imageio.ImageTypeSpecifier, Int, Int), java.awt.image.BufferedImage]
+
+    // magic-byte format sniff: avoids ImageIO.getImageReaders, which
+    // instantiates a fresh reader via the SPI registry on every call
+    private def formatOf(b: Array[Byte], off: Int, len: Int): String =
+      if (len >= 8 && (b(off) & 0xff) == 0x89 && b(off + 1) == 'P'.toByte &&
+        b(off + 2) == 'N'.toByte && b(off + 3) == 'G'.toByte) "png"
+      else if (len >= 2 && (b(off) & 0xff) == 0xff && (b(off + 1) & 0xff) == 0xd8) "jpeg"
+      else if (len >= 6 && b(off) == 'G'.toByte && b(off + 1) == 'I'.toByte &&
+        b(off + 2) == 'F'.toByte) "gif"
+      else if (len >= 2 && b(off) == 'B'.toByte && b(off + 1) == 'M'.toByte) "bmp"
+      else ""
+
+    def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      decode(payload, 0, payload.length)
+
+    /** Range variant: decodes `b[off, off+len)` without copying the slice
+      * (the AVI demux hands frame ranges inside the container buffer).
+      */
+    def decode(b: Array[Byte], off: Int, len: Int): Option[java.awt.image.BufferedImage] = {
+      val fmt = formatOf(b, off, len)
+      if (fmt.isEmpty)
+        // unknown magic: generic one-shot path, preserves old behavior
+        return try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(b, off, len)))
+        catch { case _: Exception => None }
+      val reader = readers.getOrElseUpdate(fmt, {
+        val it = javax.imageio.ImageIO.getImageReadersByFormatName(fmt)
+        if (it.hasNext) it.next() else null
+      })
+      if (reader == null) return None
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(b, off, len))
+      try {
+        reader.setInput(iis, true, true)
+        val w = reader.getWidth(0)
+        val h = reader.getHeight(0)
+        val spec = reader.getImageTypes(0).next()
+        val dest = dests.getOrElseUpdate((spec, w, h), spec.createBufferedImage(w, h))
+        val param = reader.getDefaultReadParam
+        param.setDestination(dest)
+        Some(reader.read(0, param))
+      } catch {
+        case _: Exception =>
+          // a corrupt payload can leave reader state undefined: drop the
+          // cached instance so the next row builds a fresh one
+          readers.remove(fmt)
+          try reader.dispose() catch { case _: Exception => () }
+          None
+      } finally {
+        try iis.close() catch { case _: Exception => () }
+      }
+    }
+  }
+
   /** Decoded PNGs come back TYPE_3BYTE_BGR (or palette types), where
     * every `getRGB` routes through the ColorModel — one native-draw
     * conversion to INT_RGB, then all pixel walks read the backing int[].
@@ -232,7 +307,77 @@ object Multimodal {
     * pixels — no per-cell resample call — one pass over the image.
     */
   def aHash(img: java.awt.image.BufferedImage): Long =
-    pixelStats(toIntRgb(img))._4
+    pixelStatsOf(img)._4
+
+  /** Allocation-free stats dispatch: INT_RGB walks the int[] backing
+    * array; any 3-band byte-interleaved raster (ImageIO's raw PNG/JPEG
+    * destination layouts — BGR or RGB band order both) walks the byte[]
+    * directly; only exotic layouts (palette, alpha) pay the one-off
+    * INT_RGB conversion copy. Keeps the decode hot path at zero
+    * per-row image allocations when paired with [[ReusableImageDecoder]].
+    */
+  private def pixelStatsOf(img: java.awt.image.BufferedImage)
+      : (Double, Double, Double, Long) =
+    if (img.getType == java.awt.image.BufferedImage.TYPE_INT_RGB) pixelStats(img)
+    else img.getRaster.getSampleModel match {
+      case sm: java.awt.image.PixelInterleavedSampleModel
+          if sm.getNumBands == 3 && sm.getSampleSize(0) == 8 &&
+            img.getRaster.getDataBuffer.isInstanceOf[java.awt.image.DataBufferByte] &&
+            img.getRaster.getSampleModelTranslateX == 0 &&
+            img.getRaster.getSampleModelTranslateY == 0 =>
+        pixelStatsInterleaved(img, sm)
+      case _ => pixelStats(toIntRgb(img))
+    }
+
+  /** The same fused means+aHash walk as [[pixelStats]], over a 3-band
+    * byte-interleaved raster read in place (band offsets from the sample
+    * model, so BGR and RGB layouts both resolve correctly).
+    */
+  private def pixelStatsInterleaved(img: java.awt.image.BufferedImage,
+                                    sm: java.awt.image.PixelInterleavedSampleModel)
+      : (Double, Double, Double, Long) = {
+    val buf = img.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferByte]
+    val px = buf.getData
+    val base0 = buf.getOffset
+    val offs = sm.getBandOffsets // band order is R,G,B per the color model
+    val (or, og, ob) = (offs(0), offs(1), offs(2))
+    val pixStride = sm.getPixelStride
+    val lineStride = sm.getScanlineStride
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](64)
+    val counts = new Array[Long](64)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var y = 0
+    while (y < h) {
+      val cyBase = math.min(y * 8 / h, 7) * 8
+      var p = base0 + y * lineStride
+      var x = 0
+      while (x < w) {
+        val r = px(p + or) & 0xff
+        val g = px(p + og) & 0xff
+        val b = px(p + ob) & 0xff
+        sr += r; sg += g; sb += b
+        val cell = cyBase + math.min(x * 8 / w, 7)
+        sums(cell) += (r * 299 + g * 587 + b * 114) / 1000
+        counts(cell) += 1
+        p += pixStride
+        x += 1
+      }
+      y += 1
+    }
+    val cells = Array.tabulate(64)(i =>
+      if (counts(i) > 0) sums(i).toDouble / counts(i) else 0.0)
+    val mean = cells.sum / 64.0
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (cells(i) >= mean) bits |= (1L << i)
+      i += 1
+    }
+    val n = w.toDouble * h
+    (sr / n, sg / n, sb / n, bits)
+  }
 
   /** One fused walk over the INT_RGB backing array: per-channel sums for
     * the means AND the 8x8 gray cell sums for the aHash — no per-pixel
@@ -289,14 +434,14 @@ object Multimodal {
                     batchSize: Int = 64): Dataset[ImageFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
+      val dec = new ReusableImageDecoder
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
-          decodeImage(r.payload) match {
+          dec.decode(r.payload) match {
             case Some(img) =>
-              val rgb = toIntRgb(img)
-              val (mr, mg, mb, hash) = pixelStats(rgb)
+              val (mr, mg, mb, hash) = pixelStatsOf(img)
               ImageFeatures(r.media_id, decode_ok = true,
-                rgb.getWidth, rgb.getHeight, mr, mg, mb, hash)
+                img.getWidth, img.getHeight, mr, mg, mb, hash)
             case None =>
               ImageFeatures(r.media_id, decode_ok = false, 0, 0, 0.0, 0.0, 0.0, 0L)
           }
@@ -578,6 +723,7 @@ object Multimodal {
                          batchSize: Int = 64): Dataset[FrameFeatures] = {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
+      val dec = new ReusableImageDecoder
       it.grouped(batchSize).flatMap { batch =>
         batch.flatMap { r =>
           val ranges = Avi.frameRanges(r.payload)
@@ -588,11 +734,10 @@ object Multimodal {
             val step = ranges.size.toDouble / take
             (0 until take).map { i =>
               val (off, len) = ranges(math.min((i * step).toInt, ranges.size - 1))
-              decodeImage(java.util.Arrays.copyOfRange(r.payload, off, off + len)) match {
+              dec.decode(r.payload, off, len) match {
                 case Some(img) =>
-                  val rgb = toIntRgb(img)
                   FrameFeatures(r.media_id, i, decode_ok = true,
-                    rgb.getWidth, rgb.getHeight, pixelStats(rgb)._4)
+                    img.getWidth, img.getHeight, pixelStatsOf(img)._4)
                 case None => FrameFeatures(r.media_id, i, decode_ok = false, 0, 0, 0L)
               }
             }

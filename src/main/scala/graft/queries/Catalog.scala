@@ -136,10 +136,28 @@ object Catalog {
     */
   private val mmFeatsCache = new QueryCache("documents.parquet")
 
+  /** Memoized RENDERED image corpus (the synthetic per-doc PNG payloads),
+    * persisted separately from the decoded features: rendering is fixture
+    * synthesis, not the decode operator, and splitting it lets the scale
+    * probe time decode alone (r5 probe conflated the two and attributed
+    * the render's encode churn to the decode path).
+    */
+  private val mmMediaCache = new QueryCache("documents.parquet")
+
+  private def mmImageMedia(s: SparkSession, d: String): DataFrame =
+    mmMediaCache.get(s, d) { (ss, dd) =>
+      Multimodal.renderMedia(ss, docs(ss, dd), "doc_id")
+    }
+
+  /** Probe/bench hook: force the rendered PNG corpus into its cache so a
+    * subsequent `mm_image_*` timing measures DECODE, not synthesis.
+    */
+  def warmImageMedia(s: SparkSession, d: String): Unit =
+    mmImageMedia(s, d).write.format("noop").mode("overwrite").save()
+
   private def mmImageFeats(s: SparkSession, d: String): DataFrame =
     mmFeatsCache.get(s, d) { (ss, dd) =>
-      Multimodal.imageFeatures(ss,
-        Multimodal.renderMedia(ss, docs(ss, dd), "doc_id")).toDF()
+      Multimodal.imageFeatures(ss, mmImageMedia(ss, dd)).toDF()
     }
 
   /** Memoized REAL video frame features (MJPEG-AVI demux + per-frame

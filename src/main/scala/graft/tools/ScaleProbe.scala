@@ -2,11 +2,25 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev diagnostic: measure how the heavy dedup/text/ANN paths SCALE by
-  * running them at the bench corpus (sf0.1 → 500k docs / 200k vectors)
-  * and at 4× that (an sf0.4-shaped dir → 2M docs / 800k vectors), same
-  * warm JVM. Linear paths should show ~4× wall; anything super-linear is
-  * a scale bug the 500k corpus hid. Results land in PERFORMANCE.md.
+/** Scale regression gate: measure how the heavy dedup/text/ANN paths
+  * SCALE by running them at the bench corpus (sf0.1 → 500k docs / 200k
+  * vectors) and at 4× that (an sf0.4-shaped dir → 2M docs / 800k
+  * vectors), same warm JVM. Linear paths should show ~4× wall; anything
+  * past its family threshold is a scale bug the 500k corpus hid.
+  *
+  * Output is a TRACKED artifact (default `/root/repo/SCALE_r6.json`):
+  * per-query base/4× seconds, the ratio, its threshold, and pass/fail —
+  * and the probe EXITS NONZERO on any breach, so the two super-linear
+  * plans r5 caught and fixed (quadratic fixed-plane embedding LSH at
+  * 25×, `text_contamination`'s broadcast cliff at 10.5×) can never
+  * silently return. Thresholds are calibrated from the r5
+  * PERFORMANCE.md probe table with ~2× headroom for box-load noise.
+  *
+  * Fixture SYNTHESIS is excluded from the timing: `ScaledFixtures
+  * .ensure` runs before the clock, and probes with a registered
+  * `prepare` hook (the mm_image family's PNG render) warm their input
+  * corpus untimed — the probe measures the OPERATOR, not corpus
+  * creation.
   *
   * Usage: build an sf0.4-shaped dir of symlinks to the sf0.1 testdata
   * (ScaledFixtures keys the multiplier off the dir NAME), then
@@ -14,15 +28,35 @@ import org.apache.spark.sql.SparkSession
   *     sbt "runMain graft.tools.ScaleProbe"
   */
 object ScaleProbe {
-  private val Probes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
-    .map(_.split(",").toSeq)
-    .getOrElse(Seq(
-      "dedup_minhash_lsh", "dedup_clusters", "dedup_embedding_cosine",
-      "text_quality", "pack_sequences", "sim_ivf", "mm_image_dedup_check"))
+  private val DefaultProbes = Seq(
+    "dedup_minhash_lsh", "dedup_clusters", "dedup_embedding_cosine",
+    "text_quality", "text_contamination", "pack_sequences", "sim_ivf",
+    "mm_image_dedup_check")
+
+  /** Wall-ratio ceiling at 4× data. A breach fails the run. */
+  private val Thresholds: Map[String, Double] = Map(
+    "dedup_minhash_lsh" -> 4.0,      // r5 measured 1.8×
+    "dedup_clusters" -> 4.0,         // r5 measured 1.8×
+    "dedup_embedding_cosine" -> 4.0, // PINNED r5 fix: fixed planes=18 was 25×
+    "text_quality" -> 5.0,           // sub-second absolute → noise headroom
+    "text_contamination" -> 4.0,     // PINNED r5 fix: broadcast cliff was 10.5×
+    "pack_sequences" -> 4.5,         // r5 measured 1.9×
+    "sim_ivf" -> 7.0,                // one-time √n-quantizer build term (r5: 4.6×)
+    "mm_image_dedup_check" -> 4.5)   // r6 target after decode-buffer reuse
+  private val DefaultThreshold = 6.0
+
+  /** Untimed per-probe preparation: materialize input corpora that are
+    * fixture synthesis, not the operator under test.
+    */
+  private def prepare(name: String, spark: SparkSession, dir: String): Unit =
+    if (name.startsWith("mm_image")) graft.queries.Catalog.warmImageMedia(spark, dir)
 
   def main(args: Array[String]): Unit = {
     val dirs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIRS",
       "/root/testdata/sf0.1").split(",").toSeq
+    val probes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
+      .map(_.split(",").toSeq).getOrElse(DefaultProbes) ++ args
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALE_r6.json")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -31,21 +65,50 @@ object ScaleProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (dir <- dirs) {
+    // times(dir)(query) = wall seconds, dirs in command order (base, 4×)
+    val times = dirs.map { dir =>
       val scaled = graft.queries.ScaledFixtures.ensure(spark, dir)
       val nDocs = spark.read.parquet(s"$scaled/documents.parquet").count()
       println(s"[scale] $dir -> $scaled ($nDocs docs)")
-      for (name <- Probes ++ args) {
+      dir -> probes.map { name =>
+        try prepare(name, spark, scaled)
+        catch { case e: Throwable =>
+          System.err.println(s"[scale] prepare($name) failed: ${e.getMessage}")
+        }
         val t0 = System.nanoTime()
         // materialize through the noop sink exactly like Bench: count()
         // lets Catalyst PRUNE projected expressions, so a pure-projection
         // probe (e.g. text_quality) would time only the parquet scan
-        val df = graft.SparkEntry.queries(name)(spark, scaled)
-        df.write.format("noop").mode("overwrite").save()
+        graft.SparkEntry.queries(name)(spark, scaled)
+          .write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
         println(f"[scale] ${new java.io.File(dir).getName}%-8s $name%-24s $t%8.1f s")
-      }
-    }
+        name -> t
+      }.toMap
+    }.toMap
     spark.stop()
+    if (dirs.size >= 2) {
+      val (baseDir, bigDir) = (dirs.head, dirs.last)
+      def ms(x: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, x)
+      val rows = probes.distinct.map { name =>
+        val base = times(baseDir)(name)
+        val big = times(bigDir)(name)
+        val ratio = if (base > 0) big / base else Double.PositiveInfinity
+        val thr = Thresholds.getOrElse(name, DefaultThreshold)
+        (name, base, big, ratio, thr, ratio <= thr)
+      }
+      val json = rows.map { case (n, b, x4, r, t, ok) =>
+        s""""$n":{"base_sec":${ms(b)},"x4_sec":${ms(x4)},"ratio":${ms(r)},"threshold":$t,"ok":$ok}"""
+      }.mkString(
+        s"""{"base_dir":"$baseDir","x4_dir":"$bigDir","queries":{""", ",", "}}")
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes("UTF-8"))
+      println(s"[scale] wrote $outPath")
+      val breaches = rows.filter(!_._6)
+      breaches.foreach { case (n, _, _, r, t, _) =>
+        System.err.println(f"[scale] BREACH: $n ratio $r%.1f exceeds threshold $t%.1f")
+      }
+      if (breaches.nonEmpty) sys.exit(1)
+    }
   }
 }
