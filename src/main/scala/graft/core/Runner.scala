@@ -61,14 +61,23 @@ object Runner {
   /** Maintenance cadence for a table directory: retention first
     * ([[Pipeline.vacuum]] drops versions past the window), then changelog
     * compaction ([[Pipeline.compactChangelog]] collapses the retained
-    * window to latest-per-key). Run after extracts, e.g. nightly — the
-    * reference has no analog (its changelog grows forever,
-    * download.py:585-595).
+    * window to latest-per-key), then any derived-index upkeep the caller
+    * registered. Run after extracts, e.g. nightly — the reference has no
+    * analog (its changelog grows forever, download.py:585-595).
+    *
+    * `indexMaintenance` is the seam for derived structures that need
+    * health-gated rebuilds on the same cadence — e.g. an ANN index over
+    * an embedding column: pass `() => IvfIndex.maintain(spark, idxPath)`
+    * (the ext package depends on core, so core names it only here in
+    * doc). Hooks run AFTER compaction so they see the post-maintenance
+    * table state.
     */
   def maintain(spark: SparkSession, tableDir: String, key: Seq[String],
-               keepVersions: Int): Unit = {
+               keepVersions: Int,
+               indexMaintenance: Seq[() => Unit] = Nil): Unit = {
     Pipeline.vacuum(tableDir, keepVersions)
     Pipeline.compactChangelog(spark, tableDir, key)
+    indexMaintenance.foreach(_.apply())
   }
 
   /** post_update (reference post_update.py): rebuild the per-tribe

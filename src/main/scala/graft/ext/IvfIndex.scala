@@ -23,7 +23,17 @@ import graft.functions.vectors
   * query batches join without a shuffle.
   */
 object IvfIndex {
-  final case class Index(centroids: Array[(Int, Array[Float])], assigned: DataFrame)
+  /** `builtN` = corpus size when the quantizer was trained (−1 unknown,
+    * e.g. an index loaded from a pre-manifest layout): the drift baseline
+    * for [[health]]'s rebuild policy.
+    */
+  final case class Index(centroids: Array[(Int, Array[Float])], assigned: DataFrame,
+                         builtN: Long = -1L)
+
+  /** Quantizer drift report for a persisted index — see [[health]]. */
+  final case class Health(n: Long, nLists: Int, builtN: Long, maxList: Long,
+                          meanList: Double, imbalance: Double,
+                          needsRebuild: Boolean, reason: String)
 
   /** Train the coarse quantizer and assign every vector to a list.
     *
@@ -64,7 +74,7 @@ object IvfIndex {
       .map { case (c, i) => i -> c.toArray.map(_.toFloat) }
     val assigned = model.transform(featurized)
       .select(col("vid"), col("v"), col("prediction").as("list"))
-    Index(centroids, assigned)
+    Index(centroids, assigned, builtN = n)
   }
 
   /** Persist the index: posting lists PARTITIONED BY `list` (one
@@ -87,6 +97,40 @@ object IvfIndex {
       .partitionBy("list").parquet(s"$path/assigned")
     idx.centroids.toSeq.toDF("list", "centroid")
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // schema sidecar: a delete-only delta stream can drain EVERY list
+    // (applyDelta removes emptied partition dirs), and parquet cannot
+    // infer a schema from zero files — this empty frame keeps load()
+    // working on a drained index instead of crashing the next applyDelta
+    idx.assigned.limit(0).coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/schema")
+    writeManifest(spark, path,
+      if (idx.builtN >= 0) idx.builtN else idx.assigned.count(),
+      idx.centroids.length)
+  }
+
+  /** Build-time facts the rebuild policy measures drift against; a tiny
+    * sidecar file, written whole on every (re)build.
+    */
+  private def writeManifest(spark: SparkSession, path: String,
+                            builtN: Long, nlist: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(s"""{"built_n":$builtN,"nlist":$nlist}""".getBytes("UTF-8"))
+    finally os.close()
+  }
+
+  private def readManifestN(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/manifest.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      """"built_n"\s*:\s*(\d+)""".r.findFirstMatchIn(txt)
+        .map(_.group(1).toLong).getOrElse(-1L)
+    }
   }
 
   /** Incremental maintenance of a persisted index under CDC — the ANN
@@ -148,32 +192,127 @@ object IvfIndex {
       // refuses to overwrite a path it is reading); only touched rows
       // materialize — the incremental claim holds
       .localCheckpoint(true)
-    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    try {
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      out.repartition(col("list")).write.mode("overwrite")
-        .partitionBy("list").parquet(s"$path/assigned")
-    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-    // dynamic overwrite never rewrites a partition absent from `out`:
-    // a touched list whose rows all left must be deleted explicitly
+    // dynamic overwrite never rewrites a partition absent from `out`, so
+    // a touched list whose rows ALL left must be deleted explicitly — and
+    // it is deleted BEFORE the overwrite: the emptied lists' removal is
+    // independent of the partitions being written, so a crash between the
+    // two steps can never leave a stale emptied list whose deleted ids
+    // resurface as query neighbors. Crash recovery contract: REPLAY the
+    // same applyDelta — the remove-then-add algebra is idempotent over
+    // one delta (replayed gone-ids match nothing the second time; the
+    // upserts land identically).
     val surviving = out.select("list").distinct().collect().map(_.getInt(0)).toSet
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     touched.filterNot(surviving).foreach { l =>
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/assigned/list=$l"), true)
     }
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      out.repartition(col("list")).write.mode("overwrite")
+        .partitionBy("list").parquet(s"$path/assigned")
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
   }
 
   /** Load a persisted index. The `assigned` frame reads the partitioned
-    * layout lazily — nothing is scanned until a probe runs.
+    * layout lazily — nothing is scanned until a probe runs. An index
+    * DRAINED to zero lists (delete-only deltas removed every partition
+    * directory) loads as an empty frame via the schema sidecar instead of
+    * failing parquet schema inference — so the next [[applyDelta]] can
+    * repopulate it.
     */
   def load(spark: SparkSession, path: String): Index = {
     val centroids = spark.read.parquet(s"$path/centroids")
       .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray)
       .sortBy(_._1)
-    val assigned = spark.read.parquet(s"$path/assigned")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val drained = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$path/assigned/list=*")) match {
+      case null => true
+      case dirs => dirs.isEmpty
+    }
+    val schemaSidecar = new org.apache.hadoop.fs.Path(s"$path/schema")
+    val source =
+      if (drained && fs.exists(schemaSidecar)) s"$path/schema" // empty, schema-carrying
+      else s"$path/assigned" // pre-sidecar layouts keep the old failure mode
+    val assigned = spark.read.parquet(source)
       .select(col("vid"), col("v"), col("list").cast("int").as("list"))
-    Index(centroids, assigned)
+    Index(centroids, assigned, builtN = readManifestN(spark, path))
+  }
+
+  /** Quantizer drift check — the rebuild policy [[applyDelta]] itself
+    * deliberately lacks (per-delta retraining would re-scan the corpus).
+    * Two signals, both cheap (one skinny `list` column scan, ≤ nlist
+    * groups collected):
+    *
+    *  - GROWTH: the corpus reached `growthThreshold` × the size the
+    *    quantizer was trained at. nlist should track √n, so a doubled
+    *    corpus means every probe reranks ~2× the vectors per list and
+    *    recall decays as lists blur — the standard "rebuild when the
+    *    corpus doubles" IVF cadence.
+    *  - IMBALANCE: max/mean list size past `imbalanceThreshold`. Under
+    *    drifting ingest new vectors pile into few lists; those lists
+    *    dominate probe cost and their centroids stop describing their
+    *    contents.
+    */
+  def health(spark: SparkSession, path: String,
+             imbalanceThreshold: Double = 4.0,
+             growthThreshold: Double = 2.0): Health = {
+    val idx = load(spark, path)
+    val sizes = idx.assigned.groupBy("list").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)) // bounded: ≤ nlist rows
+    val n = sizes.map(_._2).sum
+    val nLists = idx.centroids.length
+    val meanList = if (nLists > 0) n.toDouble / nLists else 0.0
+    val maxList = if (sizes.isEmpty) 0L else sizes.map(_._2).max
+    val imbalance = if (meanList > 0) maxList / meanList else 0.0
+    val (needs, reason) =
+      if (idx.builtN > 0 && n >= growthThreshold * idx.builtN)
+        (true, f"corpus grew ${n.toDouble / idx.builtN}%.1fx since quantizer build")
+      else if (imbalance > imbalanceThreshold)
+        (true, f"list imbalance max/mean = $imbalance%.1f")
+      else (false, "healthy")
+    Health(n, nLists, idx.builtN, maxList, meanList, imbalance, needs, reason)
+  }
+
+  /** Retrain the coarse quantizer from the STORED vectors and replace the
+    * layout in place — the planned rebuild [[applyDelta]]'s header
+    * promises. Runs build against the loaded corpus, stages the new
+    * layout under `$path/.rebuild`, then swaps components. The swap is
+    * not atomic as a set: a crash mid-swap requires re-running rebuild
+    * (the staging copy is complete before the first destructive step, so
+    * the source vectors are never the only copy).
+    */
+  def rebuild(spark: SparkSession, path: String, nlist: Int = 0,
+              seed: Long = 42L): Unit = {
+    val idx = load(spark, path)
+    val fresh = build(spark, idx.assigned.select(col("vid"), col("v")),
+      "vid", "v", nlist, seed)
+    val tmp = s"$path/.rebuild"
+    write(fresh, tmp)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (part <- Seq("assigned", "centroids", "schema", "manifest.json")) {
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$part"), true)
+      fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$part"),
+        new org.apache.hadoop.fs.Path(s"$path/$part"))
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  /** Health-gated maintenance — the cadence hook (run it where
+    * [[graft.core.Runner.maintain]] runs table upkeep): measure drift,
+    * rebuild only when the policy says so. Returns the PRE-rebuild
+    * health so callers can log what triggered.
+    */
+  def maintain(spark: SparkSession, path: String,
+               imbalanceThreshold: Double = 4.0, growthThreshold: Double = 2.0,
+               nlist: Int = 0, seed: Long = 42L): Health = {
+    val h = health(spark, path, imbalanceThreshold, growthThreshold)
+    if (h.needsRebuild) rebuild(spark, path, nlist, seed)
+    h
   }
 
   /** ANN top-k through the index: probe the `nprobe` nearest posting lists

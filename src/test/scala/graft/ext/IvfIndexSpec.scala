@@ -147,6 +147,88 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(after2.assigned.count() == n0 + 1 - 1 - victimIds.size)
   }
 
+  test("rebuild policy: corpus-doubling deltas trip the trigger, maintain restores recall") {
+    import spark.implicits._
+    val e = Tables.load(spark, TestSpark.Sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_rebuild").toString
+    IvfIndex.write(IvfIndex.build(spark, e, "vec_id", "embedding"), dir)
+    val h0 = IvfIndex.health(spark, dir)
+    assert(!h0.needsRebuild, h0.reason)
+    val n0 = h0.n
+    val nlist0 = IvfIndex.load(spark, dir).centroids.length
+
+    // ten deltas, each inserting +10% of the seed corpus: fresh ids,
+    // deterministically perturbed copies spread through the space —
+    // sustained ingest that DOUBLES the corpus without any rebuild
+    for (b <- 1 to 10) {
+      val delta = e.filter(pmod(col("vec_id"), lit(10)) === (b - 1))
+        .select((col("vec_id") + lit(1000000L * b)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") +
+              (pmod(xxhash64(col("vec_id"), lit(b), i), lit(2001L)) - lit(1000L))
+                .cast("double") / lit(5000.0)).cast("float")).as("embedding"))
+      IvfIndex.applyDelta(spark, dir, delta, delta.limit(0), "vec_id", "embedding")
+    }
+    val h1 = IvfIndex.health(spark, dir)
+    assert(h1.n >= 2 * n0 - 10, s"deltas did not double the corpus: ${h1.n} vs $n0")
+    assert(h1.needsRebuild && h1.reason.contains("grew"), h1.reason)
+
+    // the cadence hook measures, rebuilds, and the drift clears: the
+    // quantizer is resized to the GROWN corpus and the baseline advances
+    IvfIndex.maintain(spark, dir)
+    val h2 = IvfIndex.health(spark, dir)
+    assert(!h2.needsRebuild, h2.reason)
+    assert(h2.builtN == h1.n)
+    val rebuilt = IvfIndex.load(spark, dir)
+    assert(rebuilt.centroids.length > nlist0,
+      s"rebuild kept nlist=$nlist0 for a doubled corpus")
+    assert(rebuilt.assigned.count() == h1.n)
+
+    // recall@5 over the grown corpus at the production probe setting
+    val corpus = rebuilt.assigned
+      .select(col("vid").as("vec_id"), col("v").as("embedding"))
+      .localCheckpoint(true) // sever from the layout the probe reads
+    val q = corpus.filter(col("vec_id") < 20)
+    val ivf = IvfIndex.topK(spark, rebuilt, q, "vec_id", "embedding", k = 5,
+        nprobe = math.min(20, rebuilt.centroids.length), pruneScan = true)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    val brute = Similarity.bruteTopK(corpus, q, "vec_id", "embedding", 5)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall@5 = $recall after rebuild")
+  }
+
+  test("drained index: deleting every row keeps load and re-population working") {
+    import spark.implicits._
+    val e = Tables.load(spark, TestSpark.Sf, "embeddings")
+      .select(col("vec_id"), col("embedding")).filter(col("vec_id") < 50)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_drain").toString
+    IvfIndex.write(IvfIndex.build(spark, e, "vec_id", "embedding", nlist = 4), dir)
+
+    // delete-only delta removing EVERY id: all list dirs are emptied and
+    // removed — parquet can infer nothing from zero files, so load must
+    // fall back to the schema sidecar instead of crashing
+    IvfIndex.applyDelta(spark, dir,
+      upserts = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding"),
+      deletes = e.select("vec_id"), "vec_id", "embedding")
+    val drained = IvfIndex.load(spark, dir)
+    assert(drained.assigned.count() == 0)
+    assert(drained.centroids.length == 4)
+
+    // the drained index accepts the next delta and serves exact results
+    IvfIndex.applyDelta(spark, dir, upserts = e, deletes = e.limit(0),
+      "vec_id", "embedding")
+    val back = IvfIndex.load(spark, dir)
+    assert(back.assigned.count() == 50)
+    val q = e.filter(col("vec_id") < 3)
+    val full = IvfIndex.topK(spark, back, q, "vec_id", "embedding", k = 3, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).sorted
+    val brute = Similarity.bruteTopK(e, q, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3), r.getLong(1))).sorted
+    assert(full.toSeq == brute.toSeq)
+  }
+
   test("quantizer trains on a bounded sample, assignment still covers the corpus") {
     val e = Tables.load(spark, TestSpark.Sf, "embeddings")
     val n = e.count()
