@@ -460,7 +460,8 @@ object Dedup {
     * never ride the candidate shuffle.
     */
   def embeddingNearDups(embs: DataFrame, idCol: String, vecCol: String,
-                        threshold: Double, planes: Int = 16, bands: Int = 8): DataFrame = {
+                        threshold: Double, planes: Int = 16, bands: Int = 8,
+                        knownN: Long = -1L): DataFrame = {
     import graft.functions.vectors
     // ONE narrow (id, vec, norm) projection feeds all three consumers —
     // the bucket index and both by-id vector fetches. The plan still has
@@ -477,10 +478,12 @@ object Dedup {
     // planes to ceil(log2 n)+2 caps expected collisions per vector per
     // band at 1/4, so candidate volume stays LINEAR in n; the per-plane
     // recall loss is bought back by `bands` (1-(1-p^planes)^bands ≈
-    // 0.998 at cos 0.996 even at planes 24). The count is one pass over
-    // the (usually persisted) input; callers that know n can pre-size
-    // `planes` themselves — the max() keeps explicit settings binding.
-    val n = base.count()
+    // 0.998 at cos 0.996 even at planes 24). Sizing needs n, and the
+    // count is a full pass over an unpersisted input's upstream plan —
+    // an eager 2× surprise for plan-builder callers — so a caller that
+    // already knows n passes `knownN` and no counting job runs; the
+    // max() inside autoPlanes keeps explicit `planes` settings binding.
+    val n = if (knownN >= 0) knownN else base.count()
     val effPlanes = autoPlanes(n, planes)
     val idx = base.select(col("id"),
         explode(array((0 until bands).map(b =>

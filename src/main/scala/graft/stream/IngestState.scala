@@ -45,4 +45,40 @@ private[stream] object IngestState {
     if (hasData) spark.read.parquet(dir).where(col("batch") < lit(maxBatchExclusive))
     else template.limit(0)
   }
+
+  /** Sketch-geometry manifest. The LSH parameters that define the bucket
+    * space (planes/bands/k/prefix fan-out) are a property of the STATE
+    * DIR, fixed when the corpus is seeded: a later batch sketched with
+    * different geometry lands in a DISJOINT bucket space, the probe join
+    * matches nothing, and cross-batch duplicates pass the gate silently —
+    * a false-negative failure with no error signal. So the seed persists
+    * them here and every processBatch ADOPTS them, instead of trusting
+    * each caller (possibly another job, another JVM) to thread identical
+    * Params forever.
+    */
+  def writeParams(spark: SparkSession, stateDir: String,
+                  fields: Seq[(String, Long)]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/_params.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val os = fs.create(p, true)
+    try os.write(fields.map { case (k, v) => s""""$k":$v""" }
+      .mkString("{", ",", "}").getBytes("UTF-8"))
+    finally os.close()
+  }
+
+  /** The seed-time geometry, or empty for a pre-manifest state dir (the
+    * caller's Params then apply unchecked, preserving old behavior).
+    */
+  def readParams(spark: SparkSession, stateDir: String): Map[String, Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/_params.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      """"(\w+)"\s*:\s*(\d+)""".r.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toLong).toMap
+    }
+  }
 }

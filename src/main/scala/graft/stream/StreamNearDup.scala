@@ -82,15 +82,29 @@ object StreamNearDup {
       .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/docs/batch=0")
     writeIndex(Dedup.lshIndex(docs, p.idCol, p.textCol, p.shingleN, p.k, p.bands),
       s"$stateDir/index/batch=0", p)
+    // geometry is a property of the state dir — later batches adopt it
+    // (see IngestState.writeParams)
+    IngestState.writeParams(docs.sparkSession, stateDir, Seq(
+      "shingleN" -> p.shingleN.toLong, "k" -> p.k.toLong,
+      "bands" -> p.bands.toLong, "indexPrefixes" -> p.indexPrefixes.toLong))
   }
 
   /** Process one ingest batch at `version` (streaming uses batchId+1;
     * version 0 is the seed): emit its near-dup pairs and absorb it.
-    * Idempotent under replay of the same (batch, version).
+    * Idempotent under replay of the same (batch, version). The sketch
+    * geometry (shingleN/k/bands/indexPrefixes) is ADOPTED from the state
+    * dir's seed-time manifest when present — only idCol/textCol/threshold
+    * are taken from the caller's `p`.
     */
   def processBatch(batch: DataFrame, stateDir: String, version: Long,
-                   p: Params = Params()): Unit = {
+                   p0: Params = Params()): Unit = {
     val spark = batch.sparkSession
+    val seeded = IngestState.readParams(spark, stateDir)
+    val p = p0.copy(
+      shingleN = seeded.getOrElse("shingleN", p0.shingleN.toLong).toInt,
+      k = seeded.getOrElse("k", p0.k.toLong).toInt,
+      bands = seeded.getOrElse("bands", p0.bands.toLong).toInt,
+      indexPrefixes = seeded.getOrElse("indexPrefixes", p0.indexPrefixes.toLong).toInt)
     // the accumulated corpus is everything absorbed at versions BELOW this
     // one: the `batch < version` partition filter keeps a replay's prior
     // `batch=version` files out of the plan entirely (directory-level

@@ -61,14 +61,28 @@ object StreamVecDup {
       .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/vecs/batch=0")
     writeIndex(Dedup.embeddingIndex(vecs, p.idCol, p.vecCol, p.planes, p.bands),
       s"$stateDir/index/batch=0", p)
+    // the geometry is now a property of the state dir — later batches
+    // adopt it (see IngestState.writeParams); auto-sized planes at seed
+    // time can no longer de-sync from a caller's default Params
+    IngestState.writeParams(vecs.sparkSession, stateDir, Seq(
+      "planes" -> p.planes.toLong, "bands" -> p.bands.toLong,
+      "indexPrefixes" -> p.indexPrefixes.toLong))
   }
 
   /** Process one ingest batch at `version` (streaming uses batchId+1;
-    * version 0 is the seed). Idempotent under replay.
+    * version 0 is the seed). Idempotent under replay. The sketch geometry
+    * (planes/bands/indexPrefixes) is ADOPTED from the state dir's
+    * seed-time manifest when present — only idCol/vecCol/threshold are
+    * taken from the caller's `p`.
     */
   def processBatch(batch: DataFrame, stateDir: String, version: Long,
-                   p: Params = Params()): Unit = {
+                   p0: Params = Params()): Unit = {
     val spark = batch.sparkSession
+    val seeded = IngestState.readParams(spark, stateDir)
+    val p = p0.copy(
+      planes = seeded.getOrElse("planes", p0.planes.toLong).toInt,
+      bands = seeded.getOrElse("bands", p0.bands.toLong).toInt,
+      indexPrefixes = seeded.getOrElse("indexPrefixes", p0.indexPrefixes.toLong).toInt)
     val corpusVecs = readOrEmpty(spark, s"$stateDir/vecs",
         batch.select(col(p.idCol), col(p.vecCol)), version)
       .select(col(p.idCol), col(p.vecCol))

@@ -46,6 +46,32 @@ class StreamVecDupSpec extends AnyFunSuite {
     assert(cos.forall(_ >= 0.9))
   }
 
+  test("sketch geometry is adopted from the seed manifest, not the caller's Params") {
+    // the r5 advisory failure mode: seed with auto-sized planes (what
+    // dedup_vec_ingest_gate does), then process a batch with DEFAULT
+    // Params. Pre-manifest, the delta sketched planes=18 against a
+    // planes=24 corpus index — disjoint bucket spaces, the join matched
+    // nothing, and the duplicate passed the gate SILENTLY.
+    val st = java.nio.file.Files.createTempDirectory("graft_svd4").toString
+    StreamVecDup.seedCorpus(
+      Seq(1L -> e(0), 2L -> e(1)).toDF("vec_id", "embedding"), st,
+      StreamVecDup.Params(planes = 24, bands = 6, indexPrefixes = 64))
+    // caller "forgets" the seed geometry: defaults are planes=18/bands=8/
+    // prefixes=256 — every value disagrees with the manifest
+    StreamVecDup.processBatch(
+      Seq(10L -> near(0)).toDF("vec_id", "embedding"), st, 1L)
+    val got = StreamVecDup.pairs(spark, st)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L)),
+      s"cross-geometry batch missed the planted duplicate: $got")
+    // and the absorbed batch's index landed in the SEED's bucket space:
+    // its pb partition values stay inside the seed's 64-prefix fan-out
+    val pbs = spark.read.parquet(s"$st/index/batch=1")
+      .select("pb").distinct().collect().map(_.getInt(0))
+    assert(pbs.forall(pb => pb >= 0 && pb < 64),
+      s"batch index written outside the seeded prefix space: ${pbs.toSeq}")
+  }
+
   test("probe is bucket-pruned: a small batch reads a fraction of the accumulated index") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     val st = java.nio.file.Files.createTempDirectory("graft_svd3").toString
