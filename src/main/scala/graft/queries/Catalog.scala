@@ -137,23 +137,34 @@ object Catalog {
   private val mmFeatsCache = new QueryCache("documents.parquet")
 
   /** Memoized RENDERED image corpus (the synthetic per-doc PNG payloads),
-    * persisted separately from the decoded features: rendering is fixture
-    * synthesis, not the decode operator, and splitting it lets the scale
-    * probe time decode alone (r5 probe conflated the two and attributed
-    * the render's encode churn to the decode path).
+    * materialized ONCE to scratch parquet and re-read from there:
+    * rendering is fixture synthesis, not the decode operator, and the
+    * split lets the scale probe time decode alone (r5's probe conflated
+    * the two and attributed the render's encode churn to the decode
+    * path). On-disk parquet, not a block-manager persist — a 2M-doc
+    * payload corpus is ~10 GB of PNGs, which OOMs an executor-memory
+    * cache but is exactly what a real media table looks like at rest:
+    * the decode path reads a binary column off parquet, as it would in
+    * production.
     */
-  private val mmMediaCache = new QueryCache("documents.parquet")
+  private val mmMediaCache = new ValueCache[String]("documents.parquet")(
+    identity, _ => ())
 
-  private def mmImageMedia(s: SparkSession, d: String): DataFrame =
-    mmMediaCache.get(s, d) { (ss, dd) =>
+  private def mmImageMedia(s: SparkSession, d: String): DataFrame = {
+    val path = mmMediaCache.get(s, d) { (ss, dd) =>
+      val p = scratchDir("mm_media", dd)
       Multimodal.renderMedia(ss, docs(ss, dd), "doc_id")
+        .write.mode("overwrite").parquet(p)
+      p
     }
+    s.read.parquet(path)
+  }
 
-  /** Probe/bench hook: force the rendered PNG corpus into its cache so a
-    * subsequent `mm_image_*` timing measures DECODE, not synthesis.
+  /** Probe/bench hook: force the rendered PNG corpus onto scratch disk so
+    * a subsequent `mm_image_*` timing measures DECODE, not synthesis (the
+    * parquet write happens eagerly inside the cache compute).
     */
-  def warmImageMedia(s: SparkSession, d: String): Unit =
-    mmImageMedia(s, d).write.format("noop").mode("overwrite").save()
+  def warmImageMedia(s: SparkSession, d: String): Unit = { mmImageMedia(s, d); () }
 
   private def mmImageFeats(s: SparkSession, d: String): DataFrame =
     mmFeatsCache.get(s, d) { (ss, dd) =>
@@ -220,9 +231,12 @@ object Catalog {
 
   /** Memoized maintenance-path probe for `sim_ivf_delta`: seed the
     * persisted layout from 90% of the corpus, applyDelta the held-out
-    * vec_id % 10 == 0 slice in, probe the MAINTAINED layout. Its own
-    * cache — the quantizer is trained on the seed slice, so it cannot
-    * share [[simIvfIndex]].
+    * vec_id % 10 == 0 slice in, run the health-gated maintenance cadence
+    * (a +11% delta is below the corpus-doubling rebuild trigger, so the
+    * check runs and correctly declines — the trigger path itself is
+    * exercised to a rebuild in IvfIndexSpec), probe the MAINTAINED
+    * layout. Its own cache — the quantizer is trained on the seed slice,
+    * so it cannot share [[simIvfIndex]].
     */
   private val simIvfDeltaCache = new QueryCache("embeddings.parquet")
 
@@ -236,6 +250,8 @@ object Catalog {
       IvfIndex.write(idx, dir)
       IvfIndex.applyDelta(ss, dir, upserts = delta, deletes = delta.limit(0),
         "vec_id", "embedding")
+      val h = IvfIndex.maintain(ss, dir)
+      require(!h.needsRebuild, s"unexpected rebuild after +11% delta: ${h.reason}")
       val maintained = IvfIndex.load(ss, dir)
       IvfIndex.topK(ss, maintained, e.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5,
@@ -1022,6 +1038,49 @@ object Catalog {
       Some(s"""${Fixture.OracleCtes}
               |SELECT * FROM internal ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    Entry("changelog_latest_compacted",
+      // `changelog_latest` READ OVER THE COMPACTED LOG: three versioned
+      // commits build a real on-disk changelog (v2 logs the internal old
+      // rows of every changed key, v3 logs the external ones), then
+      // Pipeline.compactChangelog rewrites the history to one
+      // latest-per-key partition — and the SAME latest-per-key oracle
+      // must still hold, proving compaction preserves query semantics
+      // end-to-end (including `v_row` version attribution), not just in
+      // ChangelogCompactionSpec's unit frame. A require pins that
+      // compaction actually collapsed the directory layout, so the gate
+      // cannot silently pass against the uncompacted log.
+      (s, d) => {
+        val root = scratchDir("changelog_latest_compacted", d)
+        val i = Fixture.internal(s, d)
+        val e = Fixture.external(s, d)
+        val dataCols = Fixture.dataCols(e)
+        val r1 = Pipeline.warm(i.limit(0), i, K, dataCols, nullSafeKeys = false)
+        Pipeline.commitVersionedAt(r1, root, 1L); r1.release()
+        val r2 = Pipeline.warm(i, e, K, dataCols, nullSafeKeys = false)
+        Pipeline.commitVersionedAt(r2, root, 2L); r2.release()
+        val r3 = Pipeline.warm(e, i, K, dataCols, nullSafeKeys = false)
+        Pipeline.commitVersionedAt(r3, root, 3L); r3.release()
+        Pipeline.compactChangelog(s, root, K)
+        val vDirs = Option(new java.io.File(s"$root/changelog").listFiles())
+          .map(_.count(_.getName.startsWith("v="))).getOrElse(0)
+        require(vDirs == 1, s"compaction left $vDirs changelog version dirs")
+        Changelog.latest(Pipeline.readChangelog(s, root), K, "v")
+          .select(keyCols :+ col("l_quantity") :+
+            col("v").cast("long").as("version"): _*)
+          .orderBy(keyCols: _*)
+      },
+      // the changed keys' OLD rows at the latest logging version: v3
+      // captured the external values when the replica was diffed back to
+      // internal — so latest-per-key over the compacted log must be the
+      // external fixture's changed rows attributed to version 3
+      Some(s"""${Fixture.OracleCtes},
+              |${Oracles.kindsCte}
+              |SELECT e.l_orderkey, e.l_linenumber, e.l_quantity,
+              |  CAST(3 AS BIGINT) AS version
+              |FROM external e JOIN kinds k ON e.l_orderkey = k.l_orderkey
+              |  AND e.l_linenumber = k.l_linenumber AND k.kind = 'changed'
+              |ORDER BY e.l_orderkey, e.l_linenumber""".stripMargin)),
+
     Entry("json_props_agg",
       (s, d) => Tables.loadEvents(s, d)
         .groupBy(col("event_type"))
@@ -1190,6 +1249,48 @@ object Catalog {
           "doc_id", "n", budget = 2048L)
         .orderBy("id"),
       None),
+
+    Entry("corpus_prep_e2e",
+      // THE product shape a training-data user actually runs: the four
+      // individually-oracled stages COMPOSED as one pipeline — C4-style
+      // clean → quality gate (≥ 0.5, keeps ~80% of the fixture) →
+      // near-dup keep-best over the CLEANED text → training-sequence
+      // packing of the survivors. Composition is where persist/
+      // memoization boundaries go wrong (a stage recomputing its input
+      // from a different snapshot, a gate applied before the text the
+      // next stage shingles): the one eager checkpoint below is the
+      // single materialization boundary, and every downstream stage
+      // provably consumes exactly that frame. The oracle replays the
+      // whole chain in one DuckDB CTE pipeline with each stage oracle
+      // retargeted at its predecessor. Reference analog: the reference's
+      // value is also its COMPOSED run (start.py:55-60), not its stages.
+      (s, d) => {
+        val cleaned = docs(s, d).select(col("doc_id"),
+          TextStats.cleanText(col("text")).as("text"))
+        // one boundary: clean+score each doc exactly once; the cluster
+        // derivation, keep-best join, and packing all reuse these blocks
+        // (three consumers — an unpersisted plan would re-run the clean
+        // and quality kernels per consumer)
+        val gated = cleaned
+          .withColumn("quality", TextStats.qualityScore(col("text")))
+          .filter(col("quality") >= 0.5)
+          .localCheckpoint(true)
+        val clusters = Dedup.lshDedupClusters(gated, "doc_id", "text",
+          threshold = 0.5, shingleN = 3, k = 8, bands = 4)
+        val kept = graft.plans.TopK.perGroup(
+            gated.select(col("doc_id").as("id"), col("quality"))
+              .join(clusters, Seq("id")),
+            Seq("cluster_id"), Seq(("quality", false), ("id", true)), 1)
+          .select(col("id").as("doc_id"))
+        val survivors = gated.join(kept, Seq("doc_id"), "left_semi")
+        Packing.packSequences(
+            survivors.select(col("doc_id"),
+              size(split(col("text"), " ")).cast("long").as("n")),
+            "doc_id", "n", seqLen = 2048)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy("doc_id")
+      },
+      Some(Oracles.corpusPrepOracle)),
 
     Entry("sample_stratified",
       (s, d) => { // deterministic stratified sampling for corpus mixing:

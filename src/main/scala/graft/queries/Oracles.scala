@@ -73,7 +73,10 @@ object Oracles {
     * [[TextStats.qualityScore]]. DuckDB regexp_replace needs the 'g' flag to
     * match Spark's replace-all semantics.
     */
-  val qualitySql: String = {
+  /** [[qualitySql]] without the trailing ORDER BY — embeddable as a CTE
+    * (the composed corpus-prep oracle retargets it at the cleaned docs).
+    */
+  val qualitySqlBody: String = {
     val allStop = inList(TextStats.LangStopwords.flatMap(_._2))
     s"""SELECT doc_id, n_tokens, n_bpeish,
        | round(least(1.0, toks / 50.0)
@@ -92,9 +95,10 @@ object Oracles {
        |      / len(regexp_split_to_array(trim(text), '\\s+')) AS avg_tok,
        |    CAST(len(list_filter(string_split(text, ' '), w -> w IN $allStop)) AS DOUBLE)
        |      / len(regexp_split_to_array(trim(text), '\\s+')) AS stop_ratio
-       |  FROM documents)
-       |ORDER BY doc_id""".stripMargin
+       |  FROM documents)""".stripMargin
   }
+
+  val qualitySql: String = s"$qualitySqlBody\nORDER BY doc_id"
 
   /** Brute-force cosine top-5 for queries vec_id<10 — shared by the
     * window-based (`sim_topk_brute`) and custom-operator
@@ -270,4 +274,42 @@ object Oracles {
        |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
        |JOIN kept ON kept.id = d.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  /** The composed corpus-prep pipeline (`corpus_prep_e2e`): C4-style
+    * clean → quality gate ≥ 0.5 → LSH near-dup keep-best → sequence
+    * packing, as ONE CTE chain. Every stage oracle is reused verbatim but
+    * RETARGETED at the previous stage's CTE (the `FROM documents` →
+    * `FROM cleaned`/`FROM gated` rewrite), so the gate checks the
+    * composition — what text each stage actually consumed — not just the
+    * stages in isolation. Quality, shingling, and token counts all run
+    * over the CLEANED text, exactly as the Spark pipeline does.
+    */
+  val corpusPrepOracle: String = {
+    def over(src: String, sql: String) = sql.replace("FROM documents", s"FROM $src")
+    s"""WITH RECURSIVE cleaned AS (
+       |  SELECT doc_id,
+       |    trim(regexp_replace(regexp_replace(regexp_replace(text,
+       |      '${TextStats.EmailPattern}', '<EMAIL>', 'g'),
+       |      '${TextStats.UrlPattern}', '<URL>', 'g'), '\\s+', ' ', 'g')) AS text
+       |  FROM documents),
+       |qual AS (${over("cleaned", qualitySqlBody)}),
+       |gated AS (SELECT cleaned.doc_id, cleaned.text, qual.quality
+       |          FROM cleaned JOIN qual USING (doc_id) WHERE qual.quality >= 0.5),
+       |${over("gated", lshClusterCtesBody)},
+       |jn AS (SELECT clusters.id, clusters.cluster_id, g.quality
+       |       FROM clusters JOIN gated g ON g.doc_id = clusters.id),
+       |kept AS (SELECT id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |    ORDER BY quality DESC, id) AS rn FROM jn) WHERE rn = 1),
+       |surv AS (SELECT g.doc_id, g.text FROM gated g JOIN kept ON kept.id = g.doc_id),
+       |t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+       |      FROM surv),
+       |cum AS (SELECT doc_id, n_tokens,
+       |        CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS tok_end FROM t)
+       |SELECT doc_id, n_tokens, tok_end - n_tokens AS tok_start, tok_end,
+       |  CAST(floor((tok_end - n_tokens) / 2048) AS BIGINT) AS seq_first,
+       |  greatest(CAST(floor((tok_end - n_tokens) / 2048) AS BIGINT),
+       |           CAST(floor((tok_end - 1) / 2048) AS BIGINT)) AS seq_last
+       |FROM cum ORDER BY doc_id""".stripMargin
+  }
 }

@@ -165,6 +165,7 @@ object ScaledFixtures {
     * are exclusively `documents`/`embeddings`.
     */
   def appliesTo(name: String): Boolean =
-    Seq("dedup_", "text_", "sim_", "emb_", "mm_", "pack_").exists(name.startsWith) ||
+    Seq("dedup_", "text_", "sim_", "emb_", "mm_", "pack_", "corpus_")
+      .exists(name.startsWith) ||
       name == "sample_hash" || name == "sample_stratified"
 }
