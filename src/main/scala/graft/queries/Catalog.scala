@@ -1328,15 +1328,18 @@ object Catalog {
       // of decoded-frame aHashes; grouping on it must reproduce pure
       // variant arithmetic, so the t2 gate verifies the whole
       // mux → demux → JPEG decode → perceptual hash round-trip
+      // group mins via agg+broadcast, not a full-corpus window (the same
+      // exchange-free shape as mm_image_neardup)
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
         val sig = mmVideoFrames(s, d).groupBy("media_id")
           .agg(min(when(col("decode_ok"), 1).otherwise(0)).as("all_ok"),
             md5(to_json(sort_array(collect_list(
               struct(col("frame_idx"), col("ahash")))))).as("vsig"))
-        sig.select(col("media_id"),
-            when(col("all_ok") === 1 && col("media_id") =!= min("media_id")
-              .over(Window.partitionBy("all_ok", "vsig")), 1)
+        val mins = sig.groupBy("all_ok", "vsig")
+          .agg(min("media_id").as("__min_id"))
+        sig.join(broadcast(mins), Seq("all_ok", "vsig"))
+          .select(col("media_id"),
+            when(col("all_ok") === 1 && col("media_id") =!= col("__min_id"), 1)
               .otherwise(0).as("is_dup"))
           .orderBy("media_id")
       },
@@ -1361,17 +1364,23 @@ object Catalog {
 
     Entry("mm_image_neardup",
       // perceptual image dedup over the decoded aHash: byte-distinct
-      // renders of the same variant collapse to one 64-bit key; the
-      // dedup_exact window shape (is_dup vs the group's min id) keeps the
-      // output LINEAR in corpus size — never pairs. decode_ok partitions
-      // the window AND gates the flag: undecodable payloads all carry
-      // ahash=0 and must never flag each other as dups
+      // renders of the same variant collapse to one 64-bit key; is_dup
+      // vs the group's min id keeps the output LINEAR in corpus size —
+      // never pairs. The group mins come from a partial aggregate
+      // broadcast back (few distinct hashes ≪ corpus), NOT a window: the
+      // window form shuffled and sorted EVERY decoded row into the ~50
+      // hash groups — the whole corpus through one exchange with
+      // group-count parallelism — where the agg+broadcast join is
+      // map-side combined and exchange-free on the big side.
+      // decode_ok gates the flag AND the grouping: undecodable payloads
+      // all carry ahash=0 and must never flag each other as dups
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        mmImageFeats(s, d)
+        val feats = mmImageFeats(s, d)
+        val mins = feats.groupBy("decode_ok", "ahash")
+          .agg(min("media_id").as("__min_id"))
+        feats.join(broadcast(mins), Seq("decode_ok", "ahash"))
           .select(col("media_id"), col("ahash"),
-            when(col("decode_ok") && col("media_id") =!= min("media_id")
-              .over(Window.partitionBy("decode_ok", "ahash")), 1)
+            when(col("decode_ok") && col("media_id") =!= col("__min_id"), 1)
               .otherwise(0).as("is_dup"))
           .orderBy("media_id")
       },
@@ -1383,13 +1392,16 @@ object Catalog {
       // arithmetic (renderMedia plants variant = doc_id % 50; the spec
       // proves same-variant renders hash identically and distinct
       // variants don't collide) — so the t2 gate verifies the actual
-      // codec round-trip recovered the planted perceptual structure
+      // codec round-trip recovered the planted perceptual structure.
+      // Same agg+broadcast shape as mm_image_neardup (no full-corpus
+      // window exchange).
       (s, d) => {
-        import org.apache.spark.sql.expressions.Window
-        mmImageFeats(s, d)
+        val feats = mmImageFeats(s, d)
+        val mins = feats.groupBy("decode_ok", "ahash")
+          .agg(min("media_id").as("__min_id"))
+        feats.join(broadcast(mins), Seq("decode_ok", "ahash"))
           .select(col("media_id"),
-            when(col("decode_ok") && col("media_id") =!= min("media_id")
-              .over(Window.partitionBy("decode_ok", "ahash")), 1)
+            when(col("decode_ok") && col("media_id") =!= col("__min_id"), 1)
               .otherwise(0).as("is_dup"))
           .orderBy("media_id")
       },

@@ -105,6 +105,41 @@ class StreamVecDupSpec extends AnyFunSuite {
       s"probe read ${recordsRead.get()} rows — index not bucket-pruned")
   }
 
+  test("pruned probe holds at production prefix fan-out (4096)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val st = java.nio.file.Files.createTempDirectory("graft_svd5").toString
+    // same corpus shape as the 256-prefix test, seeded at the O(10^4)
+    // fan-out production wants (StreamNearDup.Params scaladoc): the
+    // pruning contract must not be an artifact of the small default
+    val p = StreamVecDup.Params(indexPrefixes = 4096)
+    val seed = spark.range(1, 4001).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(63)), j =>
+        ((pmod(xxhash64(col("id"), j), lit(2001L)) - lit(1000L)).cast("double") / 1000.0)
+          .cast("float")).as("embedding"))
+    StreamVecDup.seedCorpus(seed, st, p)
+    assert(spark.read.parquet(s"$st/index").count() == 32000L)
+    // trigger-sized batch: 2 vecs × 8 bands = ≤16 of 4096 prefixes →
+    // the probe may open ≤ 16/4096 ≈ 0.4% of the index (~125 rows)
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        recordsRead.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      StreamVecDup.processBatch(
+        Seq(9000L -> e(0), 9001L -> e(33)).toDF("vec_id", "embedding"), st, 1L)
+      Thread.sleep(1000) // drain queued listener events
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // budget: 2×4000 corpus-vec rows (candidate vector-fetch join sides)
+    // + ≤16/4096 of the 32000-row index + batch re-reads. At 4096
+    // prefixes the index contribution is ~125 rows, so the bound is
+    // dominated by the corpus-vec fetch — an unpruned probe would add
+    // the full 32000-row index scan and blow straight past it.
+    assert(recordsRead.get() < 12000,
+      s"probe read ${recordsRead.get()} rows — index not prefix-pruned at 4096")
+  }
+
   test("file-stream wiring: a streamed batch is gated against the seeded corpus") {
     val st = java.nio.file.Files.createTempDirectory("graft_svd2").toString
     val in = java.nio.file.Files.createTempDirectory("graft_svd_in").toString
