@@ -20,12 +20,115 @@ private[stream] object IngestState {
   /** Write one batch's index rows under `dir` partitioned by bucket
     * prefix. The repartition on `pb` routes each prefix to exactly one
     * task, so the layout lands as ~one file per touched prefix instead
-    * of tasks × prefixes small files.
+    * of tasks × prefixes small files. This is the layout for the SEED
+    * (and compacted) index — the big read side that directory pruning
+    * must bite on.
     */
   def writeIndex(idx: DataFrame, dir: String, prefixes: Int, pbCols: Seq[Column]): Unit =
     withPb(idx, prefixes, pbCols)
       .repartition(col("pb"))
       .write.mode(SaveMode.Overwrite).partitionBy("pb").parquet(dir)
+
+  /** Write a TRIGGER-SIZED batch's index rows as ONE flat file, `pb` as
+    * a data column. The partitioned layout is wrong for small deltas: a
+    * batch of ~1k docs touches most of an O(10^4) prefix space, so
+    * `partitionBy(pb)` lands thousands of tiny files per batch and every
+    * subsequent probe pays thousands of file opens — measured 69 s and
+    * 9M rows read per 800-vector batch at the 4× corpus. One flat
+    * delta-sized file costs nothing to write and nothing to scan (recent
+    * flat batches are small BY CONSTRUCTION; [[compactIndex]] folds them
+    * into the partitioned layout before they accumulate).
+    */
+  def writeIndexFlat(idx: DataFrame, dir: String, prefixes: Int,
+                     pbCols: Seq[Column]): Unit =
+    withPb(idx, prefixes, pbCols)
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(dir)
+
+  /** The accumulated index restricted to `pbs` bucket prefixes and to
+    * batches BELOW `maxBatchExclusive`, reading each batch directory by
+    * its own layout: pb-partitioned dirs (seed, compacted) are
+    * DIRECTORY-pruned to the prefix set; flat delta dirs are row-filtered
+    * on the `pb` data column (they are trigger-bounded small). The two
+    * layouts cannot be read in one `spark.read.parquet(root)` pass —
+    * partition discovery rejects mixed depths — and per-dir reads are
+    * exactly what keeps the prune local to each layout.
+    */
+  def readIndexPruned(spark: SparkSession, root: String, template: DataFrame,
+                      maxBatchExclusive: Long, pbs: Seq[Int]): DataFrame = {
+    val outCols = template.columns.filterNot(_ == "pb").map(col(_))
+    val empty = template.limit(0).select(outCols: _*)
+    if (pbs.isEmpty) return empty
+    val dirs = listBatchDirs(spark, root).filter(_._2 < maxBatchExclusive)
+    if (dirs.isEmpty) empty
+    else dirs.map { case (p, _) =>
+      spark.read.parquet(p.toString)
+        .where(col("pb").isin(pbs: _*))
+        .select(outCols: _*)
+    }.reduce(_ unionByName _)
+  }
+
+  private def listBatchDirs(spark: SparkSession,
+                            root: String): Seq[(org.apache.hadoop.fs.Path, Long)] = {
+    val path = new org.apache.hadoop.fs.Path(root)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) Seq.empty
+    else fs.listStatus(path).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .flatMap(st => st.getPath.getName.drop("batch=".length).toLongOption
+        .map(v => st.getPath -> v))
+  }
+
+  /** Fold every index batch BELOW `uptoExclusive` (the flat deltas plus
+    * the current partitioned seed) into ONE pb-partitioned `batch=0` —
+    * the LSM compaction that keeps the per-probe flat-file scan bounded
+    * no matter how many trigger batches have been absorbed.
+    *
+    * SAFETY CONTRACT: `uptoExclusive` must not exceed the highest
+    * version the stream checkpoint has durably COMMITTED. A foreachBatch
+    * crash replays only the last uncommitted batch; compacting a version
+    * that could still replay would put its own rows in the corpus it
+    * probes against (the corpus/delta disjointness both gates rely on).
+    *
+    * Crash discipline mirrors `Pipeline.compactChangelog`: staging is
+    * written complete first, sources move into a dot-prefixed aside
+    * (`batch=0` last), staging renames in, aside is deleted; recovery at
+    * the next call either finishes the cleanup or restores the aside.
+    * Like changelog compaction this is an OFFLINE maintenance op — a
+    * probe racing the swap could transiently miss index rows.
+    */
+  def compactIndex(spark: SparkSession, root: String, uptoExclusive: Long): Unit = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val aside = new org.apache.hadoop.fs.Path(root, ".compact_aside")
+    val staging = new org.apache.hadoop.fs.Path(root, ".compact_staging")
+    if (fs.exists(aside)) {
+      val swapLanded = fs.exists(new org.apache.hadoop.fs.Path(root, "batch=0")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(aside, "batch=0"))
+      if (swapLanded) fs.delete(aside, true)
+      else { // restore: the swap never landed
+        fs.listStatus(aside).foreach { st =>
+          if (st.getPath.getName.startsWith("batch="))
+            fs.rename(st.getPath, new org.apache.hadoop.fs.Path(root, st.getPath.getName))
+        }
+        fs.delete(aside, true)
+        fs.delete(staging, true)
+      }
+    }
+    val dirs = listBatchDirs(spark, root).filter(_._2 < uptoExclusive)
+    if (dirs.size < 2) return // nothing to fold
+    val all = dirs.map { case (p, _) => spark.read.parquet(p.toString) }
+      .reduce(_ unionByName _)
+    all.repartition(col("pb"))
+      .write.mode(SaveMode.Overwrite).partitionBy("pb").parquet(staging.toString)
+    fs.mkdirs(aside)
+    // batch=0 moves aside LAST so recovery can distinguish swap-landed
+    dirs.sortBy { case (_, v) => if (v == 0) Long.MaxValue else v }.foreach {
+      case (p, _) => fs.rename(p, new org.apache.hadoop.fs.Path(aside, p.getName))
+    }
+    fs.rename(staging, new org.apache.hadoop.fs.Path(root, "batch=0"))
+    fs.delete(aside, true)
+  }
 
   /** Read a `batch=N`-partitioned state dir restricted to partitions
     * BELOW `maxBatchExclusive`, or an empty frame shaped like `template`

@@ -115,22 +115,24 @@ object StreamNearDup {
     val corpusDocs = readOrEmpty(spark, s"$stateDir/docs",
         batch.select(col(p.idCol), col(p.textCol)), version)
       .select(col(p.idCol), col(p.textCol))
-    // sketch the batch exactly once, straight into its index partition,
-    // and probe with the materialized rows read back
-    writeIndex(Dedup.lshIndex(batch, p.idCol, p.textCol, p.shingleN, p.k, p.bands),
-      s"$stateDir/index/batch=$version", p)
+    // sketch the batch exactly once, straight into ONE flat delta file
+    // (pb as a data column — the partitioned layout is for the big
+    // seed/compacted side only; see IngestState.writeIndexFlat), and
+    // probe with the materialized rows read back
+    IngestState.writeIndexFlat(
+      Dedup.lshIndex(batch, p.idCol, p.textCol, p.shingleN, p.k, p.bands),
+      s"$stateDir/index/batch=$version", p.indexPrefixes, pbCols)
     val deltaIdx = spark.read.parquet(s"$stateDir/index/batch=$version")
     // the delta's bucket-prefix footprint: ≤ indexPrefixes distinct small
-    // ints (bounded by construction, NOT by data volume), read from the
-    // just-written partition directory names. It prunes the corpus-index
-    // read below at directory level — only `pb` partitions the delta can
-    // possibly collide with are listed, opened, or decoded.
+    // ints (bounded by construction, NOT by data volume). It prunes the
+    // corpus-index read below — at DIRECTORY level for the partitioned
+    // seed/compacted dirs, by row filter for the (small) flat deltas.
     val deltaPbs = deltaIdx.select("pb").distinct().collect().map(_.getInt(0)).toSeq
     val idxTemplate = IngestState.withPb(
       Dedup.lshIndex(batch.limit(0), p.idCol, p.textCol, p.shingleN, p.k, p.bands),
       p.indexPrefixes, pbCols)
-    val corpusIdx = readOrEmpty(spark, s"$stateDir/index", idxTemplate, version)
-      .where(if (deltaPbs.isEmpty) lit(false) else col("pb").isin(deltaPbs: _*))
+    val corpusIdx = IngestState.readIndexPruned(spark, s"$stateDir/index",
+        idxTemplate, version, deltaPbs)
       .select(col("id"), col("bucket"))
     Dedup.incrementalVerifiedPairs(corpusIdx, corpusDocs, batch,
         p.idCol, p.textCol, p.threshold, p.shingleN, p.k, p.bands,
@@ -147,6 +149,15 @@ object StreamNearDup {
   def pairs(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(s"$stateDir/pairs")
       .withColumnRenamed("batch", "ingest_version")
+
+  /** Fold the flat delta indexes of every batch below `uptoExclusive`
+    * into the pb-partitioned seed layout. Run on a maintenance cadence;
+    * `uptoExclusive` must not exceed the stream checkpoint's last
+    * COMMITTED version (see [[IngestState.compactIndex]] for the replay
+    * argument).
+    */
+  def compactIndex(spark: SparkSession, stateDir: String, uptoExclusive: Long): Unit =
+    IngestState.compactIndex(spark, s"$stateDir/index", uptoExclusive)
 
   /** Wire [[processBatch]] to a file-source stream and drain it
     * synchronously (tests / bounded backfills; production swaps the

@@ -86,15 +86,20 @@ object StreamVecDup {
     val corpusVecs = readOrEmpty(spark, s"$stateDir/vecs",
         batch.select(col(p.idCol), col(p.vecCol)), version)
       .select(col(p.idCol), col(p.vecCol))
-    writeIndex(Dedup.embeddingIndex(batch, p.idCol, p.vecCol, p.planes, p.bands),
-      s"$stateDir/index/batch=$version", p)
+    // trigger-sized delta: ONE flat index file (pb as data column) — the
+    // partitioned layout is for the seed/compacted corpus side only (a
+    // small batch touching most prefixes would land thousands of tiny
+    // files; see IngestState.writeIndexFlat)
+    IngestState.writeIndexFlat(
+      Dedup.embeddingIndex(batch, p.idCol, p.vecCol, p.planes, p.bands),
+      s"$stateDir/index/batch=$version", p.indexPrefixes, pbCols)
     val deltaIdx = spark.read.parquet(s"$stateDir/index/batch=$version")
     val deltaPbs = deltaIdx.select("pb").distinct().collect().map(_.getInt(0)).toSeq
     val idxTemplate = IngestState.withPb(
       Dedup.embeddingIndex(batch.limit(0), p.idCol, p.vecCol, p.planes, p.bands),
       p.indexPrefixes, pbCols)
-    val corpusIdx = readOrEmpty(spark, s"$stateDir/index", idxTemplate, version)
-      .where(if (deltaPbs.isEmpty) lit(false) else col("pb").isin(deltaPbs: _*))
+    val corpusIdx = IngestState.readIndexPruned(spark, s"$stateDir/index",
+        idxTemplate, version, deltaPbs)
       .select(col("id"), col("band"), col("bucket"))
     Dedup.incrementalEmbeddingPairs(corpusIdx, corpusVecs, batch,
         p.idCol, p.vecCol, p.threshold, p.planes, p.bands,
@@ -109,6 +114,15 @@ object StreamVecDup {
   def pairs(spark: SparkSession, stateDir: String): DataFrame =
     spark.read.parquet(s"$stateDir/pairs")
       .withColumnRenamed("batch", "ingest_version")
+
+  /** Fold the flat delta indexes of every batch below `uptoExclusive`
+    * into the pb-partitioned seed layout. Run on a maintenance cadence;
+    * `uptoExclusive` must not exceed the stream checkpoint's last
+    * COMMITTED version (see [[IngestState.compactIndex]] for the replay
+    * argument).
+    */
+  def compactIndex(spark: SparkSession, stateDir: String, uptoExclusive: Long): Unit =
+    IngestState.compactIndex(spark, s"$stateDir/index", uptoExclusive)
 
   /** Wire [[processBatch]] to a file-source stream and drain it
     * synchronously (tests / bounded backfills; production swaps the

@@ -47,20 +47,41 @@ object VecGateProbe {
       override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
         recordsRead.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
     }
-    for (b <- 0 until nBatches) {
-      val batch = embs.filter(pmod(col("vec_id"), lit(1000)) === b)
+    def runBatch(b: Int, version: Long, label: String): Unit = {
+      // stage the batch to its own parquet first, the way a stream
+      // source delivers it: processBatch consumes the batch frame three
+      // times (sketch, verify, absorb), and an unpersisted filter over
+      // the whole corpus would re-scan 800k rows per consumer — a
+      // harness artifact that measured as 50+ s/batch
+      val stagedDir = s"$st/.batch_staging/$b"
+      embs.filter(pmod(col("vec_id"), lit(1000)) === b)
+        .write.mode("overwrite").parquet(stagedDir)
+      val batch = spark.read.parquet(stagedDir)
       val bn = batch.count()
       recordsRead.set(0)
       spark.sparkContext.addSparkListener(listener)
       val t1 = System.nanoTime()
       try {
-        graft.stream.StreamVecDup.processBatch(batch, st, b + 1L, p)
+        graft.stream.StreamVecDup.processBatch(batch, st, version, p)
         Thread.sleep(1000) // drain queued listener events
       } finally spark.sparkContext.removeSparkListener(listener)
       val wall = (System.nanoTime() - t1) / 1e9
-      println(f"[vecgate] batch=$b n=$bn%-7d $wall%8.1f s  rows_read=${recordsRead.get()}%,d")
+      println(f"[vecgate] $label%-14s n=$bn%-7d $wall%8.1f s  rows_read=${recordsRead.get()}%,d")
     }
-    val idx = spark.read.parquet(s"$st/index").count()
+    for (b <- 0 until nBatches) runBatch(b, b + 1L, s"batch=$b")
+    // maintenance cadence: fold the flat deltas into the partitioned
+    // seed (all versions here are committed — synchronous drain), then
+    // prove the post-compaction probe is as delta-bounded as before
+    val tC = System.nanoTime()
+    graft.stream.StreamVecDup.compactIndex(spark, st, nBatches + 1L)
+    println(f"[vecgate] compact     ${(System.nanoTime() - tC) / 1e9}%8.1f s")
+    runBatch(nBatches, nBatches + 1L, s"post-compact")
+    // mixed layouts (flat deltas + partitioned seed) cannot be counted in
+    // one parquet read — sum per batch dir
+    val rootP = new org.apache.hadoop.fs.Path(s"$st/index")
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val idx = fs.listStatus(rootP).filter(_.getPath.getName.startsWith("batch="))
+      .map(d => spark.read.parquet(d.getPath.toString).count()).sum
     println(s"[vecgate] final index rows=$idx")
     spark.stop()
   }

@@ -105,6 +105,30 @@ class StreamVecDupSpec extends AnyFunSuite {
       s"probe read ${recordsRead.get()} rows — index not bucket-pruned")
   }
 
+  test("index compaction folds flat deltas; later batches still gate against everything") {
+    val st = java.nio.file.Files.createTempDirectory("graft_svd6").toString
+    StreamVecDup.seedCorpus(
+      Seq(1L -> e(0), 2L -> e(1)).toDF("vec_id", "embedding"), st)
+    StreamVecDup.processBatch(
+      Seq(10L -> near(0), 11L -> e(2)).toDF("vec_id", "embedding"), st, 1L)
+    StreamVecDup.processBatch(
+      Seq(20L -> e(3)).toDF("vec_id", "embedding"), st, 2L)
+    // both absorbed versions are durably processed (synchronous drain):
+    // folding batches 0-2 into one pb-partitioned batch=0 is safe
+    StreamVecDup.compactIndex(spark, st, 3L)
+    val dirs = new java.io.File(s"$st/index").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(dirs == Set("batch=0"), s"compaction left $dirs")
+    // the next batch is gated against the WHOLE folded corpus: a dup of
+    // the seed (e1), of pre-compaction batch 1 (e2), and of batch 2 (e3)
+    StreamVecDup.processBatch(
+      Seq(30L -> near(1), 31L -> near(2), 32L -> near(3))
+        .toDF("vec_id", "embedding"), st, 3L)
+    val got = StreamVecDup.pairs(spark, st)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 30L), (11L, 31L), (20L, 32L)), s"got $got")
+  }
+
   test("pruned probe holds at production prefix fan-out (4096)") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     val st = java.nio.file.Files.createTempDirectory("graft_svd5").toString
