@@ -63,6 +63,34 @@ object Packing {
         col("seq_first"), col("seq_last"))
   }
 
+  /** Global 1-based rank over a total order WITHOUT an unpartitioned
+    * window (which would serialize the corpus through one task): the
+    * same two-phase prefix scan as [[packSequences]] with n = 1 per row
+    * — range-partition on the order key, one row count per partition to
+    * the driver, cumulated start offsets broadcast back, per-partition
+    * `row_number` in parallel. `orderCols` must totally order the rows
+    * (include a unique tiebreaker) or ranks are nondeterministic.
+    * Output: the input columns plus `rank`.
+    */
+  def distributedRank(df: DataFrame, orderCols: Seq[org.apache.spark.sql.Column])
+      : DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val parted = df.repartitionByRange(orderCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      // freeze the sampled range boundaries between the two passes
+      .localCheckpoint(true)
+    val counts = parted.groupBy("__pid").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }
+    val offDf = broadcast(offsets.toSeq.toDF("__pid", "__off"))
+    val w = Window.partitionBy("__pid").orderBy(orderCols: _*)
+    parted.join(offDf, "__pid")
+      .withColumn("rank", row_number().over(w).cast("long") + col("__off"))
+      .drop("__pid", "__off")
+  }
+
   /** No-split bin packing, first-fit-decreasing per partition.
     *
     * True FFD is inherently sequential; the distributed shape every

@@ -456,6 +456,75 @@ object Catalog {
              |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
              |ORDER BY doc_id""".stripMargin)),
 
+    Entry("sample_temperature",
+      // temperature-based source mixing (T5/Pile style): per-language
+      // sampling rate ∝ share^(α-1) with α = 0.5, i.e. rate_l =
+      // min(1, (n_l / max_share_count)^(α-1) scaled so the LARGEST
+      // source keeps rate 1·base and smaller sources are UP-weighted
+      // toward uniform. Computed in two map-side passes: a tiny
+      // per-language count aggregate broadcast back, then the same
+      // deterministic md5-threshold predicate as sample_hash — no rand,
+      // reproducible on any engine, and the mixing weights derive from
+      // the DATA, not a hardcoded table. Base rate 0.5 keeps the
+      // expected sample about half the corpus, rebalanced.
+      (s, d) => {
+        val base = 0.5
+        val counts = docs(s, d).groupBy("lang").agg(count(lit(1)).as("n_l"))
+        val maxN = counts.agg(max("n_l")).first().getLong(0).toDouble
+        val rated = counts.withColumn("rate",
+          least(lit(1.0), lit(base) * sqrt(lit(maxN) / col("n_l"))))
+        val hx = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 4)
+        val hv = conv(hx, 16, 10).cast("long") // 0..65535
+        // floor, explicitly, on BOTH engines: Spark's double→long cast
+        // truncates, DuckDB's rounds — an implicit cast here flips
+        // boundary rows between the two
+        docs(s, d).join(broadcast(rated), Seq("lang"))
+          .filter(hv < floor(col("rate") * 65536).cast("long"))
+          .select(col("doc_id"), col("lang"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH c AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1),
+             |m AS (SELECT max(n_l) AS mx FROM c),
+             |r AS (SELECT lang, least(1.0, 0.5 * sqrt(CAST(mx AS DOUBLE) / n_l)) AS rate
+             |      FROM c, m)
+             |SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang)
+             |WHERE CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT)
+             |      < CAST(floor(r.rate * 65536) AS BIGINT)
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    Entry("corpus_shuffle_shard",
+      // training-order shuffle + shard assignment: a deterministic
+      // pseudo-random permutation (rank by md5 of the id — reproducible
+      // across engines, unlike engine-internal hashes) and the shard
+      // each doc lands in when the shuffled order is split into 8 equal
+      // output files. This is the last step of corpus prep — training
+      // never consumes documents in ingest order. The rank comes from
+      // Packing.distributedRank (two-phase prefix scan), NEVER a global
+      // row_number window: an unpartitioned window serializes the whole
+      // corpus through one task — the exact anti-pattern pack_sequences
+      // exists to avoid. floor() on both engines (Spark cast truncates,
+      // DuckDB's rounds).
+      (s, d) => {
+        val n = docs(s, d).count()
+        val nShards = 8
+        val key = md5(col("doc_id").cast("string").cast("binary"))
+        Packing.distributedRank(
+            docs(s, d).select(col("doc_id"), key.as("__k")),
+            Seq(col("__k"), col("doc_id")))
+          .select(col("doc_id"), col("rank"),
+            floor(((col("rank") - 1) * nShards) / lit(n.toDouble)).cast("long")
+              .as("shard"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH n AS (SELECT count(*) AS cnt FROM documents),
+             |r AS (SELECT doc_id,
+             |      CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+             |           AS BIGINT) AS rank
+             |      FROM documents)
+             |SELECT doc_id, rank,
+             |  CAST(floor(((rank - 1) * 8.0) / cnt) AS BIGINT) AS shard
+             |FROM r, n ORDER BY doc_id""".stripMargin)),
+
     Entry("profile_columns",
       (s, d) => { // schema-driven data profiling: the stat list is
         // derived from the discovered schema (table.py:66-93 pattern).

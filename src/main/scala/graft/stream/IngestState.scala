@@ -29,20 +29,27 @@ private[stream] object IngestState {
       .repartition(col("pb"))
       .write.mode(SaveMode.Overwrite).partitionBy("pb").parquet(dir)
 
-  /** Write a TRIGGER-SIZED batch's index rows as ONE flat file, `pb` as
-    * a data column. The partitioned layout is wrong for small deltas: a
-    * batch of ~1k docs touches most of an O(10^4) prefix space, so
+  /** Write a delta batch's index rows FLAT — no `pb` directories, `pb`
+    * as a data column. The partitioned layout is wrong for small deltas:
+    * a batch of ~1k docs touches most of an O(10^4) prefix space, so
     * `partitionBy(pb)` lands thousands of tiny files per batch and every
     * subsequent probe pays thousands of file opens — measured 69 s and
-    * 9M rows read per 800-vector batch at the 4× corpus. One flat
-    * delta-sized file costs nothing to write and nothing to scan (recent
-    * flat batches are small BY CONSTRUCTION; [[compactIndex]] folds them
-    * into the partitioned layout before they accumulate).
+    * 9M rows read per 800-vector batch at the 4× corpus.
+    *
+    * Parallelism follows the BATCH: no repartition/coalesce, so a
+    * trigger-sized batch (one or two source tasks) lands one or two
+    * files, while a wave-sized backfill sketches and writes with full
+    * task parallelism — an explicit `coalesce(1)` here once serialized a
+    * 167k-doc wave's entire sketch through one thread (58 s where the
+    * r5 layout took 17 s). Flat files are scanned, not dir-pruned, which
+    * is the right trade both ways: trigger deltas are small by
+    * construction, and wave-sized deltas cover every prefix anyway.
+    * [[compactIndex]] folds accumulated flat batches into the
+    * partitioned layout before the scan cost compounds.
     */
   def writeIndexFlat(idx: DataFrame, dir: String, prefixes: Int,
                      pbCols: Seq[Column]): Unit =
     withPb(idx, prefixes, pbCols)
-      .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(dir)
 
   /** The accumulated index restricted to `pbs` bucket prefixes and to

@@ -96,6 +96,22 @@ class PackingSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("distributedRank equals the one-task global window over a hash order") {
+    val docs = Tables.load(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"),
+        md5(col("doc_id").cast("string").cast("binary")).as("__k"))
+    val got = Packing.distributedRank(docs, Seq(col("__k"), col("doc_id")))
+      .select("doc_id", "rank")
+    val w = org.apache.spark.sql.expressions.Window.orderBy("__k", "doc_id")
+    val ref = docs.withColumn("rank", row_number().over(w).cast("long"))
+      .select("doc_id", "rank")
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty)
+    // ranks are a permutation of 1..n
+    val n = docs.count()
+    assert(got.agg(min("rank"), max("rank"), countDistinct("rank")).first()
+      .toSeq == Seq(1L, n, n))
+  }
+
   test("packBinsFFD: every doc in exactly one bin, budgets hold, count near optimal") {
     val docs = Tables.load(spark, TestSpark.Sf, "documents")
       .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
