@@ -171,6 +171,29 @@ object Catalog {
       Multimodal.imageFeatures(ss, mmImageMedia(ss, dd)).toDF()
     }
 
+  /** Memoized MIXED media corpus (PNG / WAV / MJPEG-AVI by `doc_id % 3`)
+    * for the magic-dispatch decode query — same scratch-parquet
+    * materialization rationale as [[mmImageMedia]]: synthesis is fixture
+    * creation, decode reads a binary column off parquet like production.
+    */
+  private val mmMixedCache = new ValueCache[String]("documents.parquet")(
+    identity, _ => ())
+
+  private def mmMixedMedia(s: SparkSession, d: String): DataFrame = {
+    val path = mmMixedCache.get(s, d) { (ss, dd) =>
+      val p = scratchDir("mm_mixed_media", dd)
+      val ids = docs(ss, dd)
+      Multimodal.renderMedia(ss, ids.filter(col("doc_id") % 3 === 0), "doc_id")
+        .unionByName(Multimodal.renderAudioMedia(ss,
+          ids.filter(col("doc_id") % 3 === 1), "doc_id"))
+        .unionByName(Multimodal.renderVideoMedia(ss,
+          ids.filter(col("doc_id") % 3 === 2), "doc_id"))
+        .write.mode("overwrite").parquet(p)
+      p
+    }
+    s.read.parquet(path)
+  }
+
   /** Memoized REAL video frame features (MJPEG-AVI demux + per-frame
     * JPEG decode of the synthetic per-doc video corpus): rendered +
     * decoded once per (session, dir), shared by `mm_frame_sample` and
@@ -1853,17 +1876,11 @@ object Catalog {
       // are pure variant arithmetic, so the t2 gate proves all three
       // codec round-trips AND the dispatch itself (the perceptual
       // feature column is engine-internal and excluded).
-      (s, d) => {
-        val ids = docs(s, d)
-        val media = Multimodal.renderMedia(s, ids.filter(col("doc_id") % 3 === 0), "doc_id")
-          .unionByName(Multimodal.renderAudioMedia(s, ids.filter(col("doc_id") % 3 === 1), "doc_id"))
-          .unionByName(Multimodal.renderVideoMedia(s, ids.filter(col("doc_id") % 3 === 2), "doc_id"))
-        Multimodal.decodeFeatures(s, media).toDF()
-          .select(col("media_id"), col("kind"),
-            col("decode_ok").cast("int").as("decode_ok"),
-            col("width"), col("height"), col("n_frames"))
-          .orderBy("media_id")
-      },
+      (s, d) => Multimodal.decodeFeatures(s, mmMixedMedia(s, d)).toDF()
+        .select(col("media_id"), col("kind"),
+          col("decode_ok").cast("int").as("decode_ok"),
+          col("width"), col("height"), col("n_frames"))
+        .orderBy("media_id"),
       Some("""SELECT doc_id AS media_id,
              | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
              | CAST(1 AS INTEGER) AS decode_ok,
