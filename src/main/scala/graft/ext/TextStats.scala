@@ -130,4 +130,28 @@ object TextStats {
   def cleanText(text: Column): Column =
     trim(regexp_replace(regexp_replace(regexp_replace(text,
       EmailPattern, "<EMAIL>"), UrlPattern, "<URL>"), "\\s+", " "))
+
+  /** PII scrub beyond the C4 email/URL pass: US-shaped SSNs (3-2-4),
+    * dashed phone numbers (3-3-4), dotted-quad IPv4. Patterns stay in the
+    * Java∩RE2 common subset (`\b`, character classes, bounded repeats —
+    * no lookaround) so the DuckDB oracle replays them verbatim. Scrub
+    * order matters: SSN before phone (both are dashed digit runs; the
+    * digit-group shapes are disjoint, but masking the more specific
+    * pattern first keeps the composition order-insensitive if either
+    * pattern is ever widened).
+    */
+  val SsnPattern = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+  val PhonePattern = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val Ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  def scrubPii(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      SsnPattern, "<SSN>"), PhonePattern, "<PHONE>"), Ipv4Pattern, "<IP>")
+
+  /** Per-kind PII hit counts (the audit side of the scrub: a corpus
+    * pipeline reports how much it redacted). Map-side `regexp_count`.
+    */
+  def piiCounts(text: Column): (Column, Column, Column) =
+    (regexp_count(text, lit(SsnPattern)),
+     regexp_count(text, lit(PhonePattern)),
+     regexp_count(text, lit(Ipv4Pattern)))
 }

@@ -1624,6 +1624,55 @@ object Catalog {
              |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk FROM c)
              |SELECT qid, vid, cosim, rk FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin)),
 
+    Entry("sim_decontaminate",
+      // SEMANTIC benchmark decontamination — the embedding twin of
+      // text_contamination's n-gram gate: for every corpus vector, the
+      // nearest held-out benchmark vector (vec_id % 97 == 0, matching the
+      // text gate's held-out convention) and a contaminated flag at
+      // cosine ≥ 0.35 (picked against the fixture's similarity
+      // distribution: ~2% of docs flag, so both branches are exercised).
+      // Scale shape: benchmark side broadcast AND bounded — a benchmark
+      // suite is fixed-size, never a fraction of the corpus, so the
+      // held-out set is pinned to the base replica (vec_id < IdStride;
+      // a % 97 alone would grow with the corpus and turn the sweep
+      // quadratic). Dot products run in the codegen'd FloatArrayDot
+      // kernel map-side, and the per-doc argmax is a partial-aggregable
+      // max(struct(cos, -bid)) — one shuffle of one small struct per
+      // corpus row, no window, at any corpus size.
+      (s, d) => {
+        import graft.functions.vectors
+        val e = embs(s, d)
+        val bench = broadcast(e.filter(col("vec_id") % 97 === 0 &&
+            col("vec_id") < ScaledFixtures.IdStride)
+          .select(col("vec_id").as("bid"), col("embedding").as("bv"),
+            vectors.float_norm(col("embedding")).as("bn")))
+        val scored = e.join(bench, col("vec_id") =!= col("bid"))
+          .withColumn("cos", vectors.float_dot(col("embedding"), col("bv")) /
+            (vectors.float_norm(col("embedding")) * col("bn")))
+        // ties on cos break toward the SMALLEST bid (mirrors the oracle's
+        // ORDER BY cos DESC, bid): max of (cos, -bid) is lexicographic
+        scored.groupBy("vec_id")
+          .agg(max(struct(col("cos").as("cos"), (-col("bid")).as("nb"))).as("m"))
+          .select(col("vec_id"), (-col("m.nb")).cast("long").as("bench_id"),
+            round(col("m.cos"), 4).as("cosim"),
+            (col("m.cos") >= 0.35).cast("int").as("contaminated"))
+          .orderBy("vec_id")
+      },
+      Some("""WITH e AS (SELECT vec_id, unnest(embedding) AS x,
+             |            unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+             |n AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM e GROUP BY 1),
+             |q AS (SELECT vec_id AS bid, x AS qx, i FROM e
+             |      WHERE vec_id % 97 = 0 AND vec_id < 10000000),
+             |dot AS (SELECT e.vec_id, q.bid, sum(e.x * q.qx) AS dp
+             |        FROM e JOIN q ON e.i = q.i WHERE e.vec_id <> q.bid GROUP BY 1, 2),
+             |c AS (SELECT dot.vec_id, bid, dp / (nv.nrm * nb.nrm) AS cos
+             |      FROM dot JOIN n nv ON nv.vec_id = dot.vec_id JOIN n nb ON nb.vec_id = dot.bid),
+             |r AS (SELECT vec_id, bid, cos,
+             |      row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, bid) AS rk FROM c)
+             |SELECT vec_id, bid AS bench_id, round(cos, 4) AS cosim,
+             | CAST(cos >= 0.35 AS INTEGER) AS contaminated
+             |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin)),
+
     Entry("sim_ann_lsh",
       (s, d) => simAnnLsh5(s, d)
         .withColumn("rk", col("rk").cast("long"))
@@ -1867,6 +1916,119 @@ object Catalog {
               |   '${TextStats.EmailPattern}', '<EMAIL>', 'g'),
               |   '${TextStats.UrlPattern}', '<URL>', 'g'), '\\s+', ' ', 'g')) AS clean_text
               |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    Entry("text_pii_scrub",
+      // PII redaction (the pass a corpus pipeline runs AFTER the C4
+      // scrub): SSN / dashed-phone / IPv4 masking plus per-kind audit
+      // counts. The fixture text carries no PII, so each doc gets a
+      // deterministic planted triple derived from doc_id — IDENTICAL
+      // arithmetic on both engines — making the oracle gate the regex
+      // semantics AND the redaction, not just plumbing. Map-side only:
+      // three codegen'd regexp_replace + three regexp_count, no shuffle.
+      (s, d) => {
+        val did = col("doc_id")
+        val planted = concat(col("text"),
+          lit(" ssn "), ((did % 900) + 100).cast("string"), lit("-"),
+          lpad((did % 100).cast("string"), 2, "0"), lit("-"),
+          lpad(((did * 3) % 10000).cast("string"), 4, "0"),
+          lit(" call "), ((did % 700) + 200).cast("string"), lit("-"),
+          lpad(((did * 7) % 1000).cast("string"), 3, "0"), lit("-"),
+          lpad((did % 10000).cast("string"), 4, "0"),
+          lit(" from 10."), (did % 256).cast("string"), lit("."),
+          ((did * 11) % 256).cast("string"), lit("."),
+          ((did % 254) + 1).cast("string"))
+        val (nSsn, nPhone, nIp) = TextStats.piiCounts(planted)
+        docs(s, d).select(col("doc_id"),
+          nSsn.cast("long").as("n_ssn"),
+          nPhone.cast("long").as("n_phone"),
+          nIp.cast("long").as("n_ip"),
+          TextStats.scrubPii(planted).as("scrubbed"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH p AS (SELECT doc_id,
+              |  text || ' ssn ' || CAST((doc_id % 900) + 100 AS VARCHAR) || '-' ||
+              |    lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || '-' ||
+              |    lpad(CAST((doc_id * 3) % 10000 AS VARCHAR), 4, '0') ||
+              |  ' call ' || CAST((doc_id % 700) + 200 AS VARCHAR) || '-' ||
+              |    lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') || '-' ||
+              |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+              |  ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+              |    CAST((doc_id * 11) % 256 AS VARCHAR) || '.' ||
+              |    CAST((doc_id % 254) + 1 AS VARCHAR) AS t
+              |  FROM documents)
+              |SELECT doc_id,
+              | CAST(len(regexp_extract_all(t, '${TextStats.SsnPattern}')) AS BIGINT) AS n_ssn,
+              | CAST(len(regexp_extract_all(t, '${TextStats.PhonePattern}')) AS BIGINT) AS n_phone,
+              | CAST(len(regexp_extract_all(t, '${TextStats.Ipv4Pattern}')) AS BIGINT) AS n_ip,
+              | regexp_replace(regexp_replace(regexp_replace(t,
+              |   '${TextStats.SsnPattern}', '<SSN>', 'g'),
+              |   '${TextStats.PhonePattern}', '<PHONE>', 'g'),
+              |   '${TextStats.Ipv4Pattern}', '<IP>', 'g') AS scrubbed
+              |FROM p ORDER BY doc_id""".stripMargin)),
+
+    Entry("text_oov_rate",
+      // vocabulary-coverage quality filter: fraction of each doc's tokens
+      // outside the corpus top-V vocabulary (V=24 against the fixture's
+      // 31-word vocabulary, so rates span 0..~0.4 and both in- and
+      // out-of-vocab branches are exercised). Two shuffles at any scale:
+      // word counts (Zipf-skewed, tamed by partial agg), then the
+      // per-doc agg; the vocabulary itself is top-k via TakeOrdered and
+      // broadcast — never a corpus-sized side.
+      (s, d) => {
+        val words = docs(s, d)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        val vocab = words.groupBy("word").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("word")).limit(24)
+          .select(col("word"), lit(1).as("iv"))
+        words.join(broadcast(vocab), Seq("word"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_tokens"),
+            sum(when(col("iv").isNull, 1).otherwise(0)).cast("long").as("n_oov"))
+          .withColumn("oov_rate",
+            round(col("n_oov").cast("double") / col("n_tokens"), 6))
+          .orderBy("doc_id")
+      },
+      Some("""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+             |v AS (SELECT word FROM (SELECT word, count(*) AS n FROM w
+             |                        GROUP BY 1 ORDER BY n DESC, word LIMIT 24)),
+             |a AS (SELECT w.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             |      CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+             |      FROM w LEFT JOIN v USING (word) GROUP BY 1)
+             |SELECT doc_id, n_tokens, n_oov,
+             | round(CAST(n_oov AS DOUBLE) / n_tokens, 6) AS oov_rate
+             |FROM a ORDER BY doc_id""".stripMargin)),
+
+    Entry("text_domains",
+      // domain-level corpus statistics (the input to domain allow/deny
+      // filtering): extract every URL's host, count mentions and distinct
+      // docs per domain. The fixture text carries no URLs, so each doc
+      // gets two planted ones (deterministic doc_id arithmetic, mirrored
+      // in the oracle) — the gate proves extraction + grouping, with a
+      // bounded 74-domain output. Extraction is a map-side
+      // regexp_extract_all capture group; one count-distinct shuffle.
+      (s, d) => {
+        val did = col("doc_id")
+        val planted = concat(col("text"),
+          lit(" see https://site"), (did % 37).cast("string"),
+          lit(".example.com/p/"), did.cast("string"),
+          lit(" and http://m"), ((did * 13) % 37).cast("string"),
+          lit(".example.org/x"))
+        docs(s, d)
+          .select(col("doc_id"),
+            explode(regexp_extract_all(planted, lit("https?://([^/ ]+)"), lit(1))).as("domain"))
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_urls"), countDistinct(col("doc_id")).as("n_docs"))
+          .orderBy("domain")
+      },
+      Some("""WITH p AS (SELECT doc_id,
+             |  text || ' see https://site' || CAST(doc_id % 37 AS VARCHAR) ||
+             |    '.example.com/p/' || CAST(doc_id AS VARCHAR) ||
+             |  ' and http://m' || CAST((doc_id * 13) % 37 AS VARCHAR) ||
+             |    '.example.org/x' AS t FROM documents),
+             |u AS (SELECT doc_id, unnest(regexp_extract_all(t, 'https?://([^/ ]+)', 1)) AS domain FROM p)
+             |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+             | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+             |FROM u GROUP BY domain ORDER BY domain""".stripMargin)),
 
     // ----- §7.5 multimodal magic-byte dispatch (REAL codecs, oracled)
     Entry("mm_decode_features",

@@ -84,4 +84,33 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.getDouble(1))
     assert(recalls.forall(_ == 1.0), recalls.mkString(","))
   }
+
+  test("sim_decontaminate: nearest benchmark per doc, self-excluded, flag matches threshold") {
+    val df = graft.queries.Catalog.queries("sim_decontaminate")(spark, TestSpark.Sf)
+    // scale shape: the benchmark side must broadcast — never a shuffle
+    // proportional to the corpus on the small side
+    assert(df.queryExecution.executedPlan.toString.contains("Broadcast"),
+      "benchmark side of the decontamination sweep must broadcast")
+    val got = df.collect()
+    val e = graft.core.Tables.load(spark, TestSpark.Sf, "embeddings")
+      .select("vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val bench = e.keys.filter(id => id % 97 == 0 && id < 10000000L).toSeq.sorted
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    assert(got.length == e.size, "one row per corpus vector, benchmark vectors included")
+    got.foreach { r =>
+      val (vid, bid, cs, fl) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))
+      assert(bid != vid, s"self-match leaked for $vid")
+      val (bestCos, bestBid) = bench.filter(_ != vid)
+        .map(b => (cos(e(vid), e(b)), b)).maxBy { case (c, b) => (c, -b) }
+      assert(bestBid == bid, s"vec $vid: argmax bench $bid != independent $bestBid")
+      assert(math.abs(cs - bestCos) < 1e-3, s"vec $vid: cos $cs vs $bestCos")
+      assert(fl == (if (bestCos >= 0.35) 1 else 0), s"vec $vid flag")
+    }
+  }
 }

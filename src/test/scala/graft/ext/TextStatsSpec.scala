@@ -133,4 +133,25 @@ class TextStatsSpec extends AnyFunSuite {
     assert(got(0) == "Contact <EMAIL> or <URL> now")
     assert(got(1) == "no pii here")
   }
+
+  test("scrubPii masks SSN / phone / IPv4 and leaves near-misses intact") {
+    val df = Seq(
+      "ssn 123-45-6789 phone 415-555-0134 host 10.1.2.3 done",
+      // near-misses: extra leading digit breaks \b, 3-3-4 is not an SSN,
+      // a dotted triple is not an IPv4
+      "id 1234-567-8901 ref 12-345-6789 v 1.2.3 ok",
+      "") .toDF("t")
+    val got = df.select(TextStats.scrubPii(col("t"))).collect().map(_.getString(0))
+    assert(got(0) == "ssn <SSN> phone <PHONE> host <IP> done")
+    assert(got(1) == "id 1234-567-8901 ref 12-345-6789 v 1.2.3 ok")
+    assert(got(2) == "")
+  }
+
+  test("piiCounts audits each kind independently") {
+    val df = Seq(
+      "a 111-22-3333 b 222-33-4444 c 415-555-0134 d 192.168.0.1 e 8.8.8.8 f 1.2.3.4").toDF("t")
+    val (s, p, i) = TextStats.piiCounts(col("t"))
+    val r = df.select(s, p, i).head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) == ((2, 1, 3)))
+  }
 }
