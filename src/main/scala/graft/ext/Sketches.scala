@@ -47,10 +47,46 @@ object Sketches {
     * in the delta appear and untouched groups pass through; both present
     * → hll_union. No row data crosses the wire — only sketch bytes.
     */
-  def mergeSketchTables(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame = {
-    // rename-prefix both sides (fresh exprIds) — the two sketch tables
-    // often share lineage (corpus slice vs delta slice of one frame) and
-    // alias-based resolution would be ambiguous in that self-join
+  def mergeSketchTables(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
+    mergeBy(a, b, groupCols, hll_union(_, _))
+
+  // ---- KLL quantile-sketch tables (same maintenance discipline; see
+  // org.apache.spark.sql.graft.SketchExpressions for why KLL and not
+  // percentile_approx: Spark's own aggregate has no persistable state,
+  // so a percentile table could never be maintained delta-only).
+
+  /** Per-group KLL quantile sketch of `valueCol`, as a binary column.
+    * k = 200 → normalized rank error ≈ 1.65%, ~5 KB/group.
+    */
+  def quantileSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                     k: Int = 200): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.sketch.kll_agg(col(valueCol), k).as("sketch"))
+
+  /** Quantile estimates (one array column, ordered as `probs`) plus the
+    * EXACT stream count the sketch tracks, from a sketch table.
+    */
+  def quantileEstimates(sketches: DataFrame, groupCols: Seq[String],
+                        probs: Seq[Double]): DataFrame =
+    sketches.select(groupCols.map(col) ++ Seq(
+      graft.functions.sketch.kll_n(col("sketch")).as("n"),
+      graft.functions.sketch.kll_quantiles(col("sketch"), probs).as("quantiles")): _*)
+
+  /** Incremental maintenance for a quantile-sketch table: committed ∪
+    * delta, per group — identical join shape to the HLL merge; only
+    * sketch bytes cross the wire.
+    */
+  def mergeQuantileTables(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
+    mergeBy(a, b, groupCols, graft.functions.sketch.kll_union(_, _))
+
+  /** Full-outer merge of two (groupCols, sketch) tables under `union`:
+    * groups new in either side pass through, both present → union. The
+    * rename-prefix (fresh exprIds) matters — the two sketch tables often
+    * share lineage (corpus slice vs delta slice of one frame) and
+    * alias-based resolution would be ambiguous in that self-join.
+    */
+  private def mergeBy(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+                      union: (Column, Column) => Column): DataFrame = {
     def pfx(df: DataFrame, p: String) =
       df.select(groupCols.map(c => col(c).as(s"$p$c")) :+ col("sketch").as(s"${p}sketch"): _*)
     val cond = groupCols.map(c => col(s"__a_$c") <=> col(s"__b_$c")).reduce(_ && _)
@@ -58,6 +94,6 @@ object Sketches {
       .select(groupCols.map(c => coalesce(col(s"__a_$c"), col(s"__b_$c")).as(c)) :+
         when(col("__a_sketch").isNull, col("__b_sketch"))
           .when(col("__b_sketch").isNull, col("__a_sketch"))
-          .otherwise(hll_union(col("__a_sketch"), col("__b_sketch"))).as("sketch"): _*)
+          .otherwise(union(col("__a_sketch"), col("__b_sketch"))).as("sketch"): _*)
   }
 }

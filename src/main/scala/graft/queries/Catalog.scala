@@ -848,6 +848,42 @@ object Catalog {
       },
       None),
 
+    Entry("agg_quantile_sketch",
+      // mergeable QUANTILE sketches (KLL; SketchExpressions.scala): the
+      // percentile sibling of agg_distinct_hll. Same self-evidencing
+      // shape — full-corpus sketch quantiles, the 90%-committed ∪
+      // 10%-delta merged sketch's quantiles, and the exact percentiles —
+      // with the sketch-tracked n (EXACT by KLL's design, so the
+      // maintenance invariant n_full == n_committed + n_delta is
+      // asserted in-query, not just in the spec). Rows-only: KLL
+      // compaction is randomized, so estimates carry a rank-error bound
+      // rather than cross-engine equality; SketchesSpec pins the bound
+      // and the merge algebra.
+      (s, d) => {
+        val l = li(s, d)
+        val g = Seq("l_returnflag")
+        val probs = Seq(0.5, 0.9, 0.99)
+        def est(df: org.apache.spark.sql.DataFrame, tag: String) =
+          Sketches.quantileEstimates(df, g, probs)
+            .select(col("l_returnflag"), col("n").as(s"n_$tag"),
+              element_at(col("quantiles"), 1).as(s"p50_$tag"),
+              element_at(col("quantiles"), 2).as(s"p90_$tag"),
+              element_at(col("quantiles"), 3).as(s"p99_$tag"))
+        val full = est(Sketches.quantileSketch(l, g, "l_extendedprice"), "full")
+        val merged = est(Sketches.mergeQuantileTables(
+          Sketches.quantileSketch(l.filter(col("l_orderkey") % 10 =!= 0), g, "l_extendedprice"),
+          Sketches.quantileSketch(l.filter(col("l_orderkey") % 10 === 0), g, "l_extendedprice"),
+          g), "merged")
+        val exact = l.groupBy(col("l_returnflag"))
+          .agg(expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+            expr("percentile(l_extendedprice, 0.9)").as("p90_exact"),
+            expr("percentile(l_extendedprice, 0.99)").as("p99_exact"))
+        full.join(merged, g).join(exact, g)
+          .withColumn("n_consistent", (col("n_full") === col("n_merged")).cast("int"))
+          .orderBy("l_returnflag")
+      },
+      None),
+
     Entry("sql_group_agg",
       (s, d) => { // the spark.sql text surface over registered views
         Tables.registerAll(s, d)
