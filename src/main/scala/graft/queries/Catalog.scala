@@ -372,6 +372,18 @@ object Catalog {
 
   // ---------------------------------------------------------------- entries
 
+  /** Shared by `text_idf` (from-scratch) and `text_idf_incremental`
+    * (delta-maintained): the two queries must agree EXACTLY, and running
+    * both against one oracle is that proof at the driver's t2 gate.
+    */
+  private val IdfOracle =
+    """WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
+      |           FROM documents),
+      |n AS (SELECT count(*) AS n FROM documents),
+      |f AS (SELECT word, count(*) AS df FROM w GROUP BY word)
+      |SELECT word, df, round(ln(CAST(n.n AS DOUBLE) / df), 6) AS idf
+      |FROM f, n ORDER BY df DESC, word LIMIT 50""".stripMargin
+
   final case class Entry(name: String, q: Q, oracle: Option[String])
 
   val entries: Seq[Entry] = Seq(
@@ -1818,12 +1830,54 @@ object Catalog {
           .withColumn("idf", round(log(lit(n.toDouble) / col("df")), 6))
         df.orderBy(col("df").desc, col("word")).limit(50)
       },
-      Some("""WITH w AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word
-             |           FROM documents),
-             |n AS (SELECT count(*) AS n FROM documents),
-             |f AS (SELECT word, count(*) AS df FROM w GROUP BY word)
-             |SELECT word, df, round(ln(CAST(n.n AS DOUBLE) / df), 6) AS idf
-             |FROM f, n ORDER BY df DESC, word LIMIT 50""".stripMargin)),
+      Some(IdfOracle)),
+
+    Entry("text_idf_incremental",
+      // corpus-stats MAINTENANCE: the committed 90% slice's word-df table
+      // full-outer-merged with the 10% delta's (sum of counts — df is
+      // additive over disjoint doc sets), IDF recomputed from the
+      // maintained total. Declared against the SAME oracle as text_idf:
+      // exact agreement with the from-scratch table IS the maintenance
+      // proof, checked at the t2 gate on every round. At scale the merge
+      // touches word-count rows (vocabulary-sized), never the corpus.
+      (s, d) => {
+        val all = docs(s, d)
+        def dfCounts(df: DataFrame) = df
+          .select(explode(array_distinct(split(col("text"), " "))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("df"))
+        val committed = dfCounts(all.filter(col("doc_id") % 10 =!= 0))
+          .select(col("word"), col("df").as("df_a"))
+        val delta = dfCounts(all.filter(col("doc_id") % 10 === 0))
+          .select(col("word"), col("df").as("df_b"))
+        val merged = committed.join(delta, Seq("word"), "full_outer")
+          .select(col("word"),
+            (coalesce(col("df_a"), lit(0L)) + coalesce(col("df_b"), lit(0L))).as("df"))
+        val n = all.count()
+        merged.withColumn("idf", round(log(lit(n.toDouble) / col("df")), 6))
+          .orderBy(col("df").desc, col("word")).limit(50)
+      },
+      Some(IdfOracle)),
+
+    Entry("sample_topk_group",
+      // deterministic per-group exemplar sample ("k docs per language"):
+      // md5-rank order pushed through the custom bounded-heap
+      // TopKPerGroup operator — no Window, no per-group full sort, heap
+      // memory O(k) per group at any corpus size — and oracled against
+      // DuckDB's row_number replay of the same md5 permutation.
+      (s, d) => {
+        val ranked = docs(s, d).select(col("lang"), col("doc_id"),
+          md5(concat(lit("samp:"), col("doc_id").cast("string"))).as("rkey"))
+        graft.plans.TopK.perGroup(ranked, Seq("lang"),
+            Seq(("rkey", true), ("doc_id", true)), k = 10)
+          .orderBy("lang", "rkey", "doc_id")
+      },
+      Some("""WITH r AS (SELECT lang, doc_id,
+             |        md5('samp:' || CAST(doc_id AS VARCHAR)) AS rkey,
+             |        row_number() OVER (PARTITION BY lang
+             |          ORDER BY md5('samp:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |        FROM documents)
+             |SELECT lang, doc_id, rkey FROM r WHERE rn <= 10
+             |ORDER BY lang, rkey, doc_id""".stripMargin)),
 
     Entry("dedup_simhash_pairs",
       (s, d) => Dedup.simhashNearDupPairs(docs(s, d), "doc_id", "text",

@@ -31,7 +31,7 @@ object ScaleProbe {
   private val DefaultProbes = Seq(
     "dedup_minhash_lsh", "dedup_clusters", "dedup_embedding_cosine",
     "text_quality", "text_contamination", "pack_sequences", "sim_ivf",
-    "mm_image_dedup_check")
+    "mm_image_dedup_check", "sim_decontaminate")
 
   /** Wall-ratio ceiling at 4× data. A breach fails the run. */
   private val Thresholds: Map[String, Double] = Map(
@@ -42,7 +42,9 @@ object ScaleProbe {
     "text_contamination" -> 4.0,     // PINNED r5 fix: broadcast cliff was 10.5×
     "pack_sequences" -> 4.5,         // r5 measured 1.9×
     "sim_ivf" -> 7.0,                // one-time √n-quantizer build term (r5: 4.6×)
-    "mm_image_dedup_check" -> 4.5)   // r6 target after decode-buffer reuse
+    "mm_image_dedup_check" -> 4.5,   // r6 target after decode-buffer reuse
+    "sim_decontaminate" -> 5.0)      // PINS the fixed-size benchmark: a
+                                     // %-of-corpus set would scale 16×
   private val DefaultThreshold = 6.0
 
   /** Untimed per-probe preparation: materialize input corpora that are
