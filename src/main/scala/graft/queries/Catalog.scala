@@ -560,6 +560,30 @@ object Catalog {
              |  CAST(floor(((rank - 1) * 8.0) / cnt) AS BIGINT) AS shard
              |FROM r, n ORDER BY doc_id""".stripMargin)),
 
+    Entry("profile_heavy_hitters",
+      // the skew DIAGNOSTIC feeding Skew.autoSaltJoin's hot set: exact
+      // per-key frequencies (map-side combined — one small (key, n) row
+      // per key crosses the wire), top-20 with share-of-total and the
+      // n/mean skew factor autoSaltJoin thresholds on (> 8× ⇒ the key
+      // gets salted). Declared so the hot-key math itself is oracled,
+      // not just the salted join it feeds (SkewSpec).
+      (s, d) => {
+        val counts = Tables.loadEvents(s, d)
+          .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        val m = counts.agg(
+          sum(col("n")).as("tot"), avg(col("n")).as("mean")).first()
+        val (tot, mean) = (m.getLong(0), m.getDouble(1))
+        counts.select(col("user_id"), col("n"),
+            round(col("n").cast("double") / tot, 6).as("share"),
+            round(col("n").cast("double") / mean, 6).as("skew"))
+          .orderBy(col("n").desc, col("user_id")).limit(20)
+      },
+      Some("""WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+             |m AS (SELECT CAST(sum(n) AS DOUBLE) AS tot, avg(n) AS mean FROM c)
+             |SELECT user_id, n, round(CAST(n AS DOUBLE) / m.tot, 6) AS share,
+             | round(CAST(n AS DOUBLE) / m.mean, 6) AS skew
+             |FROM c, m ORDER BY n DESC, user_id LIMIT 20""".stripMargin)),
+
     Entry("profile_columns",
       (s, d) => { // schema-driven data profiling: the stat list is
         // derived from the discovered schema (table.py:66-93 pattern).
