@@ -165,6 +165,53 @@ object Dedup {
       .filter(col("dist") <= maxDist)
   }
 
+  /** Oracle-reproducible SimHash: 60-bit signature from per-word md5
+    * (15 hex chars → 60 bits, per-hex-digit extraction — mirrored
+    * verbatim in the DuckDB oracle, the same cross-engine discipline the
+    * salted-md5 MinHash uses). One explode + ONE wide partial aggregate
+    * (60 small int sums, map-side combined) per document; ties s_b == 0
+    * set the bit to 0 on both engines. The engine-internal xxhash
+    * [[simhashTable]] stays the production path — this variant exists so
+    * the SimHash family has a cross-engine t2 gate.
+    */
+  def simhashMd5Table(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val words = docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .select(col(idCol), md5(col("w")).as("m"))
+    val digits = (0 until 15).map(j =>
+      conv(substring(col("m"), j + 1, 1), 16, 10).cast("int").as(s"d$j"))
+    val wd = words.select(col(idCol) +: digits: _*)
+    val sums = (0 until 60).map { b =>
+      sum(when(shiftright(col(s"d${b / 4}"), b % 4).bitwiseAND(lit(1)) === 1, 1)
+        .otherwise(-1)).as(s"s$b")
+    }
+    wd.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+      .select(col(idCol),
+        (0 until 60).map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash60"))
+  }
+
+  /** Near-dup pairs over the md5 SimHash — same banded pigeonhole shape
+    * as [[simhashNearDupPairs]] (4 bands × 15 bits, maxDist < bands).
+    */
+  def simhashMd5Pairs(docs: DataFrame, idCol: String, textCol: String,
+                      maxDist: Int = 3): DataFrame = {
+    require(maxDist < 4)
+    val (bands, width) = (4, 15)
+    val sigs = simhashMd5Table(docs, idCol, textCol)
+    val blocked = sigs.select(col(idCol).as("id"), col("simhash60"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash60"), b * width)
+            .bitwiseAND(lit((1L << width) - 1)).as("key"))): _*)).as("blk"))
+    val a = blocked.as("a")
+    val b = blocked.as("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.simhash60"), col("b.simhash60")).as("dist"))
+      .distinct()
+      .filter(col("dist") <= maxDist)
+  }
+
   /** Jaccard similarity of the distinct word sets of two texts. */
   def wordJaccard(a: Column, b: Column): Column = {
     val wa = array_distinct(split(a, " "))

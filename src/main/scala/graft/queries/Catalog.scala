@@ -1908,6 +1908,18 @@ object Catalog {
         maxDist = 3, bands = 4).orderBy("id_a", "id_b"),
       None), // xxhash64-based sketches — not DuckDB-expressible
 
+    Entry("dedup_simhash_md5_pairs",
+      // the ORACLED SimHash gate: 60-bit md5 signatures (Dedup
+      // .simhashMd5Table — per-hex-digit bit extraction replayed
+      // verbatim in DuckDB) → 4×15-bit banded pigeonhole blocking →
+      // exact hamming ≤ 3. The xxhash paths (dedup_simhash*) stay
+      // rows-only by necessity; this variant closes the family's
+      // cross-engine gap the way the salted-md5 MinHash does for LSH.
+      (s, d) => Dedup.simhashMd5Pairs(docs(s, d), "doc_id", "text", maxDist = 3)
+        .withColumn("dist", col("dist").cast("int"))
+        .orderBy("id_a", "id_b"),
+      Some(Oracles.simhashMd5PairsOracle)),
+
     Entry("text_contamination",
       (s, d) => { // benchmark decontamination: fraction of each doc's
         // word 3-grams that appear in a held-out benchmark set (docs

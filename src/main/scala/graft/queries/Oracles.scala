@@ -312,4 +312,31 @@ object Oracles {
        |           CAST(floor((tok_end - 1) / 2048) AS BIGINT)) AS seq_last
        |FROM cum ORDER BY doc_id""".stripMargin
   }
+
+  /** `dedup_simhash_md5_pairs`: replay the 60-bit md5 SimHash exactly —
+    * per-word md5, bit b of the signature from hex digit b/4's bit b%4,
+    * ±1 weight sums, sign threshold (> 0), 4×15-bit banded candidates,
+    * hamming ≤ 3. The 60 sum terms and the signature reassembly are
+    * generated, not hand-written, so the two engines share ONE formula.
+    */
+  val simhashMd5PairsOracle: String = {
+    val sums = (0 until 60).map { b =>
+      s"sum(CASE WHEN (CAST(strpos('0123456789abcdef', substr(m, ${b / 4 + 1}, 1)) - 1 AS BIGINT) >> ${b % 4}) & 1 = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(", ")
+    val sig = (0 until 60)
+      .map(b => s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    val bandSel = (0 until 4).map { i =>
+      s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sa, b.sig AS sb
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         | AND ((a.sig >> ${15 * i}) & 32767) = ((b.sig >> ${15 * i}) & 32767)""".stripMargin
+    }.mkString("\nUNION\n")
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+       |h AS (SELECT doc_id, md5(word) AS m FROM w),
+       |bits AS (SELECT doc_id, $sums FROM h GROUP BY 1),
+       |sig AS (SELECT doc_id, $sig AS sig FROM bits),
+       |cand AS ($bandSel)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS dist
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b""".stripMargin
+  }
 }

@@ -148,6 +148,30 @@ class DedupSpec extends AnyFunSuite {
     assert(got.contains((1L, 4L))) // exact dup: distance 0
   }
 
+  test("simhashMd5Pairs: the oracle-reproducible variant is pigeonhole-complete too") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today ok"),
+      (2L, "the quick brown fox jumps over the lazy dog today yes"),
+      (3L, "completely different words appear in this very sentence here now"),
+      (4L, "the quick brown fox jumps over the lazy dog today ok"),
+      (5L, "unrelated content entirely separate from everything else written above")
+    ).toDF("doc_id", "text")
+    val got = Dedup.simhashMd5Pairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s = Dedup.simhashMd5Table(docs, "doc_id", "text")
+    val brute = s.as("a").join(s.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"),
+        Dedup.hamming(col("a.simhash60"), col("b.simhash60")).as("d"))
+      .filter(col("d") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute)
+    assert(got.contains((1L, 4L)))
+    // signatures stay within 60 bits (the sign reassembly must never
+    // set bit 60+ — that would silently break the band arithmetic)
+    val sigs = s.collect().map(_.getLong(1))
+    assert(sigs.forall(v => v >= 0 && v < (1L << 60)))
+  }
+
   test("minhash jaccard estimate tracks true jaccard on fixture pairs") {
     import graft.core.Tables
     val docs = Tables.load(spark, graft.TestSpark.Sf, "documents").limit(200)
