@@ -38,6 +38,14 @@ object Catalog {
 
   private val allStopwords: Seq[String] = TextStats.LangStopwords.flatMap(_._2)
 
+  /** Fixed query set for `text_bm25_search` (terms from the fixture
+    * vocabulary so every query has hits).
+    */
+  private val Bm25Queries: Seq[(Int, String)] = Seq(
+    1 -> "hash join spark",
+    2 -> "window sort order",
+    3 -> "vector stream batch")
+
   /** Memoized end-to-end LSH near-dup clusters over `documents` —
     * minhash → band buckets → candidate pairs → Jaccard ≥ 0.5 verify →
     * connected components. Computed once per (session, dir) and shared by
@@ -2155,6 +2163,17 @@ object Catalog {
              |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
              | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
              |FROM u GROUP BY domain ORDER BY domain""".stripMargin)),
+
+    Entry("text_bm25_search",
+      // BM25 retrieval: top-10 docs per query over the corpus. The
+      // broadcast query-term filter prunes tokens at the scan (only
+      // matching postings shuffle), corpus stats ride in as literals,
+      // and DECIMAL term-score sums make the distributed aggregate
+      // bit-reproducible by the single-node oracle (Bm25.oracleSql is
+      // generated from the same constants — one formula, two engines).
+      (s, d) => Bm25.searchTopK(docs(s, d), "doc_id", "text",
+        Bm25Queries, k = 10).orderBy("qid", "doc_id"),
+      Some(Bm25.oracleSql(Bm25Queries, k = 10))),
 
     // ----- §7.5 multimodal magic-byte dispatch (REAL codecs, oracled)
     Entry("mm_decode_features",
