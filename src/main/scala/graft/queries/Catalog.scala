@@ -2164,6 +2164,37 @@ object Catalog {
              | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
              |FROM u GROUP BY domain ORDER BY domain""".stripMargin)),
 
+    Entry("graph_pagerank",
+      // host-graph PageRank (domain authority for source weighting):
+      // planted link edges from deterministic doc_id arithmetic (the
+      // fixture text has no links — same discipline as text_domains),
+      // 10 damped power iterations in FIXED-POINT BIGINT arithmetic so
+      // the distributed run and the DuckDB unrolled-CTE oracle agree
+      // bit-for-bit (integer sums are order-independent; float PageRank
+      // would diverge on summation order alone).
+      (s, d) => {
+        val e1 = docs(s, d).selectExpr(
+          "concat('site', cast(doc_id % 37 as string), '.example.com') as src",
+          "concat('m', cast((doc_id * 13 + doc_id div 37) % 37 as string), '.example.org') as dst")
+        val e2 = docs(s, d).selectExpr(
+          "concat('m', cast((doc_id * 13 + doc_id div 37) % 37 as string), '.example.org') as src",
+          "concat('site', cast((doc_id * 7 + doc_id div 41) % 37 as string), '.example.com') as dst")
+        val edges = e1.union(e2).groupBy("src", "dst").agg(count(lit(1)).as("w"))
+        Graph.pageRankFixedPoint(edges, iters = 10)
+          .select(col("node"),
+            round(col("r").cast("double") / Graph.Scale, 6).as("rank"))
+          .orderBy("node")
+      },
+      Some(Graph.pageRankOracleSql(
+        """SELECT src, dst, count(*) AS w FROM (
+          |  SELECT 'site' || CAST(doc_id % 37 AS VARCHAR) || '.example.com' AS src,
+          |         'm' || CAST((doc_id * 13 + doc_id // 37) % 37 AS VARCHAR) || '.example.org' AS dst
+          |  FROM documents
+          |  UNION ALL
+          |  SELECT 'm' || CAST((doc_id * 13 + doc_id // 37) % 37 AS VARCHAR) || '.example.org',
+          |         'site' || CAST((doc_id * 7 + doc_id // 41) % 37 AS VARCHAR) || '.example.com'
+          |  FROM documents) GROUP BY 1, 2""".stripMargin, iters = 10))),
+
     Entry("text_bm25_search",
       // BM25 retrieval: top-10 docs per query over the corpus. The
       // broadcast query-term filter prunes tokens at the scan (only
