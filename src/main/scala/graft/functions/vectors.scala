@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.{round, sqrt, transform}
-import org.apache.spark.sql.graft.{Bridge, ByteArrayDot, FloatArrayDot, HyperplaneBucket}
+import org.apache.spark.sql.graft.{Bridge, ByteArrayDot, FloatArrayDot, HyperplaneBucket, PqEncode, PqLutScore}
 
 /** Column-API wrappers over the codegen'd vector expressions
   * (see org.apache.spark.sql.graft.VectorExpressions).
@@ -37,6 +37,18 @@ object vectors {
   /** Exact integer dot over int8-quantized vectors (codegen'd). */
   def int8_dot(a: Column, b: Column): Column =
     Bridge.column(ByteArrayDot(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Product-quantization encode: d-dim float vector → m-byte code
+    * against the flat `codebook` (layout `[(j*ks+c)*dsub + t]`).
+    */
+  def pq_encode(v: Column, codebook: Array[Float], m: Int, ks: Int, dsub: Int): Column =
+    Bridge.column(PqEncode(Bridge.expression(v), codebook, m, ks, dsub))
+
+  /** ADC score of a PQ code against a query's precomputed lookup table
+    * (array<float> of length m*ks): m lookups instead of d multiplies.
+    */
+  def pq_lut_score(lut: Column, code: Column, ks: Int): Column =
+    Bridge.column(PqLutScore(Bridge.expression(lut), Bridge.expression(code), ks))
 
   /** Cosine over quantized vectors: integer dots, so bit-identical in
     * any engine with the same quantizer.

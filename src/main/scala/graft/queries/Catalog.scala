@@ -260,6 +260,35 @@ object Catalog {
       IvfIndex.build(ss, embs(ss, dd), "vec_id", "embedding")
     }
 
+  /** Memoized PQ codebooks + encoded corpus: the codebook train (driver
+    * Lloyd's on a bounded sample) and the one encode pass are shared by
+    * `sim_pq_rerank` and `sim_recall_pq`. 16 subspaces × 32 centroids
+    * over 64 dims: 16 B/vector (16× vs float32).
+    */
+  private val pqModelCache = new ValueCache[Pq.Model]("embeddings.parquet")(
+    m => m, _ => ())
+
+  private def pqModel(s: SparkSession, d: String): Pq.Model =
+    pqModelCache.get(s, d) { (ss, dd) =>
+      Pq.train(embs(ss, dd), "vec_id", "embedding", m = 16, ks = 32)
+    }
+
+  private val pqCodesCache = new QueryCache("embeddings.parquet")
+
+  private def pqCodes(s: SparkSession, d: String): DataFrame =
+    pqCodesCache.get(s, d) { (ss, dd) =>
+      Pq.encode(embs(ss, dd), "vec_id", "embedding", pqModel(ss, dd))
+    }
+
+  private val pqRerankCache = new QueryCache("embeddings.parquet")
+
+  private def pqRerank5(s: SparkSession, d: String): DataFrame =
+    pqRerankCache.get(s, d) { (ss, dd) =>
+      val e = embs(ss, dd)
+      Pq.rerankTopK(pqCodes(ss, dd), e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", pqModel(ss, dd), k = 5, shortlist = 64)
+    }
+
   /** Memoized maintenance-path probe for `sim_ivf_delta`: seed the
     * persisted layout from 90% of the corpus, applyDelta the held-out
     * vec_id % 10 == 0 slice in, run the health-gated maintenance cadence
@@ -1779,6 +1808,24 @@ object Catalog {
         Similarity.recallAtK(simBrute5(s, d), simIvf5(s, d), 5).orderBy("qid")
       },
       None), // KMeans quantizer — not DuckDB-expressible
+
+    Entry("sim_pq_rerank",
+      // product-quantization ANN, the memory-scale path: the corpus is
+      // scanned as 16-byte PQ codes (16× smaller than float32) with
+      // m-lookup ADC scoring, a 64-candidate shortlist per query, and an
+      // exact cosine rerank over ONLY the shortlisted ids — the
+      // two-stage FAISS shape. Codebooks train driver-local on a bounded
+      // deterministic sample (never corpus-sized state).
+      (s, d) => pqRerank5(s, d).orderBy("qid", "vid"),
+      None), // k-means codebooks — not DuckDB-expressible
+
+    Entry("sim_recall_pq",
+      // recall@5 of the PQ shortlist+rerank path vs brute force, tracked
+      // round-over-round like the LSH and IVF recalls (a codebook or
+      // shortlist regression shows up as a changed result row)
+      (s, d) => Similarity.recallAtK(simBrute5(s, d), pqRerank5(s, d), 5)
+        .orderBy("qid"),
+      None),
 
     Entry("sim_ivf_persisted",
       // the PERSISTED-index probe path, end-to-end: the built index is
