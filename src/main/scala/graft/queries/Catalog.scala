@@ -1656,6 +1656,25 @@ object Catalog {
           .orderBy("id_a", "id_b"),
       None), // LSH bucketing uses xxhash64 — not expressible in DuckDB
 
+    Entry("dedup_semantic",
+      // SemDeDup-style semantic dedup over the shadow-planted corpus:
+      // dedup-sized k-means cells (k = n/256 — LINEAR in n, so the
+      // intra-cluster pair volume stays ~128·n; IVF-search's √n sizing
+      // would go n^1.5 here), exact cosine ≥ 0.99 within cells only,
+      // min-label CC, one kept exemplar per component. Output: the
+      // dropped rows (id, cluster_id, kept_id). Complements the LSH
+      // near-dup path: no hashing recall curve, just the cluster
+      // partition — the trade SemDeDup made famous.
+      (s, d) => {
+        val sh = embShadowed(s, d)
+        val assign = SemDedup.ivfAssignment(s, sh, "vec_id", "embedding")
+        SemDedup.semanticDedup(sh, "vec_id", "embedding", assign, tau = 0.99)
+          .filter(col("is_dup") === 1)
+          .select(col("id"), col("cluster_id"), col("kept_id"))
+          .orderBy("id")
+      },
+      None), // k-means cells — not DuckDB-expressible
+
     Entry("dedup_vec_ingest_gate",
       // the EMBEDDING ingest gate's batch contract: run the real
       // StreamVecDup state machine over the shadow-planted corpus — seed
