@@ -9,19 +9,21 @@ import graft.functions.vectors
   * exact cosine WITHIN each cluster only — the structure that makes
   * embedding dedup tractable where all-pairs never is.
   *
-  * Scale discipline (this is where semantic dedup differs from IVF
-  * SEARCH): the cluster count must scale LINEARLY with the corpus —
-  * fixed expected cluster size s̄ — because intra-cluster pair volume is
-  * Σ sᵢ²/2 ≈ n·s̄/2. IVF's √n sizing would make it n^1.5. With s̄ ≈ 256
-  * the pair volume is ~128·n: linear, partition-local after one shuffle
-  * on (cluster, sub). Clusters that still exceed `maxClusterSize`
-  * (quantizer skew) are sub-split by a hyperplane bucket — a bounded
-  * recall trade (cross-sub pairs are missed) that caps the worst-case
-  * partition, same guard family as [[graft.core.Skew]].
-  *
-  * At extreme corpus sizes the k-means assignment itself wants a
-  * hierarchical (two-level) quantizer — the assignment input here is an
-  * arbitrary (id, cl) frame precisely so that swap stays local.
+  * Scale discipline — BOTH stages must stay linear in n, and they pull
+  * in opposite directions:
+  *  - pair volume is Σ sᵢ²/2, so cells must stay bounded-size;
+  *  - but k-means ASSIGNMENT costs n·k·d, so k must stay CONSTANT
+  *    (k = n/256 would make assignment O(n²) — the same quadratic the
+  *    4× scale probe exists to catch).
+  * Resolution: k is capped at a constant; past the corpus size where
+  * cells outgrow `maxClusterSize`, the hyperplane SUB-SPLIT carries the
+  * load, with sub-key width auto-sized from the largest cell
+  * (⌈log2(maxCell/cap)⌉ — the [[Dedup.autoPlanes]] discipline), so
+  * per-sub-cell size and therefore pair volume stay bounded at ANY n.
+  * The recall trade (cross-sub pairs are missed, ~θ/π per plane) is
+  * paid only inside oversized cells; at extreme scale a hierarchical
+  * two-level quantizer is the standard upgrade — the assignment input
+  * is an arbitrary (id, cl) frame precisely so that swap stays local.
   */
 object SemDedup {
   /** Near-dup pairs (id_a < id_b, cos ≥ tau) within clusters of an
@@ -31,15 +33,26 @@ object SemDedup {
     */
   def clusterDupPairs(embs: DataFrame, idCol: String, vecCol: String,
                       assign: DataFrame, tau: Double,
-                      maxClusterSize: Int = 4096,
-                      subPlanes: Int = 4): DataFrame = {
+                      maxClusterSize: Int = 4096): DataFrame = {
     val v = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
         vectors.float_norm(col(vecCol)).as("nm"))
       .join(assign.select(col("id"), col("cl")), Seq("id"))
-    // oversized clusters (quantizer skew) get a hyperplane sub-key; the
-    // size census is cluster-count rows — broadcastable by construction
-    val big = v.groupBy("cl").agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxClusterSize).select(col("cl"), lit(1).as("__big"))
+    // oversized clusters (constant-k growth or quantizer skew) get a
+    // hyperplane sub-key WIDE ENOUGH that expected sub-cell size ≤ cap:
+    // planes = ceil(log2(maxCell/cap)) + 1. Sizing from the census keeps
+    // pair volume linear at any corpus size; a fixed width would go
+    // quadratic as cells outgrow it. The census is cluster-count rows —
+    // broadcastable by construction.
+    val census = v.groupBy("cl").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxClusterSize).select(col("cl"), col("n"))
+      .collect()
+    val maxCell = if (census.isEmpty) 0L else census.map(_.getLong(1)).max
+    val subPlanes = if (maxCell == 0) 1
+      else math.max(1, math.ceil(math.log(maxCell.toDouble / maxClusterSize)
+        / math.log(2)).toInt + 1)
+    val spark = embs.sparkSession
+    import spark.implicits._
+    val big = census.map(_.getInt(0)).toSeq.toDF("cl").withColumn("__big", lit(1))
     val keyed = v.join(broadcast(big), Seq("cl"), "left_outer")
       .withColumn("sub",
         when(col("__big").isNotNull, vectors.hyperplane_bucket(col("v"), subPlanes))
@@ -78,9 +91,12 @@ object SemDedup {
     */
   def ivfAssignment(spark: SparkSession, embs: DataFrame, idCol: String,
                     vecCol: String, targetClusterSize: Int = 256,
-                    seed: Long = 42L): DataFrame = {
+                    maxK: Int = 2048, seed: Long = 42L): DataFrame = {
     val n = embs.count()
-    val k = math.max(8, math.min(65536, (n / math.max(1, targetClusterSize)).toInt))
+    // k CAPPED at a constant: assignment is n·k·d, so k growing with n
+    // is O(n²) — past n = maxK·target, cells outgrow the cap and
+    // clusterDupPairs' auto-sized sub-split carries the load instead
+    val k = math.max(8, math.min(maxK, (n / math.max(1, targetClusterSize)).toInt))
     // a LIGHT quantizer on purpose: dedup recall only needs ε-close
     // vectors to land in the same cell, which any sane partition gives —
     // unlike search, where centroid quality sets the probe budget. Five

@@ -31,7 +31,8 @@ object ScaleProbe {
   private val DefaultProbes = Seq(
     "dedup_minhash_lsh", "dedup_clusters", "dedup_embedding_cosine",
     "text_quality", "text_contamination", "pack_sequences", "sim_ivf",
-    "mm_image_dedup_check", "sim_decontaminate")
+    "mm_image_dedup_check", "sim_decontaminate",
+    "graph_pagerank", "text_bm25_search", "dedup_semantic", "sim_pq_rerank")
 
   /** Wall-ratio ceiling at 4× data. A breach fails the run. */
   private val Thresholds: Map[String, Double] = Map(
@@ -43,8 +44,13 @@ object ScaleProbe {
     "pack_sequences" -> 4.5,         // r5 measured 1.9×
     "sim_ivf" -> 7.0,                // one-time √n-quantizer build term (r5: 4.6×)
     "mm_image_dedup_check" -> 4.5,   // r6 target after decode-buffer reuse
-    "sim_decontaminate" -> 5.0)      // PINS the fixed-size benchmark: a
+    "sim_decontaminate" -> 5.0,      // PINS the fixed-size benchmark: a
                                      // %-of-corpus set would scale 16×
+    "graph_pagerank" -> 5.0,         // edge build linear; 74-node graph constant
+    "text_bm25_search" -> 5.0,       // broadcast-term-pruned postings: linear
+    "dedup_semantic" -> 6.0,         // PINS constant-k assignment: k = n/256
+                                     // would make assignment O(n²) → ~12×
+    "sim_pq_rerank" -> 5.0)          // constant train, linear encode+ADC
   private val DefaultThreshold = 6.0
 
   /** Untimed per-probe preparation: materialize input corpora that are
