@@ -37,32 +37,52 @@ object Graph {
   def pageRankFixedPoint(edges: DataFrame, iters: Int,
                          scale: Long = Scale,
                          dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
-    val e = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
+    val spark = edges.sparkSession
+    val e0 = edges.select(col("src"), col("dst"), col("w").cast("long").as("w"))
       .persist()
+    val nEdges = e0.count()
+    // size the iteration parallelism from the edge count (the
+    // Dedup.dupClusters discipline): a fixed 32-partition layout makes a
+    // small host graph pay ~100 task launches per round for kilobytes —
+    // measured 47 s for 10 rounds over 74 nodes — while one partition
+    // per ~500k edges keeps rounds 1-task cheap there and fully parallel
+    // on a billion-edge web graph
+    val p = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+      nEdges / 500000L + 1L)).toInt
+    val e = e0.repartition(p, col("src")).persist()
     val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().persist()
+      .union(e.select(col("dst").as("node"))).distinct()
+      .repartition(p, col("node")).persist()
     val outw = e.groupBy("src").agg(sum("w").as("ow")).persist()
     val n = nodes.count()
     require(n > 0, "empty graph")
+    e0.unpersist()
     val base = ((dampDen - dampNum) * scale) / (dampDen * n)
+    // the dangling STRUCTURE is iteration-invariant; only its mass moves
+    val danglingNodes = nodes
+      .join(outw, nodes("node") === outw("src"), "left_anti").persist()
 
-    var ranks = nodes.select(col("node"), lit(scale / n).as("r")).persist()
+    var ranks = nodes.select(col("node"), lit(scale / n).as("r"))
+      .localCheckpoint(true)
     for (_ <- 1 to iters) {
       // per-edge contribution floor(r * w / ow), summed per destination
-      val contrib = ranks.join(e, ranks("node") === e("src"))
+      val contrib = e.join(ranks, e("src") === ranks("node"))
         .join(outw, Seq("src"))
-        .select(col("dst").as("node"), expr("(r * w) div ow").as("c"))
-        .groupBy("node").agg(sum("c").as("c"))
-      // dangling mass: one scalar aggregate per iteration
-      val dang = ranks.join(outw, ranks("node") === outw("src"), "left_anti")
-        .agg(coalesce(sum("r"), lit(0L))).head().getLong(0)
-      val dangPer = dang / n
-      val next = nodes.join(contrib, Seq("node"), "left_outer")
+        .select(col("dst").as("cnode"), expr("(r * w) div ow").as("c"))
+        .groupBy("cnode").agg(sum("c").as("c"))
+      // dangling mass rides in as a broadcast 1-row aggregate so each
+      // round is ONE job — the scalar-collect form paid a second driver
+      // round-trip per iteration
+      val dangRow = danglingNodes.join(ranks, Seq("node"))
+        .agg(coalesce(sum("r"), lit(0L)).as("dang"))
+      val next = nodes.crossJoin(broadcast(dangRow))
+        .join(contrib, nodes("node") === col("cnode"), "left_outer")
         .select(col("node"),
-          (lit(base) + expr(s"($dampNum * (coalesce(c, 0L) + $dangPer)) div $dampDen"))
+          (lit(base) +
+            expr(s"($dampNum * (coalesce(c, 0L) + (dang div ${n}L))) div $dampDen"))
             .as("r"))
-        .persist()
-      next.count() // materialize before dropping the parent
+        .localCheckpoint(false) // lazy: the count below materializes it
+      next.count()
       ranks.unpersist()
       ranks = next
     }
