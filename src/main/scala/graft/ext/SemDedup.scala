@@ -100,10 +100,11 @@ object SemDedup {
     // a LIGHT quantizer on purpose: dedup recall only needs ε-close
     // vectors to land in the same cell, which any sane partition gives —
     // unlike search, where centroid quality sets the probe budget. Five
-    // Lloyd's rounds on a 64·k sample keep the build a fraction of the
-    // pair-join cost.
+    // Lloyd's rounds from RANDOM init on a 64·k sample: k-means|| init
+    // alone cost 16 s of a 22.5 s build at k=1562/400k vectors, and its
+    // extra spread buys dedup nothing.
     IvfIndex.build(spark, embs, idCol, vecCol, nlist = k, seed = seed,
-        trainPerList = 64, maxIter = 5)
+        trainPerList = 64, maxIter = 5, initMode = "random")
       .assigned.select(col("vid").as("id"), col("list").as("cl"))
   }
 }
