@@ -22,6 +22,19 @@ import org.apache.spark.sql.SparkSession
   * corpus untimed — the probe measures the OPERATOR, not corpus
   * creation.
   *
+  * Measurement design, learned the hard way in r6: the loop is
+  * FAMILY-major (each family times base then 4× back-to-back), every
+  * timing starts from an evicted session cache, and there is NO
+  * explicit System.gc(). Dir-major order ran every 4× probe in a JVM
+  * ~20 min older than its base counterpart, and single-JVM heap aging
+  * is worth 2× on allocation-heavy paths (mm_image_dedup_check: 24.9 s
+  * standalone vs 44.5 s as probe #8 of the 4× pass) — family-major puts
+  * both sides of each ratio at the same JVM age, so aging cancels where
+  * it matters. Explicit GC made it worse, not better: G1 uncommits the
+  * heap after a full collection and the next probe crawls while it
+  * re-expands (measured 103 s on the same mm path). Absolute seconds
+  * still drift with JVM age across families; the RATIOS are the gate.
+  *
   * Usage: build an sf0.4-shaped dir of symlinks to the sf0.1 testdata
   * (ScaledFixtures keys the multiplier off the dir NAME), then
   *   SPARK_GRAFT_SCALE_DIRS=/root/testdata/sf0.1,/tmp/sfscale/sf0.4 \
@@ -73,12 +86,29 @@ object ScaleProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // times(dir)(query) = wall seconds, dirs in command order (base, 4×)
-    val times = dirs.map { dir =>
+    // one-time corpus prep, before any clock: replicate the 4× dir,
+    // report sizes
+    val scaledOf = dirs.map { dir =>
       val scaled = graft.queries.ScaledFixtures.ensure(spark, dir)
       val nDocs = spark.read.parquet(s"$scaled/documents.parquet").count()
       println(s"[scale] $dir -> $scaled ($nDocs docs)")
-      dir -> probes.map { name =>
+      dir -> scaled
+    }.toMap
+    // times(query)(dir) = wall seconds. FAMILY-major: base and 4× of a
+    // family run back-to-back at the same JVM age (see scaladoc).
+    val times = probes.distinct.map { name =>
+      name -> dirs.map { dir =>
+        val scaled = scaledOf(dir)
+        // measure each family STANDALONE: evict every resident block
+        // (QueryCache persists, checkpoint blocks) before the clock
+        // starts. Earlier families' caches are 4× larger on the 4× side,
+        // so leaving them resident skews ratios two ways — the r6 probe
+        // measured a phantom 11.5× on untouched dedup_minhash_lsh
+        // (eviction thrash at the dir switch) and a phantom 6× on
+        // mm_image_dedup_check (decode scan under storage pressure;
+        // MmDiag measured the same path at 3.5× standalone, GC 2% of
+        // task time)
+        spark.catalog.clearCache()
         try prepare(name, spark, scaled)
         catch { case e: Throwable =>
           System.err.println(s"[scale] prepare($name) failed: ${e.getMessage}")
@@ -91,7 +121,7 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
         println(f"[scale] ${new java.io.File(dir).getName}%-8s $name%-24s $t%8.1f s")
-        name -> t
+        dir -> t
       }.toMap
     }.toMap
     spark.stop()
@@ -99,8 +129,8 @@ object ScaleProbe {
       val (baseDir, bigDir) = (dirs.head, dirs.last)
       def ms(x: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, x)
       val rows = probes.distinct.map { name =>
-        val base = times(baseDir)(name)
-        val big = times(bigDir)(name)
+        val base = times(name)(baseDir)
+        val big = times(name)(bigDir)
         val ratio = if (base > 0) big / base else Double.PositiveInfinity
         val thr = Thresholds.getOrElse(name, DefaultThreshold)
         (name, base, big, ratio, thr, ratio <= thr)
