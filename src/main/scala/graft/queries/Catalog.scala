@@ -41,6 +41,24 @@ object Catalog {
   /** Fixed query set for `text_bm25_search` (terms from the fixture
     * vocabulary so every query has hits).
     */
+  /** ONE contamination contract, two engine paths: `text_contamination`
+    * (plain exact join) and `text_contamination_bloom` (broadcast-Bloom
+    * prefilter + exact verify) both compare against this SQL — sharing
+    * the val is the proof they claim identical semantics.
+    */
+  private val contaminationOracle: String =
+    """WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM dd),
+      |sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh FROM x),
+      |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+      |  CAST(count(bench.sh) AS BIGINT) AS n_contaminated,
+      |  round(CAST(count(bench.sh) AS DOUBLE) / count(*), 6) AS contamination
+      |FROM sh LEFT JOIN bench ON sh.sh = bench.sh
+      |WHERE sh.doc_id % 97 <> 0
+      |GROUP BY doc_id HAVING count(bench.sh) > 0
+      |ORDER BY doc_id""".stripMargin
+
   private val Bm25Queries: Seq[(Int, String)] = Seq(
     1 -> "hash join spark",
     2 -> "window sort order",
@@ -2028,17 +2046,49 @@ object Catalog {
             col("contamination"))
           .orderBy("doc_id")
       },
-      Some("""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-             |x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM dd),
-             |sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh FROM x),
-             |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0)
-             |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
-             |  CAST(count(bench.sh) AS BIGINT) AS n_contaminated,
-             |  round(CAST(count(bench.sh) AS DOUBLE) / count(*), 6) AS contamination
-             |FROM sh LEFT JOIN bench ON sh.sh = bench.sh
-             |WHERE sh.doc_id % 97 <> 0
-             |GROUP BY doc_id HAVING count(bench.sh) > 0
-             |ORDER BY doc_id""".stripMargin)),
+      Some(contaminationOracle)),
+
+    Entry("text_contamination_bloom",
+      // the 100 TB decontamination shape: same semantics and SAME oracle
+      // as text_contamination, but the corpus-shingle side is prefiltered
+      // INSIDE the scan stage by a broadcast Bloom sketch of the
+      // benchmark shingles (one tree-aggregate build pass over the
+      // fixed-size benchmark side, a few MB of bits at 1% fpp). Bloom has
+      // no false negatives, so the downstream EXACT join sees every true
+      // match and removes the fpp sliver of false positives — output
+      // bit-identical to the unfiltered join while only ~matches+fpp of
+      // the corpus shingles ever reach the exchange (the plain path
+      // shuffles all of them; ~94M rows at the 4× probe scale). The
+      // benchmark-side sum(size(...)) sizing pass is one cheap scan of
+      // the FIXED side — a production caller knows its benchmark size.
+      (s, d) => {
+        val benchDocs = docs(s, d).filter(col("doc_id") % 97 === 0)
+        val bench = benchDocs
+          .select(explode(Dedup.wordShingles(col("text"), 3)).as("bsh"))
+        val nBench = benchDocs
+          .select(coalesce(sum(size(Dedup.wordShingles(col("text"), 3))), lit(0L))
+            .cast("long"))
+          .head().getLong(0)
+        val bf = graft.ext.BloomGate.build(s, bench, "bsh", math.max(nBench, 1L))
+        val totals = docs(s, d).select(col("doc_id"),
+            size(Dedup.wordShingles(col("text"), 3)).cast("long").as("n_ngrams"))
+          .filter(col("doc_id") % 97 =!= 0 && col("n_ngrams") > 0)
+        val cand = docs(s, d).filter(col("doc_id") % 97 =!= 0)
+          .select(col("doc_id"),
+            explode(Dedup.wordShingles(col("text"), 3)).as("sh"))
+          .filter(graft.ext.BloomGate.mightContain(col("sh"), bf))
+        val matched = cand
+          .join(bench.distinct().hint("shuffle_hash"), col("sh") === col("bsh"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_contaminated"))
+        totals.join(matched, "doc_id")
+          .withColumn("contamination",
+            round(col("n_contaminated") / col("n_ngrams"), 6))
+          .select(col("doc_id"), col("n_ngrams"), col("n_contaminated"),
+            col("contamination"))
+          .orderBy("doc_id")
+      },
+      Some(contaminationOracle)),
 
     Entry("emb_centroids",
       (s, d) => { // per-label centroid of the embedding space — the
