@@ -60,6 +60,15 @@ object Bench {
         }
       ((System.nanoTime() - t0) / 1e9, ok)
     }
+    // box load at the edges of the timed section: r6's final bench ran on
+    // a contended driver box (wall 2.8× the clean mid-round run) and the
+    // record couldn't distinguish that from a real regression. 1-minute
+    // loadavg start/end makes contention legible in the committed line.
+    def loadavg(): String =
+      try java.nio.file.Files.readString(java.nio.file.Paths.get("/proc/loadavg"))
+        .split(" ").head
+      catch { case _: Throwable => "-1" }
+    val load0 = loadavg()
     val wall0 = System.nanoTime()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val dir = if (graft.queries.ScaledFixtures.appliesTo(name)) scaledDir else sfDir
@@ -99,7 +108,7 @@ object Bench {
     // medians lead the line (they are the round-over-round signal); the
     // bulky continuity maps (first_runs, repeats) trail so truncation from
     // either end costs the least important data first
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","wall_sec":${ms(wallSec)},"docs_scale":$docsScale,"failures":$fails,"first_runs":$firsts,"repeats":$reps}"""
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","wall_sec":${ms(wallSec)},"docs_scale":$docsScale,"loadavg_start":$load0,"loadavg_end":${loadavg()},"failures":$fails,"first_runs":$firsts,"repeats":$reps}"""
     // the full record also goes to a file the driver/judge can read whole,
     // immune to any stdout capture limit; written BEFORE the println so a
     // crash in stdout handling can't lose the round's numbers

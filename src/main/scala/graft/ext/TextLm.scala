@@ -1,0 +1,76 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** N-gram language-model quality scoring (extension beyond reference
+  * parity, SURVEY.md §7.5): the CCNet-style corpus filter — train a
+  * small smoothed bigram LM on a held-out reference slice, score every
+  * other document by mean negative log-likelihood per bigram, and keep
+  * the fluent tail. The classic public recipe (CCNet, Wenzek et al.
+  * 2020) uses a KenLM 5-gram; the bigram-with-add-k form here keeps the
+  * same pipeline shape — train slice → probability table → per-token
+  * join → per-doc aggregate — while staying exactly replayable in a
+  * second engine (the DuckDB oracle for `text_lm_score`).
+  *
+  * Scale shape (the part that matters at 100 TB):
+  *  - the LM table is vocabulary-sized, not corpus-sized: two aggregates
+  *    over the (fixed-size) reference slice. Its conditional
+  *    probabilities are precomputed ONCE; scoring is a join, not a
+  *    recomputation.
+  *  - scoring joins are hinted shuffle_hash: the corpus-bigram side is
+  *    huge and append-only, the LM side is bounded — a sort-merge sort
+  *    of the corpus side would dominate; a broadcast works until the
+  *    vocabulary outgrows the driver (a production 5-gram table does,
+  *    so the hint is the honest default).
+  *  - per-bigram surprisal terms are rounded to 9 dp and summed as
+  *    DECIMAL(28,9): addition is exact and order-independent, so the
+  *    distributed per-doc sum is bit-reproducible on any engine and any
+  *    partitioning — same discipline as [[Bm25]]'s score sums.
+  *  - the vocabulary size V is a single driver scalar (one count), the
+  *    only `collect`-shaped value in the pipeline.
+  */
+object TextLm {
+  /** Smoothing pseudo-count (add-k). */
+  val K: Double = 0.5
+
+  /** Per-document LM score over `docs`: bigrams of the slice selected by
+    * `lmSlice` train the model; every document NOT in the slice gets
+    * (doc_id, n_bigrams, avg_nll) where avg_nll is the mean
+    * -ln P(w2|w1) under add-k smoothing:
+    * P(w2|w1) = (c(w1,w2) + K) / (c(w1,·) + K·V).
+    * Documents with fewer than 2 tokens have no bigrams and are absent —
+    * the caller decides their fate (CCNet drops them too).
+    */
+  def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
+                lmSlice: org.apache.spark.sql.Column): DataFrame = {
+    val bg = docs
+      .select(col(idCol).as("id"), lmSlice.as("in_lm"),
+        explode(Dedup.wordShingles(col(textCol), 2)).as("sh"))
+      .withColumn("w1", substring_index(col("sh"), " ", 1))
+      .withColumn("w2", substring_index(col("sh"), " ", -1))
+      .drop("sh")
+
+    val lmBg = bg.filter(col("in_lm"))
+    // c(w1,w2) and its marginal c(w1,·) = Σ_w2 c(w1,w2): one shuffle for
+    // the pair counts, the marginal folds from the (already tiny) table
+    val c12 = lmBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    // V = distinct vocabulary of the slice (both positions — a word seen
+    // only sentence-finally still counts as known)
+    val v = lmBg.select(col("w1").as("w")).union(lmBg.select(col("w2").as("w")))
+      .agg(countDistinct("w")).head().getLong(0)
+
+    val scored = bg.filter(!col("in_lm"))
+      .join(c12.hint("shuffle_hash"), Seq("w1", "w2"), "left_outer")
+      .join(c1.hint("shuffle_hash"), Seq("w1"), "left_outer")
+      .withColumn("nll",
+        round(-log((coalesce(col("c12"), lit(0L)) + lit(K)) /
+          (coalesce(col("c1"), lit(0L)) + lit(K) * lit(v.toDouble))), 9)
+          .cast("decimal(28,9)"))
+    scored.groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum("nll").as("sum_nll"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("sum_nll").cast("double") / col("n_bigrams"), 6).as("avg_nll"))
+  }
+}

@@ -1693,6 +1693,44 @@ object Catalog {
       },
       None), // k-means cells — not DuckDB-expressible
 
+    Entry("dedup_semantic_md5",
+      // the ORACLED SemDeDup gate: same clusterDupPairs + CC path as
+      // dedup_semantic, but the cell assignment is a DETERMINISTIC
+      // axis-sign hyperplane bucket (sign pattern of dims 0-5) over an
+      // md5-perturbed planted corpus — both engines hash the same
+      // `sem:<id>:<i>` strings and round the planted values through
+      // float, so the inputs are bit-identical and the in-cell cosine
+      // join + connected components are cross-engine checkable. The
+      // k-means assignment path (dedup_semantic) stays rows-only by
+      // necessity; this closes the family's oracle gap the way
+      // dedup_simhash_md5_pairs does for SimHash. Output: dropped rows.
+      (s, d) => {
+        val e = embs(s, d).select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding"))
+        // md5-derived per-dim perturbation ±0.0125 ⇒ planted cos ≈ 0.998,
+        // far above tau AND far above any random in-cell pair (≤ ~0.6 at
+        // 64 dims) — the threshold never decides within float noise
+        // the hash input must be the BASE id: naming it uniquely keeps the
+        // lambda's reference from resolving against the +offset output alias
+        val shadow = e.select(col("vec_id").as("base_id"), col("embedding"))
+          .select((col("base_id") + lit(1000000L)).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              (x.cast("double") +
+                (conv(substring(md5(concat(lit("sem:"), col("base_id").cast("string"),
+                  lit(":"), i.cast("string"))), 1, 4), 16, 10).cast("double")
+                  - lit(32767.5)) / lit(2621400.0)).cast("float")).as("embedding"))
+        val planted = e.unionByName(shadow)
+        val assign = planted.select(col("vec_id").as("id"),
+          (0 until 6).map(i =>
+            when(element_at(col("embedding"), i + 1) >= 0, lit(1L << i))
+              .otherwise(lit(0L))).reduce(_ + _).as("cl"))
+        SemDedup.semanticDedup(planted, "vec_id", "embedding", assign, tau = 0.98)
+          .filter(col("is_dup") === 1)
+          .select(col("id"), col("cluster_id"), col("kept_id"))
+          .orderBy("id")
+      },
+      Some(Oracles.semanticMd5Oracle)),
+
     Entry("dedup_vec_ingest_gate",
       // the EMBEDDING ingest gate's batch contract: run the real
       // StreamVecDup state machine over the shadow-planted corpus — seed
@@ -1901,6 +1939,20 @@ object Catalog {
       None), // KMeans quantizer — not DuckDB-expressible
 
     // ----- §7.5 text analysis
+    Entry("text_lm_score",
+      // CCNet-style LM quality filter (TextLm): smoothed bigram LM
+      // trained on the doc_id % 13 reference slice, every other doc
+      // scored by mean per-bigram surprisal. The LM table is
+      // vocabulary-sized and precomputed; scoring is a shuffle_hash join
+      // against it (the corpus side never sorts); surprisal terms sum as
+      // DECIMAL(28,9) so the distributed per-doc sum is bit-reproducible
+      // by the single-node oracle.
+      (s, d) => TextLm.scoreDocs(docs(s, d), "doc_id", "text",
+          col("doc_id") % 13 === 0)
+        .withColumn("n_bigrams", col("n_bigrams").cast("long"))
+        .orderBy("doc_id"),
+      Some(Oracles.lmScoreOracle)),
+
     Entry("text_langid",
       (s, d) => docs(s, d)
         .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))

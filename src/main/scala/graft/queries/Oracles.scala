@@ -339,4 +339,82 @@ object Oracles {
        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS dist
        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b""".stripMargin
   }
+
+  /** Oracle for `text_lm_score`: add-k-smoothed bigram LM trained on the
+    * doc_id % 13 slice, mean per-bigram surprisal for every other doc.
+    * Surprisal terms round to 9 dp and sum as DECIMAL(28,9) — exact,
+    * order-independent addition, so the single-node replay reproduces
+    * the distributed sum bit-for-bit (the [[Bm25]] discipline).
+    */
+  val lmScoreOracle: String =
+    """WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+      |      FROM dd WHERE len(ws) >= 2),
+      |bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM x),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg WHERE doc_id % 13 = 0 GROUP BY 1, 2),
+      |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS v FROM (
+      |        SELECT w1 AS w FROM bg WHERE doc_id % 13 = 0
+      |        UNION ALL SELECT w2 FROM bg WHERE doc_id % 13 = 0)),
+      |t AS (SELECT bg.doc_id,
+      |        CAST(round(-ln((coalesce(c12.c12, 0) + 0.5) /
+      |          (coalesce(c1.c1, 0) + 0.5 * (SELECT v FROM v))), 9) AS DECIMAL(28,9)) AS nll
+      |      FROM bg
+      |      LEFT JOIN c12 ON c12.w1 = bg.w1 AND c12.w2 = bg.w2
+      |      LEFT JOIN c1 ON c1.w1 = bg.w1
+      |      WHERE bg.doc_id % 13 <> 0)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
+      |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Oracle for `dedup_semantic_md5`: the SemDeDup pair stage + CC over a
+    * DETERMINISTIC cell assignment (the discipline that made
+    * `dedup_simhash_md5_pairs` oracled where the xxhash paths cannot be).
+    * Plants one shadow per vector with an md5-derived per-dimension
+    * perturbation (both engines hash the same `sem:<id>:<i>` string and
+    * round through REAL, so the planted floats are bit-identical), assigns
+    * cells by the sign pattern of the first 6 dims (an axis-aligned
+    * hyperplane bucket — exact, no float-precision ambiguity), then
+    * replays the in-cell exact-cosine join and BFS-reachability connected
+    * components. Spark runs min-label propagation + pointer jumping — a
+    * different CC algorithm — so agreement is evidence, not echo.
+    */
+  val semanticMd5Oracle: String = {
+    // first 4 hex digits of md5 → integer in [0, 65535], one shared formula
+    val h4 = (0 until 4).map(j =>
+      s"(CAST(strpos('0123456789abcdef', substr(m, ${j + 1}, 1)) - 1 AS BIGINT) * ${1L << (4 * (3 - j))})")
+      .mkString(" + ")
+    s"""WITH RECURSIVE
+       |e AS (SELECT vec_id, unnest(embedding) AS x,
+       |      unnest(generate_series(0, len(embedding) - 1)) AS i FROM embeddings),
+       |shm AS (SELECT vec_id, i, x,
+       |        md5('sem:' || CAST(vec_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)) AS m FROM e),
+       |sh AS (SELECT vec_id + 1000000 AS vec_id, i,
+       |       CAST(CAST(x AS DOUBLE) + (CAST($h4 AS DOUBLE) - 32767.5) / 2621400.0 AS REAL) AS x
+       |       FROM shm),
+       |ap AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, i, CAST(x AS DOUBLE) AS x FROM e
+       |       UNION ALL
+       |       SELECT CAST(vec_id AS BIGINT), i, CAST(x AS DOUBLE) FROM sh),
+       |cl AS (SELECT vec_id, sum(CASE WHEN i < 6 AND x >= 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS cl
+       |       FROM ap GROUP BY 1),
+       |nm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ap GROUP BY 1),
+       |dot AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.x * b.x) AS dp
+       |        FROM ap a JOIN cl ca ON ca.vec_id = a.vec_id
+       |             JOIN cl cb ON cb.cl = ca.cl
+       |             JOIN ap b ON b.vec_id = cb.vec_id AND b.i = a.i AND a.vec_id < b.vec_id
+       |        GROUP BY 1, 2),
+       |ed AS (SELECT dot.id_a, dot.id_b
+       |       FROM dot JOIN nm na ON na.vec_id = dot.id_a
+       |                JOIN nm nb ON nb.vec_id = dot.id_b
+       |       WHERE dp / (na.nrm * nb.nrm) >= 0.98),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM ed
+       |          UNION ALL SELECT id_b, id_a FROM ed),
+       |reach(rid, rlabel) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT g.dst, reach.rlabel FROM reach JOIN edges g ON g.src = reach.rid),
+       |comp AS (SELECT rid, min(rlabel) AS cluster_id FROM reach GROUP BY rid)
+       |SELECT rid AS id, cluster_id, cluster_id AS kept_id
+       |FROM comp WHERE rid <> cluster_id ORDER BY id""".stripMargin
+  }
 }

@@ -60,8 +60,8 @@ object CdcStream {
     val dir = java.nio.file.Files.createTempDirectory("graft_events_sess")
     java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"),
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
-    val stream = spark.readStream.schema(schema).parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = graft.core.Tables.normalizeEventTs(
+        spark.readStream.schema(schema).parquet(dir.toString))
       .withWatermark("ts", "1 hour")
       .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n"),
@@ -109,11 +109,12 @@ object CdcStream {
     val link = dir.resolve("events.parquet")
     java.nio.file.Files.createSymbolicLink(link,
       java.nio.file.Paths.get(s"$sfDir/events.parquet"))
-    val stream = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(dir.toString)
-      // ts arrives as raw nanos (see Tables.loadEvents); event-time needs µs
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // ts physical type varies by fixture generation (see Tables.loadEvents);
+    // event-time semantics need session-TZ µs timestamps either way
+    val stream = graft.core.Tables.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(dir.toString))
     val agg = stream
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))

@@ -68,4 +68,17 @@ class SemDedupSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert((0L until 16L).forall(i => pairs.contains((i, i + 1000))))
   }
+
+  test("md5-planted oracled variant recovers most shadows, exemplar is always the base") {
+    // the cross-engine-checkable assignment (dedup_semantic_md5): planted
+    // shadow recall is bounded below only by sign-flip cell separation
+    // (~11% at 6 sign bits with eps ±0.0125 on sd 0.126 dims), and
+    // min-label CC must keep the BASE id (< shadow offset) of every
+    // component formed purely of base↔shadow pairs
+    val out = graft.queries.Catalog.queries("dedup_semantic_md5")(
+      TestSpark.spark, TestSpark.Sf).collect()
+    assert(out.length >= 400, s"expected >= 400 of 500 shadows dropped, got ${out.length}")
+    assert(out.forall(_.getLong(2) < 1000000L),
+      "every kept exemplar must be a base id (below the shadow offset)")
+  }
 }

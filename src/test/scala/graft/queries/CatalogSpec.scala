@@ -19,6 +19,26 @@ class CatalogSpec extends AnyFunSuite {
     assert(kinds == Set("changed", "deleted", "new", "unchanged"))
   }
 
+  test("every declared query analyzes against the current fixtures") {
+    // The r6 regression: the driver regenerated events.parquet with a new
+    // physical type and 8 declared queries silently threw AnalysisException
+    // — nothing in `sbt test` exercised the whole declared surface. This
+    // sweep forces construction + analysis (no execution) of every entry at
+    // sf0.001, so a fixture/env change turns `sbt test` red immediately.
+    // Eagerly-materializing harness entries (streaming state machines,
+    // versioned commits) are skipped here: they run real pipelines when
+    // invoked and have their own dedicated specs.
+    val eager = Set("cdc_bucketed_apply", "changelog_latest_compacted",
+      "dedup_ingest_gate", "dedup_vec_ingest_gate", "dedup_incremental_lsh",
+      "sim_ivf_persisted", "sim_ivf_delta", "text_idf_incremental",
+      "diff_apply_scaled")
+    val failures = Catalog.entries.filterNot(e => eager(e.name)).flatMap { e =>
+      try { e.q(spark, graft.TestSpark.Sf).queryExecution.analyzed; None }
+      catch { case ex: Exception => Some(s"${e.name}: ${ex.getMessage.linesIterator.next()}") }
+    }
+    assert(failures.isEmpty, s"queries failing analysis:\n${failures.mkString("\n")}")
+  }
+
   test("plan shapes: filters push to the parquet scan, projections prune ReadSchema") {
     // the scan-efficiency claims PERFORMANCE.md makes, pinned as
     // assertions: a selective predicate must reach PushedFilters (row
