@@ -54,10 +54,18 @@ object BucketedSnapshot {
     val current = Pipeline.currentVersion(baseDir).getOrElse(0L)
     if (version <= current) return current
     changelog.write.mode("overwrite").parquet(s"$baseDir/changelog/v=$version")
-    snapshotTouched.write.partitionBy(BucketCol).mode("overwrite")
-      .parquet(s"$baseDir/snapshot/v=$version")
-    stateTouched.write.partitionBy(BucketCol).mode("overwrite")
-      .parquet(s"$baseDir/state/v=$version")
+    // repartition on the bucket column BEFORE the dynamic-partition write:
+    // without it every shuffle task carries rows of every bucket and the
+    // writer fans out tasks×buckets files (measured 1024 files and 12.4 s
+    // for a 37.5k-row commit at 32×32 — r7 re-pin). One shuffle makes each
+    // task own whole buckets: one file per bucket dir, which is also the
+    // layout the bucket-pruned warm reads and the hard-link share protocol
+    // want — linkUntouched dedupes per FILE, so fewer, stabler files per
+    // bucket keep versions link-sharable at any scale.
+    snapshotTouched.repartition(col(BucketCol)).write.partitionBy(BucketCol)
+      .mode("overwrite").parquet(s"$baseDir/snapshot/v=$version")
+    stateTouched.repartition(col(BucketCol)).write.partitionBy(BucketCol)
+      .mode("overwrite").parquet(s"$baseDir/state/v=$version")
     if (current > 0) {
       val touchedDirs = touched.map(b => s"$BucketCol=$b").toSet
       for (what <- Seq("snapshot", "state"))
