@@ -34,6 +34,51 @@ object TextLm {
   /** Smoothing pseudo-count (add-k). */
   val K: Double = 0.5
 
+  /** A trained model: pair counts, left-marginals, vocabulary size.
+    * `c12`/`c1` are vocabulary-sized DataFrames (persistable as plain
+    * parquet — what the streaming gate does); `v` is the one driver
+    * scalar of the pipeline.
+    */
+  final case class Lm(c12: DataFrame, c1: DataFrame, v: Long)
+
+  /** Bigrams of every doc: (id, w1, w2), one row per adjacent pair. */
+  def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(Dedup.wordShingles(col(textCol), 2)).as("sh"))
+      .withColumn("w1", substring_index(col("sh"), " ", 1))
+      .withColumn("w2", substring_index(col("sh"), " ", -1))
+      .drop("sh")
+
+  /** Train on a reference corpus: one shuffle for the pair counts, the
+    * marginal and vocabulary fold from the (already vocabulary-sized)
+    * pair table.
+    */
+  def train(refDocs: DataFrame, idCol: String, textCol: String): Lm = {
+    val lmBg = bigrams(refDocs, idCol, textCol)
+    val c12 = lmBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    // V = distinct vocabulary of the slice (both positions — a word seen
+    // only sentence-finally still counts as known)
+    val v = lmBg.select(col("w1").as("w")).union(lmBg.select(col("w2").as("w")))
+      .agg(countDistinct("w")).head().getLong(0)
+    Lm(c12, c1, v)
+  }
+
+  /** Score `docs` under a trained model: (id, n_bigrams, avg_nll). */
+  def scoreWith(lm: Lm, docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = bigrams(docs, idCol, textCol)
+      .join(lm.c12.hint("shuffle_hash"), Seq("w1", "w2"), "left_outer")
+      .join(lm.c1.hint("shuffle_hash"), Seq("w1"), "left_outer")
+      .withColumn("nll",
+        round(-log((coalesce(col("c12"), lit(0L)) + lit(K)) /
+          (coalesce(col("c1"), lit(0L)) + lit(K) * lit(lm.v.toDouble))), 9)
+          .cast("decimal(28,9)"))
+    scored.groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum("nll").as("sum_nll"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("sum_nll").cast("double") / col("n_bigrams"), 6).as("avg_nll"))
+  }
+
   /** Per-document LM score over `docs`: bigrams of the slice selected by
     * `lmSlice` train the model; every document NOT in the slice gets
     * (doc_id, n_bigrams, avg_nll) where avg_nll is the mean
@@ -44,33 +89,7 @@ object TextLm {
     */
   def scoreDocs(docs: DataFrame, idCol: String, textCol: String,
                 lmSlice: org.apache.spark.sql.Column): DataFrame = {
-    val bg = docs
-      .select(col(idCol).as("id"), lmSlice.as("in_lm"),
-        explode(Dedup.wordShingles(col(textCol), 2)).as("sh"))
-      .withColumn("w1", substring_index(col("sh"), " ", 1))
-      .withColumn("w2", substring_index(col("sh"), " ", -1))
-      .drop("sh")
-
-    val lmBg = bg.filter(col("in_lm"))
-    // c(w1,w2) and its marginal c(w1,·) = Σ_w2 c(w1,w2): one shuffle for
-    // the pair counts, the marginal folds from the (already tiny) table
-    val c12 = lmBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
-    // V = distinct vocabulary of the slice (both positions — a word seen
-    // only sentence-finally still counts as known)
-    val v = lmBg.select(col("w1").as("w")).union(lmBg.select(col("w2").as("w")))
-      .agg(countDistinct("w")).head().getLong(0)
-
-    val scored = bg.filter(!col("in_lm"))
-      .join(c12.hint("shuffle_hash"), Seq("w1", "w2"), "left_outer")
-      .join(c1.hint("shuffle_hash"), Seq("w1"), "left_outer")
-      .withColumn("nll",
-        round(-log((coalesce(col("c12"), lit(0L)) + lit(K)) /
-          (coalesce(col("c1"), lit(0L)) + lit(K) * lit(v.toDouble))), 9)
-          .cast("decimal(28,9)"))
-    scored.groupBy(col("id").as(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum("nll").as("sum_nll"))
-      .select(col(idCol), col("n_bigrams"),
-        round(col("sum_nll").cast("double") / col("n_bigrams"), 6).as("avg_nll"))
+    val lm = train(docs.filter(lmSlice), idCol, textCol)
+    scoreWith(lm, docs.filter(!lmSlice), idCol, textCol)
   }
 }

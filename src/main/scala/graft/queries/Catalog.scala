@@ -1693,6 +1693,39 @@ object Catalog {
       },
       None), // k-means cells — not DuckDB-expressible
 
+    Entry("dedup_substring_exact",
+      // exact substring-duplication pairs (Lee et al. 2022 shape, via
+      // the MOSS fingerprint-index construction instead of a suffix
+      // array): every position's 40-char md5 gram indexed, hub grams
+      // (df > 1000 — template noise) dropped before the pair join, docs
+      // paired by shared distinct fingerprints. No doc×doc comparison;
+      // grams hash-partition by fingerprint. DuckDB replays it exactly.
+      (s, d) => SubstringDedup.sharedGramPairs(docs(s, d), "doc_id", "text",
+          L = 40, minShared = 5)
+        .orderBy("id_a", "id_b"),
+      Some(Oracles.substringPairsOracle(l = 40, minShared = 5, maxDf = 1000))),
+
+    Entry("dedup_substring_winnowed",
+      // the 100 TB path: robust winnowing (window-min fingerprints,
+      // ~2/(w+1) of the gram volume) — any shared run ≥ L+w-1 chars
+      // still collides on a surviving fingerprint. xxhash64 grams →
+      // rows-only; SubstringDedupSpec pins recall against the exact
+      // variant on the planted fixture overlaps.
+      (s, d) => SubstringDedup.winnowedGramPairs(docs(s, d), "doc_id", "text",
+          L = 40, w = 8, minShared = 2)
+        .orderBy("id_a", "id_b"),
+      None), // xxhash64 fingerprints — not DuckDB-expressible
+
+    Entry("text_dup_span_stats",
+      // per-doc duplicated-substring profile (the Lee et al. 2022 corpus
+      // metric): fraction of 40-gram positions whose gram appears in ≥ 2
+      // distinct docs. One distinct + one vocab-sized df agg + one hash
+      // join back, everything partitioned by gram hash — linear in
+      // corpus chars at any scale.
+      (s, d) => SubstringDedup.dupSpanStats(docs(s, d), "doc_id", "text", L = 40)
+        .orderBy("doc_id"),
+      Some(Oracles.dupSpanStatsOracle(l = 40))),
+
     Entry("dedup_semantic_md5",
       // the ORACLED SemDeDup gate: same clusterDupPairs + CC path as
       // dedup_semantic, but the cell assignment is a DETERMINISTIC
@@ -1952,6 +1985,26 @@ object Catalog {
         .withColumn("n_bigrams", col("n_bigrams").cast("long"))
         .orderBy("doc_id"),
       Some(Oracles.lmScoreOracle)),
+
+    Entry("stream_lm_gate",
+      // the streaming QUALITY gate's batch contract, oracled: the real
+      // StreamLmGate state machine — LM trained on the wave-0 seed and
+      // persisted, waves 1 and 2 scored against the static parquet state
+      // and admitted by the scale-free ln(V) ceiling, partition-
+      // overwrite versioning. Completes the gate family (near-dup / vec
+      // / quality).
+      (s, d) => {
+        val all = docs(s, d)
+        val st = scratchDir("stream_lm_gate", d)
+        graft.stream.StreamLmGate.seed(all.filter(col("doc_id") % 3 === 0), st)
+        graft.stream.StreamLmGate.processBatch(all.filter(col("doc_id") % 3 === 1), st, 1L)
+        graft.stream.StreamLmGate.processBatch(all.filter(col("doc_id") % 3 === 2), st, 2L)
+        graft.stream.StreamLmGate.scores(s, st)
+          .select(col("doc_id"), col("n_bigrams"), col("avg_nll"),
+            col("admitted"), col("batch").cast("long").as("batch"))
+          .orderBy("doc_id")
+      },
+      Some(Oracles.streamLmGateOracle)),
 
     Entry("text_langid",
       (s, d) => docs(s, d)

@@ -340,6 +340,41 @@ object Oracles {
        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Oracle for `dedup_substring_exact`: every-position 40-char gram
+    * fingerprints (md5 — same string, same hash in both engines), hub
+    * grams above the df cap dropped, doc pairs counted by shared
+    * distinct fingerprints. Replays [[graft.ext.SubstringDedup
+    * .sharedGramPairs]] with DuckDB's generate_series/substr.
+    */
+  def substringPairsOracle(l: Int, minShared: Int, maxDf: Int): String =
+    s"""WITH x AS (SELECT doc_id, text, unnest(generate_series(1, len(text) - ${l - 1})) AS i
+       |           FROM documents WHERE len(text) >= $l),
+       |g AS (SELECT DISTINCT doc_id, md5(substr(text, i, $l)) AS h FROM x),
+       |kept AS (SELECT g.doc_id, g.h FROM g
+       |         JOIN (SELECT h FROM g GROUP BY h HAVING count(*) <= $maxDf) f
+       |           ON f.h = g.h),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+       |      FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= $minShared
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Oracle for `text_dup_span_stats`: per-position L-gram duplication
+    * flags (gram present in ≥ 2 distinct docs), aggregated per doc.
+    */
+  def dupSpanStatsOracle(l: Int): String =
+    s"""WITH x AS (SELECT doc_id, text, unnest(generate_series(1, len(text) - ${l - 1})) AS i
+       |           FROM documents WHERE len(text) >= $l),
+       |ph AS (SELECT doc_id, md5(substr(text, i, $l)) AS h FROM x),
+       |dfh AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM ph GROUP BY 1)
+       |        WHERE nd >= 2)
+       |SELECT ph.doc_id, count(*) AS n_grams,
+       |       CAST(sum(CASE WHEN dfh.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |       round(CAST(sum(CASE WHEN dfh.h IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |             / count(*), 6) AS dup_frac
+       |FROM ph LEFT JOIN dfh ON dfh.h = ph.h
+       |GROUP BY ph.doc_id ORDER BY ph.doc_id""".stripMargin
+
   /** Oracle for `text_lm_score`: add-k-smoothed bigram LM trained on the
     * doc_id % 13 slice, mean per-bigram surprisal for every other doc.
     * Surprisal terms round to 9 dp and sum as DECIMAL(28,9) — exact,
@@ -365,6 +400,37 @@ object Oracles {
       |      WHERE bg.doc_id % 13 <> 0)
       |SELECT doc_id, count(*) AS n_bigrams,
       |       round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
+      |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Oracle for `stream_lm_gate`: the gate's batch contract replayed —
+    * LM from wave 0 (doc_id % 3 = 0), waves 1 and 2 scored with the
+    * [[lmScoreOracle]] formula, admission = avg_nll ≤ ln(V), version =
+    * the scoring wave. (The gate scores each wave independently against
+    * the STATIC seed LM, so the batch replay is exactly the sliced batch
+    * computation — no cross-wave state to reconstruct.)
+    */
+  val streamLmGateOracle: String =
+    """WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+      |      FROM dd WHERE len(ws) >= 2),
+      |bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM x),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg WHERE doc_id % 3 = 0 GROUP BY 1, 2),
+      |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS v FROM (
+      |        SELECT w1 AS w FROM bg WHERE doc_id % 3 = 0
+      |        UNION ALL SELECT w2 FROM bg WHERE doc_id % 3 = 0)),
+      |t AS (SELECT bg.doc_id,
+      |        CAST(round(-ln((coalesce(c12.c12, 0) + 0.5) /
+      |          (coalesce(c1.c1, 0) + 0.5 * (SELECT v FROM v))), 9) AS DECIMAL(28,9)) AS nll
+      |      FROM bg
+      |      LEFT JOIN c12 ON c12.w1 = bg.w1 AND c12.w2 = bg.w2
+      |      LEFT JOIN c1 ON c1.w1 = bg.w1
+      |      WHERE bg.doc_id % 3 <> 0)
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |       round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll,
+      |       CAST(round(CAST(sum(nll) AS DOUBLE) / count(*), 6)
+      |            <= 0.98 * ln((SELECT v FROM v)) AS INTEGER) AS admitted,
+      |       CAST(doc_id % 3 AS BIGINT) AS batch
       |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** Oracle for `dedup_semantic_md5`: the SemDeDup pair stage + CC over a

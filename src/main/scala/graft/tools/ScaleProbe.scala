@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * vectors), same warm JVM. Linear paths should show ~4× wall; anything
   * past its family threshold is a scale bug the 500k corpus hid.
   *
-  * Output is a TRACKED artifact (default `/root/repo/SCALE_r6.json`):
+  * Output is a TRACKED artifact (default `/root/repo/SCALE_r7.json`):
   * per-query base/4× seconds, the ratio, its threshold, and pass/fail —
   * and the probe EXITS NONZERO on any breach, so the two super-linear
   * plans r5 caught and fixed (quadratic fixed-plane embedding LSH at
@@ -45,7 +45,8 @@ object ScaleProbe {
     "dedup_minhash_lsh", "dedup_clusters", "dedup_embedding_cosine",
     "text_quality", "text_contamination", "pack_sequences", "sim_ivf",
     "mm_image_dedup_check", "sim_decontaminate",
-    "graph_pagerank", "text_bm25_search", "dedup_semantic", "sim_pq_rerank")
+    "graph_pagerank", "text_bm25_search", "dedup_semantic", "sim_pq_rerank",
+    "text_lm_score")
 
   /** Wall-ratio ceiling at 4× data. A breach fails the run. */
   private val Thresholds: Map[String, Double] = Map(
@@ -63,7 +64,21 @@ object ScaleProbe {
     "text_bm25_search" -> 5.0,       // broadcast-term-pruned postings: linear
     "dedup_semantic" -> 6.0,         // PINS constant-k assignment: k = n/256
                                      // would make assignment O(n²) → ~12×
-    "sim_pq_rerank" -> 5.0)          // constant train, linear encode+ADC
+    "sim_pq_rerank" -> 5.0,          // constant train, linear encode+ADC
+    "text_lm_score" -> 5.0)          // LM table vocab-sized; scoring join linear
+  // NOT probed, deliberately:
+  //  - cdc_bucketed_apply: the 4× dir symlinks the same orders table, so
+  //    its ratio is identically ~1 and gates nothing — its 1024-file
+  //    commit regression is pinned by the file-count assertion in
+  //    ContinuousApplyBucketedSpec instead.
+  //  - dedup_semantic_md5: its 6 axis-sign cells skew hard on the
+  //    correlated bench embeddings (measured: the in-cell pair join runs
+  //    ~n·cap/2 pairs ≈ 10+ min at 800k rows), which is the DESIGNED
+  //    trade — the fixed deterministic assignment exists for DuckDB
+  //    replayability at oracle scale, not as the corpus-scale path. Its
+  //    correctness gate is the oracle; its scale machinery
+  //    (clusterDupPairs' census-sized sub-split) is probed through
+  //    dedup_semantic, which shares the exact code path.
   private val DefaultThreshold = 6.0
 
   /** Untimed per-probe preparation: materialize input corpora that are
@@ -77,7 +92,7 @@ object ScaleProbe {
       "/root/testdata/sf0.1").split(",").toSeq
     val probes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").toSeq).getOrElse(DefaultProbes) ++ args
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALE_r6.json")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALE_r7.json")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")

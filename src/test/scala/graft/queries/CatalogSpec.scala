@@ -31,7 +31,7 @@ class CatalogSpec extends AnyFunSuite {
     val eager = Set("cdc_bucketed_apply", "changelog_latest_compacted",
       "dedup_ingest_gate", "dedup_vec_ingest_gate", "dedup_incremental_lsh",
       "sim_ivf_persisted", "sim_ivf_delta", "text_idf_incremental",
-      "diff_apply_scaled")
+      "diff_apply_scaled", "stream_lm_gate")
     val failures = Catalog.entries.filterNot(e => eager(e.name)).flatMap { e =>
       try { e.q(spark, graft.TestSpark.Sf).queryExecution.analyzed; None }
       catch { case ex: Exception => Some(s"${e.name}: ${ex.getMessage.linesIterator.next()}") }

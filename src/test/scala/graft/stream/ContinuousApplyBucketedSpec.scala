@@ -104,6 +104,15 @@ class ContinuousApplyBucketedSpec extends AnyFunSuite {
     val rewritten = v2.filter { case (rel, ino) => !v1.get(rel).contains(ino) }
     assert(rewritten.keys.exists(rel =>
       touched.exists(b => rel.startsWith(s"${BucketedSnapshot.BucketCol}=$b/"))))
+
+    // commit layout: ONE file per bucket dir. Without the repartition on
+    // the bucket column, the dynamic-partition write fans out
+    // tasks × buckets files (measured 1024 for a 32×32 commit — the r6
+    // cdc_bucketed_apply drift); this pins the fix at the layout level,
+    // where a probe ratio cannot (both probe dirs share the same orders)
+    val filesPerDir = v1.keys.groupBy(_.split('/').head).values.map(_.size)
+    assert(filesPerDir.forall(_ == 1),
+      s"expected one parquet file per bucket dir, got ${filesPerDir.max} in some dir")
   }
 
   test("maxFilesPerTrigger=1 drains pending files as separate versioned commits in one run") {
