@@ -52,11 +52,20 @@ object SubstringDedup {
   def sharedGramPairs(docs: DataFrame, idCol: String, textCol: String,
                       L: Int = 40, minShared: Int = 5,
                       maxDf: Int = 1000): DataFrame = {
+    // the fingerprint index is built ONCE and persisted: without this the
+    // hub-count aggregate and both sides of the pair self-join each
+    // re-run the explode+distinct from the raw text (4 corpus scans,
+    // plan-audited r7 — Spark has no subplan CSE across self-join
+    // aliases). At full corpus scale the same index would be WRITTEN,
+    // suffix-array-pipeline style, and probed per-slice.
     val g = allGrams(docs, idCol, textCol, L)
-    val kept = g.join(
-      g.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
-        .select("h").hint("shuffle_hash"),
-      Seq("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // hub fingerprints are FEW (only templates exceed the cap): an anti
+    // join against the broadcast hub set beats inner-joining the full
+    // keep-list back onto the index
+    val hub = g.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
+      .select("h")
+    val kept = g.join(broadcast(hub), Seq("h"), "left_anti")
     val a = kept.as("a"); val b = kept.as("b")
     a.join(b, col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -110,10 +119,10 @@ object SubstringDedup {
           s"sequence(0, greatest(size(hs) - $w, 0))," +
           s" i -> array_min(slice(hs, i + 1, $w))))")).as("h"))
       .distinct()
-    val kept = g.join(
-      g.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") <= maxDf)
-        .select("h").hint("shuffle_hash"),
-      Seq("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hub = g.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
+      .select("h")
+    val kept = g.join(broadcast(hub), Seq("h"), "left_anti")
     val a = kept.as("a"); val b = kept.as("b")
     a.join(b, col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))

@@ -54,12 +54,19 @@ object TextLm {
     * pair table.
     */
   def train(refDocs: DataFrame, idCol: String, textCol: String): Lm = {
-    val lmBg = bigrams(refDocs, idCol, textCol)
-    val c12 = lmBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // the pair table is the ONLY corpus-pass product; persist it so the
+    // marginal, the vocabulary count, and the scoring join all read the
+    // vocabulary-sized cache instead of re-exploding the reference slice
+    // (plan-audited r7: unpersisted, V and c1 each rescanned the slice)
+    val c12 = bigrams(refDocs, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
-    // V = distinct vocabulary of the slice (both positions — a word seen
-    // only sentence-finally still counts as known)
-    val v = lmBg.select(col("w1").as("w")).union(lmBg.select(col("w2").as("w")))
+    // V = distinct vocabulary of the slice, derived from the pair table:
+    // every token of every ≥2-token doc appears in some bigram (either
+    // side), so vocab(c12.w1 ∪ c12.w2) IS the slice vocabulary — no
+    // second corpus pass
+    val v = c12.select(col("w1").as("w")).union(c12.select(col("w2").as("w")))
       .agg(countDistinct("w")).head().getLong(0)
     Lm(c12, c1, v)
   }
