@@ -748,6 +748,37 @@ object Catalog {
       Some(s"""${Fixture.OracleCtes}
               |SELECT * FROM base ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
+    Entry("diff_apply_evolve",
+      // SCHEMA EVOLUTION through the CDC apply path: the source gains a
+      // column mid-stream (the replicator applies the ALTER as a NULL
+      // backfill on the replica, then keeps diffing on the ORIGINAL
+      // data columns so existing signatures stay valid — no full
+      // resync). Fetched rows (changed/new) carry the new column's
+      // values; unchanged rows keep NULL until they next change —
+      // incremental-CDC semantics (values arrive only with refetched
+      // rows), proven against a DuckDB replay of exactly that contract.
+      (s, d) => {
+        // ×2 is exact in binary floating point — no round() whose
+        // half-up/half-even divergence across engines would flip cents
+        val extra = col("l_extendedprice") * 2
+        val i = Fixture.internal(s, d)
+          .withColumn("l_extra", lit(null).cast("double"))
+        val e = Fixture.external(s, d).withColumn("l_extra", extra)
+        // diff on the ORIGINAL columns only: the new column must not
+        // perturb signatures (it would reclassify every row "changed"
+        // and force a full refetch — the failure mode this entry pins)
+        Diff.diffApply(i, e, K, Fixture.DataCols)
+          .orderBy(keyCols: _*)
+      },
+      Some(s"""${Fixture.OracleCtes},
+              |${Oracles.kindsCte}
+              |SELECT b.*, CASE WHEN k.kind = 'unchanged' THEN NULL
+              |                 ELSE b.l_extendedprice * 2 END AS l_extra
+              |FROM base b JOIN kinds k
+              |  ON k.l_orderkey = b.l_orderkey AND k.l_linenumber = b.l_linenumber
+              |WHERE k.kind <> 'deleted'
+              |ORDER BY b.l_orderkey, b.l_linenumber""".stripMargin)),
+
     Entry("diff_apply_scaled",
       // the CDC core at SYNTHETIC scale, declared so its at-scale
       // throughput is tracked round-over-round like the dedup family
@@ -1154,6 +1185,77 @@ object Catalog {
              |SELECT min(ts) AS session_start, user_id, count(*) AS n,
              | round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS total_value
              |FROM s GROUP BY user_id, sid ORDER BY 2, 1""".stripMargin)),
+
+    Entry("events_funnel",
+      // ordered-sequence funnel (view → click → purchase) per user: each
+      // stage's earliest qualifying timestamp must follow the previous
+      // stage's. Stage scans are pushdown-filtered by event_type (only
+      // that type's rows leave the parquet scan), per-user mins shuffle
+      // on user_id once per stage, and the final assembly is two left
+      // joins on the (user-cardinality) stage tables — linear at any
+      // event volume, no window over the full stream. Output timestamps
+      // cast to timestamp_ntz for DuckDB's naive-timestamp parity (the
+      // tumbling-counts discipline).
+      (s, d) => {
+        val ev = Tables.loadEvents(s, d)
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts").as("t_view"))
+        val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+          .filter(col("ts") > col("t_view"))
+          .groupBy("user_id").agg(min("ts").as("t_click"))
+        val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+          .filter(col("ts") > col("t_click"))
+          .groupBy("user_id").agg(min("ts").as("t_purchase"))
+        v.join(c, Seq("user_id"), "left_outer")
+          .join(p, Seq("user_id"), "left_outer")
+          .select(col("user_id"),
+            col("t_view").cast("timestamp_ntz").as("t_view"),
+            col("t_click").cast("timestamp_ntz").as("t_click"),
+            col("t_purchase").cast("timestamp_ntz").as("t_purchase"),
+            (lit(1) + col("t_click").isNotNull.cast("int")
+              + col("t_purchase").isNotNull.cast("int")).as("stage"))
+          .orderBy("user_id")
+      },
+      Some("""WITH v AS (SELECT user_id, min(ts) AS tv FROM events
+             |           WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(e.ts) AS tc FROM events e
+             |      JOIN v ON v.user_id = e.user_id AND e.ts > v.tv
+             |      WHERE e.event_type = 'click' GROUP BY 1),
+             |p AS (SELECT e.user_id, min(e.ts) AS tp FROM events e
+             |      JOIN c ON c.user_id = e.user_id AND e.ts > c.tc
+             |      WHERE e.event_type = 'purchase' GROUP BY 1)
+             |SELECT v.user_id, v.tv AS t_view, c.tc AS t_click, p.tp AS t_purchase,
+             |       1 + CAST(c.tc IS NOT NULL AS INTEGER)
+             |         + CAST(p.tp IS NOT NULL AS INTEGER) AS stage
+             |FROM v LEFT JOIN c ON c.user_id = v.user_id
+             |       LEFT JOIN p ON p.user_id = v.user_id
+             |ORDER BY v.user_id""".stripMargin)),
+
+    Entry("events_retention",
+      // cohort retention matrix: users bucket into their first-activity
+      // day; each (cohort_day, day_offset) cell counts distinct users
+      // active that many days later. Two aggregates (first-seen per
+      // user, distinct active days per user) and one join — the whole
+      // matrix is cohort-days × horizon, tiny at any event volume.
+      (s, d) => {
+        val ev = Tables.loadEvents(s, d)
+        val cohort = ev.groupBy("user_id")
+          .agg(to_date(min("ts")).as("cohort_day"))
+        val active = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        active.join(cohort, "user_id")
+          .groupBy(col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+          .agg(countDistinct("user_id").as("n_users"))
+          .withColumn("day_offset", col("day_offset").cast("long"))
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some("""WITH cohort AS (SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+             |                FROM events GROUP BY 1),
+             |active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+             |SELECT c.cohort_day,
+             |       CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) AS day_offset,
+             |       count(DISTINCT a.user_id) AS n_users
+             |FROM active a JOIN cohort c ON c.user_id = a.user_id
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
     Entry("range_join_counts",
       (s, d) => { // pure range (point-in-interval) join, NO equi key:
