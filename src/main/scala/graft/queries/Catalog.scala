@@ -2552,7 +2552,116 @@ object Catalog {
              |                      WHEN 1 THEN 0
              |                      ELSE 24 + ((doc_id % 50) % 3) * 8 END AS INTEGER) AS height,
              | CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2000 ELSE 3 END AS BIGINT) AS n_frames
-             |FROM documents ORDER BY media_id""".stripMargin))
+             |FROM documents ORDER BY media_id""".stripMargin)),
+
+    Entry("text_bpe_pairs",
+      // the distributed kernel of BPE tokenizer training: weighted
+      // adjacent-character pair counts over the VOCABULARY (word ×
+      // frequency — the corpus is scanned once, the pair explode runs
+      // over distinct words only). Top 30 fully ordered, so the argmax
+      // the first merge round would pick is pinned cross-engine.
+      (s, d) => {
+        val w = Bpe.wordCounts(docs(s, d), "text")
+          .filter(length(col("word")) >= 2)
+        w.select(col("word"), col("freq"),
+            explode(sequence(lit(1), length(col("word")) - 1)).as("i"))
+          .select(expr("substring(word, i, 1)").as("lft"),
+            expr("substring(word, i + 1, 1)").as("rgt"), col("freq"))
+          .groupBy("lft", "rgt").agg(sum("freq").as("cnt"))
+          .orderBy(desc("cnt"), col("lft"), col("rgt"))
+          .limit(30)
+      },
+      Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+             |f AS (SELECT word, CAST(count(*) AS BIGINT) AS freq FROM t
+             |      WHERE len(word) >= 2 GROUP BY 1),
+             |p AS (SELECT substr(word, i, 1) AS lft, substr(word, i + 1, 1) AS rgt, freq
+             |      FROM (SELECT word, freq, unnest(generate_series(1, len(word) - 1)) AS i
+             |            FROM f))
+             |SELECT lft, rgt, CAST(sum(freq) AS BIGINT) AS cnt
+             |FROM p GROUP BY 1, 2 ORDER BY cnt DESC, lft, rgt LIMIT 30""".stripMargin)),
+
+    Entry("text_bpe_train",
+      // 8 learned BPE merges over the fixture corpus (ext.Bpe): the
+      // iterative argmax + greedy merge-apply loop. Rows-only: each
+      // round's merge application is greedy leftmost-first over the
+      // evolving symbol string (zero-width-lookaround regex), which RE2
+      // (DuckDB) cannot express — BpeSpec pins the algebra against a
+      // hand-computed classic corpus instead, and `text_bpe_pairs`
+      // oracles the counting kernel the loop is built from.
+      (s, d) => Bpe.trainTable(docs(s, d), "text", rounds = 8)
+        .orderBy("round"),
+      None),
+
+    Entry("corpus_split_safe",
+      // leakage-safe train/valid/test split: the assignment hashes the
+      // doc's near-dup CLUSTER representative, not the doc itself, so
+      // near-duplicates can never straddle train and test (the classic
+      // eval-contamination bug that per-doc hash splits have). Reuses
+      // the memoized LSH cluster resolution; the split itself is one
+      // narrow md5 projection — no extra shuffle beyond the clustering.
+      (s, d) => {
+        val b = substring(
+          md5(col("cluster_id").cast("string").cast("binary")), 1, 2)
+        lshClusters(s, d).select(col("id"), col("cluster_id"),
+            when(b < "cc", "train").when(b < "e6", "valid")
+              .otherwise("test").as("split"))
+          .orderBy("id")
+      },
+      Some(s"""WITH RECURSIVE ${Oracles.lshClusterCtesBody}
+              |SELECT id, cluster_id,
+              | CASE WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'cc' THEN 'train'
+              |      WHEN substr(md5(CAST(cluster_id AS VARCHAR)), 1, 2) < 'e6' THEN 'valid'
+              |      ELSE 'test' END AS split
+              |FROM clusters ORDER BY id""".stripMargin)),
+
+    Entry("text_chunk_overlap",
+      // RAG-style overlapping chunking: windows of 64 tokens, stride 48
+      // (16-token overlap), the op that feeds an embedding model. Pure
+      // map-side explode — zero shuffles, trivially linear at any scale;
+      // the chunk's head token is materialized to prove the offsets
+      // index real tokens, not just arithmetic.
+      (s, d) => {
+        val toks = split(col("text"), " ")
+        docs(s, d).select(col("doc_id"), toks.as("t"),
+            size(toks).as("n_tok"))
+          .select(col("doc_id"), col("t"), col("n_tok"),
+            explode(sequence(lit(0), greatest(col("n_tok") - 1, lit(0)),
+              lit(48))).as("tok_start"))
+          .select(col("doc_id"),
+            (col("tok_start") / 48).cast("long").as("chunk_id"),
+            col("tok_start").cast("long").as("tok_start"),
+            least(col("tok_start") + 64, col("n_tok")).cast("long").as("tok_end"),
+            element_at(col("t"), col("tok_start") + 1).as("head_tok"))
+          .orderBy("doc_id", "chunk_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+             |x AS (SELECT doc_id, ws, len(ws) AS n_tok,
+             |        unnest(generate_series(0, greatest(len(ws) - 1, 0), 48)) AS tok_start
+             |      FROM t)
+             |SELECT doc_id, CAST(tok_start / 48 AS BIGINT) AS chunk_id,
+             | CAST(tok_start AS BIGINT) AS tok_start,
+             | CAST(least(tok_start + 64, n_tok) AS BIGINT) AS tok_end,
+             | ws[tok_start + 1] AS head_tok
+             |FROM x ORDER BY doc_id, chunk_id""".stripMargin)),
+
+    Entry("agg_cube",
+      // full CUBE over two dims (rollup's sibling — reference
+      // post_update.py computes per-tribe stats; a dashboard over them
+      // wants the cross-tabulation with all subtotal planes)
+      (s, d) => Tables.load(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 6).as("total"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"))
+        .orderBy(col("g_status"), col("g_prio"),
+          col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS total,
+             | CAST(grouping(o_orderstatus) AS INT) AS g_status,
+             | CAST(grouping(o_orderpriority) AS INT) AS g_prio
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.q).toMap
