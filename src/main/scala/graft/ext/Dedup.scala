@@ -220,6 +220,35 @@ object Dedup {
     round(inter / (size(wa) + size(wb) - inter), 6)
   }
 
+  /** Asymmetric n-gram CONTAINMENT scoring of LSH candidate pairs:
+    * containment(A→B) = |A∩B| / |A| over distinct word sets — the metric
+    * that catches sub-document duplication (one doc mostly quoted inside
+    * a larger one), where symmetric Jaccard dilutes below any threshold
+    * as the containing doc grows (Broder 1997's resemblance vs
+    * containment distinction). Candidates still come from the banded
+    * MinHash index, so verify cost stays ∝ band collisions, never
+    * corpus²; a pair is emitted when EITHER direction's containment
+    * clears `threshold`, carrying both directions + Jaccard so the
+    * caller sees which relation held.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, shingleN: Int = 3, k: Int = 8,
+                       bands: Int = 4): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, shingleN, k, bands)
+    val cands = lshCandidatePairs(sigs, idCol)
+    val a = docs.select(col(idCol).as("id_a"), col(textCol).as("__ta"))
+    val b = docs.select(col(idCol).as("id_b"), col(textCol).as("__tb"))
+    val wa = array_distinct(split(col("__ta"), " "))
+    val wb = array_distinct(split(col("__tb"), " "))
+    val inter = size(array_intersect(wa, wb)).cast("double")
+    cands.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(inter / size(wa), 6).as("cont_a_in_b"),
+        round(inter / size(wb), 6).as("cont_b_in_a"),
+        round(inter / (size(wa) + size(wb) - inter), 6).as("jaccard"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+  }
+
   /** Duplicate-cluster resolution: connected components over candidate
     * pairs (from LSH / simhash / cosine) by iterative min-label
     * propagation — each doc converges to the smallest id reachable from

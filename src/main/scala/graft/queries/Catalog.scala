@@ -2661,7 +2661,88 @@ object Catalog {
              | CAST(grouping(o_orderstatus) AS INT) AS g_status,
              | CAST(grouping(o_orderpriority) AS INT) AS g_prio
              |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-             |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin))
+             |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)),
+
+    Entry("stream_join_attrib",
+      // view→click attribution within 30 min — the batch form of the
+      // stream-STREAM time-interval join (CdcStream.runAttributionJoin;
+      // StreamJoinSpec pins streaming == batch). The range predicate is
+      // what bounds streaming state: a view buffers only until the click
+      // watermark passes t_view + horizon.
+      (s, d) => CdcStream.attributionJoinBatch(Tables.loadEvents(s, d))
+        .orderBy("view_id", "click_id"),
+      Some("""SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+             | v.ts AS t_view, c.ts AS t_click
+             |FROM events v JOIN events c
+             |  ON c.user_id = v.user_id
+             | AND c.ts > v.ts AND c.ts <= v.ts + INTERVAL 30 MINUTE
+             |WHERE v.event_type = 'view' AND c.event_type = 'click'
+             |ORDER BY view_id, click_id""".stripMargin)),
+
+    Entry("dedup_containment",
+      // asymmetric containment over LSH candidates (Broder's resemblance
+      // vs containment): |A∩B|/|A| catches a doc mostly quoted inside a
+      // larger one where Jaccard dilutes below any threshold. Verify
+      // cost stays ∝ band collisions (same candidate generator as
+      // dedup_minhash_lsh — never all-pairs).
+      (s, d) => Dedup.containmentPairs(docs(s, d), "doc_id", "text",
+          threshold = 0.7).orderBy("id_a", "id_b"),
+      Some(s"""WITH ${Oracles.lshBucketCtes},
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |         FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+              |${Oracles.wordSetCtes},
+              |ix AS (SELECT cand.id_a, cand.id_b, count(*) AS inter
+              |       FROM cand JOIN w wa ON wa.doc_id = cand.id_a
+              |                 JOIN w wb ON wb.doc_id = cand.id_b AND wb.word = wa.word
+              |       GROUP BY 1, 2)
+              |SELECT ix.id_a, ix.id_b,
+              | round(CAST(inter AS DOUBLE) / c1.n, 6) AS cont_a_in_b,
+              | round(CAST(inter AS DOUBLE) / c2.n, 6) AS cont_b_in_a,
+              | round(CAST(inter AS DOUBLE) / (c1.n + c2.n - inter), 6) AS jaccard
+              |FROM ix JOIN c c1 ON c1.doc_id = ix.id_a JOIN c c2 ON c2.doc_id = ix.id_b
+              |WHERE greatest(round(CAST(inter AS DOUBLE) / c1.n, 6),
+              |               round(CAST(inter AS DOUBLE) / c2.n, 6)) >= 0.7
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    Entry("events_anomaly",
+      // per-user daily-volume outliers: z-score of each (user, day)
+      // event count against that user's own history. The moments are
+      // assembled from EXACT integer sums (Σn, Σn², k) so the derived
+      // doubles are identical on any engine and any partitioning —
+      // stddev_pop's streaming central-moment update would differ in the
+      // last ulp and flip the |z| > 2 boundary. Two aggregates + one
+      // user-cardinality join; linear at any event volume.
+      (s, d) => {
+        val daily = Tables.loadEvents(s, d)
+          .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val stats = daily.groupBy("user_id").agg(
+          sum("n").as("s1"), sum(col("n") * col("n")).as("s2"),
+          count(lit(1)).as("k"))
+        val mu = col("s1").cast("double") / col("k")
+        val varr = col("s2").cast("double") / col("k") - mu * mu
+        daily.join(stats, "user_id")
+          .withColumn("z", round((col("n") - mu) / sqrt(varr), 6))
+          .filter(col("s2").cast("double") / col("k") - mu * mu > 0 &&
+            abs(col("z")) > 2)
+          .select(col("user_id"), col("day"), col("n"), col("z"))
+          .orderBy("user_id", "day")
+      },
+      Some("""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+             |        CAST(count(*) AS BIGINT) AS n
+             |      FROM events GROUP BY 1, 2),
+             |st AS (SELECT user_id, CAST(sum(n) AS BIGINT) AS s1,
+             |        CAST(sum(n * n) AS BIGINT) AS s2, count(*) AS k
+             |       FROM daily GROUP BY 1),
+             |z AS (SELECT d.user_id, d.day, d.n,
+             |       round((d.n - CAST(s1 AS DOUBLE) / k) /
+             |         sqrt(CAST(s2 AS DOUBLE) / k
+             |           - (CAST(s1 AS DOUBLE) / k) * (CAST(s1 AS DOUBLE) / k)), 6) AS z
+             |      FROM daily d JOIN st ON st.user_id = d.user_id
+             |      WHERE CAST(s2 AS DOUBLE) / k
+             |        - (CAST(s1 AS DOUBLE) / k) * (CAST(s1 AS DOUBLE) / k) > 0)
+             |SELECT user_id, day, n, z FROM z WHERE abs(z) > 2
+             |ORDER BY user_id, day""".stripMargin))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.q).toMap

@@ -93,6 +93,68 @@ object CdcStream {
       .dropDuplicatesWithinWatermark("__sig")
       .drop("__sig")
 
+  /** View→click attribution — batch form: every click within `horizon`
+    * after a view by the same user. The two stage scans are
+    * pushdown-filtered by event_type; the join shuffles on user_id once.
+    * Identical semantics to [[runAttributionJoin]]'s stream-stream form
+    * (this is what `stream_join_attrib` declares for the DuckDB oracle).
+    */
+  def attributionJoinBatch(events: DataFrame,
+                           horizon: String = "30 minutes"): DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("t_view"))
+    val c = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("t_click"))
+    v.join(c, "user_id")
+      .filter(col("t_click") > col("t_view") &&
+        col("t_click") <= col("t_view") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("t_view").cast("timestamp_ntz").as("t_view"),
+        col("t_click").cast("timestamp_ntz").as("t_click"))
+  }
+
+  /** Stream-STREAM time-interval join: the same attribution with BOTH
+    * sides unbounded. The watermarks plus the time-range predicate are
+    * what make the join state finite — a buffered view row is evictable
+    * once the click side's watermark passes t_view + horizon, so state
+    * is bounded by (event rate × horizon), not stream length; without
+    * the range condition Spark would rightly buffer both sides forever.
+    * Inner stream-stream joins emit in append mode only, which is also
+    * the semantics attribution wants (a pair is immutable once emitted).
+    */
+  def runAttributionJoin(spark: SparkSession, sfDir: String,
+                         queryName: String = "attrib_join_stream",
+                         horizon: String = "30 minutes"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_attrib")
+    java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    def side(eventType: String, idAs: String, tsAs: String) =
+      graft.core.Tables.normalizeEventTs(
+          spark.readStream.schema(schema).parquet(dir.toString))
+        .filter(col("event_type") === eventType)
+        .select(col("event_id").as(idAs), col("user_id"), col("ts").as(tsAs))
+        .withWatermark(tsAs, "1 hour")
+    val v = side("view", "view_id", "t_view")
+    val c = side("click", "click_id", "t_click").withColumnRenamed("user_id", "c_user_id")
+    val joined = v.join(c,
+        col("user_id") === col("c_user_id") &&
+        col("t_click") > col("t_view") &&
+        col("t_click") <= col("t_view") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("t_view").cast("timestamp_ntz").as("t_view"),
+        col("t_click").cast("timestamp_ntz").as("t_click"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Streaming form: parquet micro-batch source → 1h watermark → tumbling
     * window agg → memory sink, drained synchronously (for tests).
     * In production the source/sink swap for Kafka/Delta; the plan is

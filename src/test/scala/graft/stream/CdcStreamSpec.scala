@@ -20,4 +20,11 @@ class CdcStreamSpec extends AnyFunSuite {
     assert(stream.count() == batch.count())
     assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
   }
+
+  test("stream-stream attribution join equals the batch form") {
+    val batch = CdcStream.attributionJoinBatch(Tables.loadEvents(spark, TestSpark.Sf))
+    val stream = CdcStream.runAttributionJoin(spark, TestSpark.Sf, "t_attrib_spec")
+    assert(stream.count() == batch.count() && batch.count() > 0)
+    assert(stream.exceptAll(batch).isEmpty && batch.exceptAll(stream).isEmpty)
+  }
 }
