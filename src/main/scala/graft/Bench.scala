@@ -25,6 +25,14 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // start wide, let AQE coalesce: a fixed 32-partition shuffle gives
+      // each task 1/32 of the exchange — at the bench's 10×-scaled doc
+      // corpus the gram-index shuffles exhausted execution memory (r7
+      // sf0.1 OOM). 128 initial partitions cap per-task state at 4× less;
+      // small exchanges coalesce right back down, so cheap queries are
+      // unaffected. This is also the honest 100 TB posture: partition
+      // counts sized by data, not by a constant.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "128")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -48,8 +56,18 @@ object Bench {
         sfDir
       }
     val failures = scala.collection.mutable.ListBuffer.empty[String]
+    // optional comma-separated subset for targeted re-measurement of a
+    // single query (the re-pin workflow); the driver never sets this, and
+    // a subset run is marked in the JSON so it can't pass as a full bench
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    only.foreach(n => System.err.println(
+      s"[bench] *** PARTIAL RUN (${n.mkString(",")}) — NOT a full bench ***"))
     val RepeatFloor = 1.0 // sec: cheaper queries don't repeat — their
                           // variance is noise-level and repeats cost time
+    val RepeatCeil = 60.0 // sec: very heavy queries don't repeat either —
+                          // two extra runs of a minutes-long query heat the
+                          // box for every query after it and buy one median;
+                          // the cold number is the round-over-round signal
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                 dir: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
@@ -70,12 +88,15 @@ object Bench {
       catch { case _: Throwable => "-1" }
     val load0 = loadavg()
     val wall0 = System.nanoTime()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val dir = if (graft.queries.ScaledFixtures.appliesTo(name)) scaledDir else sfDir
       val (t1, ok1) = runOnce(name, fn, dir)
       if (!ok1) failures += name
       val repeats =
-        if (ok1 && t1 >= RepeatFloor) (1 to 2).map(_ => runOnce(name, fn, dir))
+        if (ok1 && t1 >= RepeatFloor && t1 < RepeatCeil)
+          (1 to 2).map(_ => runOnce(name, fn, dir))
         else Seq.empty
       // a failed REPEAT is a failure too — silently dropping it from the
       // sample reports the run healthy while the "median" of the two
@@ -108,7 +129,8 @@ object Bench {
     // medians lead the line (they are the round-over-round signal); the
     // bulky continuity maps (first_runs, repeats) trail so truncation from
     // either end costs the least important data first
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","wall_sec":${ms(wallSec)},"docs_scale":$docsScale,"loadavg_start":$load0,"loadavg_end":${loadavg()},"failures":$fails,"first_runs":$firsts,"repeats":$reps}"""
+    val partial = if (only.isDefined) "\"partial\":true," else ""
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec",$partial"queries":$qs,"sf":"$sfDir","wall_sec":${ms(wallSec)},"docs_scale":$docsScale,"loadavg_start":$load0,"loadavg_end":${loadavg()},"failures":$fails,"first_runs":$firsts,"repeats":$reps}"""
     // the full record also goes to a file the driver/judge can read whole,
     // immune to any stdout capture limit; written BEFORE the println so a
     // crash in stdout handling can't lose the round's numbers

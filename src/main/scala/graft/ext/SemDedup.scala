@@ -51,8 +51,17 @@ object SemDedup {
       else math.max(1, math.ceil(math.log(maxCell.toDouble / maxClusterSize)
         / math.log(2)).toInt + 1)
     val spark = embs.sparkSession
-    import spark.implicits._
-    val big = census.map(_.getInt(0)).toSeq.toDF("cl").withColumn("__big", lit(1))
+    // `cl` dtype follows the caller's assignment frame (int k-means ids,
+    // long hyperplane masks, …) — rebuild the hub-set frame with that
+    // exact dtype instead of assuming one (a .getInt here crashed on the
+    // first corpus big enough to make the census non-empty)
+    val clType = v.schema("cl").dataType
+    val big = spark.createDataFrame(
+        java.util.Arrays.asList(census.map(r =>
+          org.apache.spark.sql.Row(r.get(0))): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cl", clType))))
+      .withColumn("__big", lit(1))
     val keyed = v.join(broadcast(big), Seq("cl"), "left_outer")
       .withColumn("sub",
         when(col("__big").isNotNull, vectors.hyperplane_bucket(col("v"), subPlanes))

@@ -24,109 +24,123 @@ import org.apache.spark.sql.functions._
   *    `w` consecutive grams contributes its minimum hash, so any shared
   *    run of length ≥ L+w-1 chars still collides on at least one
   *    fingerprint (the winnowing guarantee), with ~2/(w+1) of the gram
-  *    volume. The 100 TB path.
+  *    volume. The 100 TB path. The per-doc scan is ONE codegen'd
+  *    expression ([[org.apache.spark.sql.graft.WinnowedFingerprints]]:
+  *    rolling byte-window xxhash + monotonic-deque minima) — the HOF
+  *    formulation it replaces allocated a w-element slice per position
+  *    (~1G array copies at bench scale).
   *
-  * Scale disciplines shared by both:
-  *  - grams hash-partition by fingerprint; no doc×doc comparison ever
-  *    happens — only docs sharing a fingerprint meet in the join.
-  *  - hub fingerprints (boilerplate shared by thousands of docs) would
-  *    fan out quadratically in the pair join; `maxDf` drops any
-  *    fingerprint seen in more docs than the cap BEFORE the join (the
-  *    standard MOSS noise threshold — a gram in 10k docs identifies a
-  *    template, not a pair), bounding per-hash fanout to maxDf².
+  * Scale shape (reworked r7 after the sf0.1 bench measured the first
+  * cut): grams go straight into ONE `collect_set` aggregation keyed by
+  * fingerprint — the posting-list form. Pairs are generated inside each
+  * posting list (sorted, all i<j), so the whole operator is one
+  * gram-volume shuffle plus one pair-volume shuffle. The first cut
+  * (distinct → persisted index → self-join) shuffled the gram volume
+  * THREE times and leaked its persisted index into the next query's
+  * memory budget — measured 6.7× interference. Hub fingerprints
+  * (boilerplate in more docs than `maxDf`) are dropped by a filter on
+  * posting size BEFORE pair expansion, bounding per-gram fanout to
+  * maxDf²/2 (the MOSS noise threshold: a gram in 10k docs identifies a
+  * template, not a pair).
   */
 object SubstringDedup {
-  /** Distinct (id, fingerprint) pairs at every position. */
-  private def allGrams(docs: DataFrame, idCol: String, textCol: String,
-                       L: Int): DataFrame =
+  /** (id, fingerprint) — the DISTINCT gram fingerprints of each doc,
+    * computed per doc inside ONE codegen'd kernel
+    * ([[org.apache.spark.sql.graft.WinnowedFingerprints]] with w = 1:
+    * a 1-window's minimum is the position itself, so every position's
+    * hash survives). Three generations of this index at bench scale:
+    * hex-md5 rows OOM'd the 8g driver (5× the bytes); `unhex` binary
+    * rows fixed memory but still evaluated an explode→substring→md5
+    * SQL chain per position and shuffled positions pre-dedup; the
+    * kernel form hashes bytes in place and dedups BEFORE the exchange.
+    * Fingerprints are xxhash64 (the MOSS/Karp-Rabin discipline —
+    * 64-bit false-collision odds at 10⁹ grams ≈ n²/2⁶⁵, deterministic
+    * and far below the minShared threshold's noise floor); the DuckDB
+    * oracle keeps its own md5 grams — only id pairs and counts cross
+    * engines, so the fingerprint encoding is free to differ.
+    */
+  private def positionGrams(docs: DataFrame, idCol: String, textCol: String,
+                            L: Int): DataFrame =
     docs.filter(length(col(textCol)) >= L)
-      .select(col(idCol).as("id"), col(textCol).as("__t"))
-      .select(col("id"), explode(expr(s"sequence(1, length(__t) - ${L - 1})")).as("i"),
-        col("__t"))
-      .select(col("id"), md5(expr(s"substring(__t, i, $L)")).as("h"))
-      .distinct()
+      .select(col(idCol).as("id"),
+        explode(graft.functions.text.winnowed_fingerprints(col(textCol), L, 1)).as("h"))
+
+  /** Posting-list pair counting shared by both variants: grams →
+    * per-fingerprint distinct doc set (one shuffle, map-side partial
+    * sets) → hub filter on posting SIZE → all i<j pairs within each
+    * sorted posting → per-pair shared-fingerprint count.
+    */
+  private def postingPairs(grams: DataFrame, minShared: Int,
+                           maxDf: Int): DataFrame = {
+    val posts = grams.groupBy("h").agg(collect_set(col("id")).as("ids"))
+      .filter(size(col("ids")) >= 2 && size(col("ids")) <= maxDf)
+    val ids = sort_array(col("ids"))
+    val combos = flatten(transform(
+      sequence(lit(1), size(ids) - 1),
+      i => transform(slice(ids, i + 1, size(ids) - i),
+        j => struct(element_at(ids, i).as("id_a"), j.as("id_b")))))
+    posts.select(explode(combos).as("p"))
+      .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 
   /** Doc pairs sharing ≥ `minShared` distinct L-char gram fingerprints,
     * with the shared count. Exact: every position indexed.
     */
   def sharedGramPairs(docs: DataFrame, idCol: String, textCol: String,
                       L: Int = 40, minShared: Int = 5,
-                      maxDf: Int = 1000): DataFrame = {
-    // the fingerprint index is built ONCE and persisted: without this the
-    // hub-count aggregate and both sides of the pair self-join each
-    // re-run the explode+distinct from the raw text (4 corpus scans,
-    // plan-audited r7 — Spark has no subplan CSE across self-join
-    // aliases). At full corpus scale the same index would be WRITTEN,
-    // suffix-array-pipeline style, and probed per-slice.
-    val g = allGrams(docs, idCol, textCol, L)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // hub fingerprints are FEW (only templates exceed the cap): an anti
-    // join against the broadcast hub set beats inner-joining the full
-    // keep-list back onto the index
-    val hub = g.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
-      .select("h")
-    val kept = g.join(broadcast(hub), Seq("h"), "left_anti")
-    val a = kept.as("a"); val b = kept.as("b")
-    a.join(b, col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
-  }
+                      maxDf: Int = 1000): DataFrame =
+    postingPairs(positionGrams(docs, idCol, textCol, L), minShared, maxDf)
 
   /** Per-document duplication profile (the corpus metric of Lee et al.
     * 2022): for every position, is its L-gram present in ≥ 2 distinct
     * documents? Returns (id, n_grams, n_dup, dup_frac) — the signal a
     * pipeline thresholds to drop boilerplate-heavy documents, and the
-    * aggregate a corpus report tracks over time. Cost: one distinct per
-    * (doc, gram), one vocabulary-sized df aggregate, one hash join back
-    * — all partitioned by gram hash, linear in corpus chars.
+    * aggregate a corpus report tracks over time.
+    *
+    * ONE gram-volume shuffle, no persist, no self-join: the per-(doc,
+    * gram) position counts are computed INSIDE the scan by the
+    * [[org.apache.spark.sql.graft.GramFingerprintCounts]] kernel (the
+    * relational form shuffled every position to count them, then the
+    * distinct volume again), so the exchange carries one pre-counted
+    * row per distinct (doc, gram) → per-fingerprint posting list, one
+    * entry per DISTINCT doc → multi-doc postings explode back →
+    * per-doc sum. n_grams needs no gram pass at all — it is len−L+1
+    * by construction.
     */
   def dupSpanStats(docs: DataFrame, idCol: String, textCol: String,
                    L: Int = 40): DataFrame = {
-    val ph = docs.filter(length(col(textCol)) >= L)
+    val base = docs.filter(length(col(textCol)) >= L)
       .select(col(idCol).as("id"), col(textCol).as("__t"))
-      .select(col("id"), explode(expr(s"sequence(1, length(__t) - ${L - 1})")).as("i"),
-        col("__t"))
-      .select(col("id"), md5(expr(s"substring(__t, i, $L)")).as("h"))
-    val multi = ph.select("id", "h").distinct()
-      .groupBy("h").agg(count(lit(1)).as("nd")).filter(col("nd") >= 2)
-      .select("h")
-    ph.join(multi.hint("shuffle_hash").withColumn("__m", lit(1)), Seq("h"), "left_outer")
-      .groupBy(col("id").as(idCol))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("__m").isNotNull, 1L).otherwise(0L)).as("n_dup"))
+    val dup = base
+      .select(col("id"),
+        explode(graft.functions.text.gram_fingerprint_counts(col("__t"), L)).as("g"))
+      .select(col("id"), col("g.h").as("h"), col("g.cnt").as("cnt"))
+      .groupBy("h").agg(collect_list(struct(col("id"), col("cnt"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(explode(col("ps")).as("p"))
+      .groupBy(col("p.id").as("id")).agg(sum(col("p.cnt")).as("n_dup"))
+    base.select(col("id"), (length(col("__t")) - (L - 1)).cast("long").as("n_grams"))
+      .join(dup, Seq("id"), "left_outer")
+      .select(col("id").as(idCol), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
       .withColumn("dup_frac", round(col("n_dup") / col("n_grams"), 6))
   }
 
   /** Robust-winnowed fingerprints: position i survives iff its hash is
     * the window minimum of positions [i, i+w). Any verbatim run of
     * ≥ L+w-1 chars shares at least one surviving fingerprint between
-    * its copies. The per-doc window scan is a map-side higher-order
-    * function — no shuffle until the (much smaller) fingerprint index.
+    * its copies. The whole per-doc scan (byte-window xxhash + deque
+    * minima + dedup) is one codegen'd expression; the shuffle sees only
+    * the ~2/(w+1) survivors.
     */
   def winnowedGramPairs(docs: DataFrame, idCol: String, textCol: String,
                         L: Int = 40, w: Int = 8, minShared: Int = 2,
                         maxDf: Int = 1000): DataFrame = {
-    val hashed = docs.filter(length(col(textCol)) >= L)
+    val g = docs.filter(length(col(textCol)) >= L)
       .select(col(idCol).as("id"),
-        expr(s"transform(sequence(1, length($textCol) - ${L - 1})," +
-          s" i -> xxhash64(substring($textCol, i, $L)))").as("hs"))
-    // windows run inside ONE array expression per doc (codegen'd HOFs),
-    // emitting only the surviving minima — the shuffle never sees the
-    // full gram stream
-    val g = hashed.select(col("id"),
-        explode(expr(s"array_distinct(transform(" +
-          s"sequence(0, greatest(size(hs) - $w, 0))," +
-          s" i -> array_min(slice(hs, i + 1, $w))))")).as("h"))
-      .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val hub = g.groupBy("h").agg(count(lit(1)).as("df")).filter(col("df") > maxDf)
-      .select("h")
-    val kept = g.join(broadcast(hub), Seq("h"), "left_anti")
-    val a = kept.as("a"); val b = kept.as("b")
-    a.join(b, col("a.h") === col("b.h") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= minShared)
+        explode(graft.functions.text.winnowed_fingerprints(col(textCol), L, w)).as("h"))
+    postingPairs(g, minShared, maxDf)
   }
 }

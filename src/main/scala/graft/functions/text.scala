@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{Bridge, LangStopHits, MinHashSig, NgramShingles, NgramStats, SimHash64, TextProfile}
+import org.apache.spark.sql.graft.{Bridge, GramFingerprintCounts, LangStopHits, MinHashSig, NgramShingles, NgramStats, SimHash64, TextProfile, WinnowedFingerprints}
 
 /** Column-API wrappers over the codegen'd text-sketch expressions
   * (see org.apache.spark.sql.graft.TextExpressions).
@@ -44,4 +44,18 @@ object text {
     */
   def lang_stop_hits(textCol: Column, langStopwords: Seq[Seq[String]]): Column =
     Bridge.column(LangStopHits(Bridge.expression(textCol), langStopwords))
+
+  /** Distinct robust-winnowed xxhash64 fingerprints of every L-byte
+    * window, w-window minima, in one map-side pass — see
+    * [[WinnowedFingerprints]].
+    */
+  def winnowed_fingerprints(textCol: Column, l: Int, w: Int): Column =
+    Bridge.column(WinnowedFingerprints(Bridge.expression(textCol), l, w))
+
+  /** Distinct L-byte-gram xxhash64 fingerprints with per-doc position
+    * counts, `array<struct<h, cnt>>`, in one map-side pass — see
+    * [[GramFingerprintCounts]].
+    */
+  def gram_fingerprint_counts(textCol: Column, l: Int): Column =
+    Bridge.column(GramFingerprintCounts(Bridge.expression(textCol), l))
 }

@@ -2742,7 +2742,66 @@ object Catalog {
              |      WHERE CAST(s2 AS DOUBLE) / k
              |        - (CAST(s1 AS DOUBLE) / k) * (CAST(s1 AS DOUBLE) / k) > 0)
              |SELECT user_id, day, n, z FROM z WHERE abs(z) > 2
-             |ORDER BY user_id, day""".stripMargin))
+             |ORDER BY user_id, day""".stripMargin)),
+
+    Entry("agg_pivot",
+      // status × priority cross-tab via the DataFrame pivot API. The
+      // value list is EXPLICIT — value discovery would add a distinct
+      // pass and make the output schema data-dependent (non-reproducible
+      // across engines); with fixed values the pivot is a single
+      // one-shuffle aggregate emitting one CASE-gated count per column.
+      (s, d) => {
+        val prios = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        val names = Seq("p_urgent", "p_high", "p_medium", "p_notspec", "p_low")
+        val piv = Tables.load(s, d, "orders")
+          .groupBy("o_orderstatus").pivot("o_orderpriority", prios)
+          .agg(count(lit(1)))
+        prios.zip(names).foldLeft(piv) { case (df, (v, n)) =>
+            df.withColumn(n, coalesce(df(s"`$v`"), lit(0L))).drop(v)
+          }
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus,
+             | CAST(count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END) AS BIGINT) AS p_urgent,
+             | CAST(count(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 END) AS BIGINT) AS p_high,
+             | CAST(count(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 END) AS BIGINT) AS p_medium,
+             | CAST(count(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS BIGINT) AS p_notspec,
+             | CAST(count(CASE WHEN o_orderpriority = '5-LOW' THEN 1 END) AS BIGINT) AS p_low
+             |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    Entry("window_running_total",
+      // per-customer running revenue + 3-order moving average: the
+      // classic analytic-window family. Partitioned by customer, so the
+      // sort is per-partition after one hash shuffle — never a global
+      // sort; DECIMAL window sums keep the running values exact and
+      // order-independent, and the moving average divides the exact
+      // 3-row sum by least(rn, 3) in double only at the end.
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        val dec = col("o_totalprice").cast("decimal(18,2)")
+        Tables.load(s, d, "orders").select(
+            col("o_custkey"), col("o_orderkey"),
+            col("o_orderdate").cast("timestamp_ntz").as("o_orderdate"),
+            round(sum(dec).over(w.rowsBetween(Window.unboundedPreceding, 0))
+              .cast("double"), 6).as("running_total"),
+            row_number().over(w).cast("long").as("rn"),
+            round(sum(dec).over(w.rowsBetween(-2, 0)).cast("double")
+              / least(row_number().over(w), lit(3)), 6).as("avg3"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_orderdate,
+             | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+             |   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |    ROWS UNBOUNDED PRECEDING) AS DOUBLE), 6) AS running_total,
+             | CAST(row_number() OVER
+             |   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn,
+             | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER
+             |   (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             |   / least(row_number() OVER
+             |       (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 3), 6) AS avg3
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.q).toMap

@@ -471,3 +471,149 @@ object MinHashSig {
     new GenericArrayData(mins.map(hex(_).asInstanceOf[Any]))
   }
 }
+
+/** Winnowed substring fingerprints in ONE map-side pass: for every byte
+  * position, the xxhash64 of the L-byte window; a position's hash
+  * survives iff it is the minimum of some w-consecutive-position window
+  * (robust winnowing, Schleimer et al. 2003 — any shared run of
+  * ≥ L+w−1 bytes keeps at least one common survivor). Returns the
+  * DISTINCT survivors in scan order.
+  *
+  * Why an expression instead of the HOF pipeline
+  * (`transform(sequence…, xxhash64(substring…))` → per-position
+  * `array_min(slice(hs, i, w))`): the slice form copies a w-element
+  * array per position — ~1 billion transient arrays at bench scale,
+  * measured as the dominant cost of `dedup_substring_winnowed`. This
+  * kernel keeps a monotonic deque over the rolling hash stream: O(n)
+  * total, zero per-position allocation, and the explode downstream sees
+  * only the ~2/(w+1) survivors. Rows-only path (no DuckDB oracle
+  * mirrors xxhash64); SubstringDedupSpec pins the winnowing guarantee
+  * against the exact variant.
+  */
+case class WinnowedFingerprints(child: Expression, l: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(l > 0 && w > 0)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnowed_fingerprints"
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowedFingerprints.compute(input.asInstanceOf[UTF8String], l, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = WinnowedFingerprints.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $cls.compute($t, $l, $w);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WinnowedFingerprints {
+  private val Seed = 42L // Spark's xxhash64 SQL default
+
+  def compute(text: UTF8String, l: Int, w: Int): ArrayData = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val n = text.numBytes()
+    if (n < l) return new GenericArrayData(Array.emptyLongArray)
+    val nGrams = n - l + 1
+    // rolling hash stream: xxhash64 of each L-byte window (windows are
+    // byte-indexed; the fixtures are ASCII so byte == char positions,
+    // and the variant is self-consistent either way)
+    val hs = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      hs(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + i, l, Seed)
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[java.lang.Long]()
+    if (nGrams <= w) {
+      // single (short) window: emit its minimum
+      var m = hs(0); i = 1
+      while (i < nGrams) { if (hs(i) < m) m = hs(i); i += 1 }
+      out.add(m)
+    } else {
+      // monotonic deque of indices, increasing hash values; `>=` pops
+      // ties so the RIGHTMOST minimal position represents the window
+      // (robust winnowing's tie rule)
+      val dq = new Array[Int](nGrams)
+      var head = 0; var tail = 0 // [head, tail) live
+      i = 0
+      while (i < nGrams) {
+        while (tail > head && hs(dq(tail - 1)) >= hs(i)) tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - w) head += 1
+        if (i >= w - 1) out.add(hs(dq(head)))
+        i += 1
+      }
+    }
+    val arr = new Array[Long](out.size)
+    val it = out.iterator(); i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+}
+
+/** Per-document L-byte-gram fingerprint COUNTS in one map-side pass:
+  * `array<struct<h: bigint, cnt: int>>`, one entry per DISTINCT gram
+  * xxhash64 with its position count. The first aggregation level of the
+  * duplication-span metric happens inside the expression — the explode
+  * downstream emits distinct-gram volume, not position volume, so the
+  * gram stream crosses exactly one exchange already deduplicated (the
+  * relational form shuffled every position once to count per-(doc,gram)
+  * and the distinct volume a second time).
+  */
+case class GramFingerprintCounts(child: Expression, l: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(l > 0)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h", LongType, nullable = false),
+    StructField("cnt", IntegerType, nullable = false))), containsNull = false)
+  override def prettyName: String = "gram_fingerprint_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    GramFingerprintCounts.compute(input.asInstanceOf[UTF8String], l)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = GramFingerprintCounts.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $cls.compute($t, $l);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GramFingerprintCounts {
+  private val Seed = 42L
+
+  def compute(text: UTF8String, l: Int): ArrayData = {
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val n = text.numBytes()
+    if (n < l) return new GenericArrayData(Array.empty[Any])
+    val nGrams = n - l + 1
+    val counts = new java.util.LinkedHashMap[java.lang.Long, Array[Int]]()
+    var i = 0
+    while (i < nGrams) {
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + i, l, Seed)
+      val c = counts.get(h)
+      if (c == null) counts.put(h, Array(1)) else c(0) += 1
+      i += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator(); i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](e.getKey.longValue(), e.getValue()(0)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

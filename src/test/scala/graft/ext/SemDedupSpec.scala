@@ -69,6 +69,23 @@ class SemDedupSpec extends AnyFunSuite {
     assert((0L until 16L).forall(i => pairs.contains((i, i + 1000))))
   }
 
+  test("non-int cluster ids survive a non-empty hub census") {
+    // regression: the hub-set rebuild assumed getInt on `cl`, which
+    // crashed the first time a LONG-keyed assignment (the md5 axis-sign
+    // cells) produced a census entry — i.e. only at bench scale, where a
+    // cell first exceeded the cap. Same fixture as the sub-split test
+    // but with a BIGINT cl.
+    val base = (0L until 64L).map(i =>
+      (i, Array.tabulate(8)(t => math.sin(i * 8 + t).toFloat)))
+    val dup = base.take(16).map { case (i, v) => (i + 1000, v) }
+    val vecs = (base ++ dup).toDF("vec_id", "embedding")
+    val assign = vecs.select(col("vec_id").as("id"), lit(7L).as("cl"))
+    val pairs = SemDedup.clusterDupPairs(vecs, "vec_id", "embedding",
+        assign, tau = 0.999, maxClusterSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((0L until 16L).forall(i => pairs.contains((i, i + 1000))))
+  }
+
   test("md5-planted oracled variant recovers most shadows, exemplar is always the base") {
     // the cross-engine-checkable assignment (dedup_semantic_md5): planted
     // shadow recall is bounded below only by sign-flip cell separation
