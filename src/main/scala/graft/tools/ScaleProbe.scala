@@ -46,7 +46,7 @@ object ScaleProbe {
     "text_quality", "text_contamination", "pack_sequences", "sim_ivf",
     "mm_image_dedup_check", "sim_decontaminate",
     "graph_pagerank", "text_bm25_search", "dedup_semantic", "sim_pq_rerank",
-    "text_lm_score")
+    "text_lm_score", "dedup_substring_winnowed")
 
   /** Wall-ratio ceiling at 4× data. A breach fails the run. */
   private val Thresholds: Map[String, Double] = Map(
@@ -65,7 +65,11 @@ object ScaleProbe {
     "dedup_semantic" -> 6.0,         // PINS constant-k assignment: k = n/256
                                      // would make assignment O(n²) → ~12×
     "sim_pq_rerank" -> 5.0,          // constant train, linear encode+ADC
-    "text_lm_score" -> 5.0)          // LM table vocab-sized; scoring join linear
+    "text_lm_score" -> 5.0,          // LM table vocab-sized; scoring join linear
+    "dedup_substring_winnowed" -> 5.0) // PINS the r7 posting-list redesign:
+                                     // winnow kernel linear in corpus bytes,
+                                     // pair volume posting-bounded (the
+                                     // self-join form shuffled 3× the grams)
   // NOT probed, deliberately:
   //  - cdc_bucketed_apply: the 4× dir symlinks the same orders table, so
   //    its ratio is identically ~1 and gates nothing — its 1024-file
