@@ -66,12 +66,19 @@ object Bpe {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sym.count() // materialize before the loop mutates the var
     val merges = Seq.newBuilder[Merge]
-    for (r <- 1 to rounds) {
+    // exhaustion stops the loop, not just the merge: once no adjacent
+    // pair remains (every word fully merged) the later rounds' vocabulary
+    // aggregations would shuffle for nothing and still return fewer
+    // merges than asked — a small corpus legitimately trains short
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
       val top = adjacentPairs(sym)
         .groupBy("lft", "rgt").agg(sum("freq").as("cnt"))
         .orderBy(desc("cnt"), col("lft"), col("rgt"))
         .limit(1).collect()
-      if (top.nonEmpty) {
+      if (top.isEmpty) exhausted = true
+      else {
         val Row(lft: String, rgt: String, cnt: Long) = top.head
         val merged = lft + rgt
         // zero-width boundaries: the match consumes only "lft rgt", so
@@ -87,6 +94,7 @@ object Bpe {
         sym = next
         merges += Merge(r, lft, rgt, merged, cnt)
       }
+      r += 1
     }
     sym.unpersist()
     merges.result()

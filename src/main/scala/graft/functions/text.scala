@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{Bridge, GramFingerprintCounts, LangStopHits, MinHashSig, NgramShingles, NgramStats, SimHash64, TextProfile, WinnowedFingerprints}
+import org.apache.spark.sql.graft.{Bridge, CappedDistinctLongs, GramFingerprintCounts, LangStopHits, MinHashSig, NgramShingles, NgramStats, SimHash64, TextProfile, WinnowedFingerprints}
 
 /** Column-API wrappers over the codegen'd text-sketch expressions
   * (see org.apache.spark.sql.graft.TextExpressions).
@@ -58,4 +58,13 @@ object text {
     */
   def gram_fingerprint_counts(textCol: Column, l: Int): Column =
     Bridge.column(GramFingerprintCounts(Bridge.expression(textCol), l))
+
+  /** Aggregate: distinct longs per group as a SORTED array, or NULL once
+    * the group exceeds `cap` distinct values — per-key aggregation state
+    * is bounded by `cap` no matter how hot the key is. See
+    * [[CappedDistinctLongs]].
+    */
+  def capped_distinct_longs(v: Column, cap: Int): Column =
+    Bridge.column(CappedDistinctLongs(Bridge.expression(v.cast("long")), cap)
+      .toAggregateExpression())
 }

@@ -1231,6 +1231,45 @@ object Catalog {
              |       LEFT JOIN p ON p.user_id = v.user_id
              |ORDER BY v.user_id""".stripMargin)),
 
+    Entry("events_funnel_n",
+      // the funnel with stages as DATA (real funnels are configured, not
+      // hardcoded): the same per-stage min-after-previous chain as
+      // events_funnel, folded over an arbitrary stage list — here the
+      // 4-stage signup → view → click → purchase. Each stage is still a
+      // pushdown-filtered scan + one user-cardinality shuffle, and the
+      // oracle SQL is GENERATED from the same list, so both sides change
+      // in one place. Same linear-at-any-volume shape as the 3-stage
+      // form: per-user mins, never a window over the event stream.
+      (s, d) => {
+        val stages = Seq("signup", "view", "click", "purchase")
+        val ev = Tables.loadEvents(s, d)
+        // fold: (colName, per-user earliest ts strictly after the
+        // previous stage), built in stage order
+        val stageTables = stages.foldLeft(List.empty[(String, DataFrame)]) {
+          case (acc, st) =>
+            val scan = ev.filter(col("event_type") === st)
+            val anchored = acc.headOption match {
+              case None => scan
+              case Some((prevCol, prev)) =>
+                scan.join(prev.select("user_id", prevCol), "user_id")
+                  .filter(col("ts") > col(prevCol))
+            }
+            (s"t_$st",
+              anchored.groupBy("user_id").agg(min("ts").as(s"t_$st"))) :: acc
+        }.reverse
+        val joined = stageTables.tail.foldLeft(stageTables.head._2) {
+          case (accDf, (_, df)) => accDf.join(df, Seq("user_id"), "left_outer")
+        }
+        val stageExpr = stageTables.tail.map(_._1)
+          .foldLeft(lit(1))((e, c) => e + col(c).isNotNull.cast("int"))
+        joined.select(
+            col("user_id") +:
+              stageTables.map { case (c, _) => col(c).cast("timestamp_ntz").as(c) } :+
+              stageExpr.as("stage"): _*)
+          .orderBy("user_id")
+      },
+      Some(Oracles.funnelOracle(Seq("signup", "view", "click", "purchase")))),
+
     Entry("events_retention",
       // cohort retention matrix: users bucket into their first-activity
       // day; each (cohort_day, day_offset) cell counts distinct users
@@ -1817,6 +1856,21 @@ object Catalog {
           L = 40, w = 8, minShared = 2)
         .orderBy("id_a", "id_b"),
       None), // xxhash64 fingerprints — not DuckDB-expressible
+
+    Entry("dedup_substring_winnowed_md5",
+      // the winnowed path's ORACLE GATE (closes r7's last unoracled
+      // text path): identical winnow semantics — each w-window
+      // contributes its min hash, value-based so tie-break-free — over
+      // md5 char grams both engines hash identically, replayed in
+      // DuckDB as a window min. Winnow-select AND the capped
+      // posting-pair path are cross-engine checked end-to-end; only the
+      // fingerprint encoding differs from the production xxhash kernel
+      // (the dedup_semantic_md5 discipline).
+      (s, d) => SubstringDedup.winnowedGramPairsMd5(docs(s, d), "doc_id", "text",
+          L = 40, w = 8, minShared = 2)
+        .orderBy("id_a", "id_b"),
+      Some(Oracles.substringWinnowedMd5Oracle(l = 40, w = 8, minShared = 2,
+        maxDf = 1000))),
 
     Entry("text_dup_span_stats",
       // per-doc duplicated-substring profile (the Lee et al. 2022 corpus

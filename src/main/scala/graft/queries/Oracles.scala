@@ -359,6 +359,35 @@ object Oracles {
        |SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= $minShared
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Oracle for `dedup_substring_winnowed_md5`: the winnow replayed as a
+    * window min — every w-gram window contributes its minimum md5 hash
+    * (value semantics, so no tie-break rule is needed), docs with fewer
+    * than w grams contribute the min of all their grams. `i <=
+    * greatest(n-(w-1), 1)` selects exactly the full windows (plus the
+    * single partial window of a short doc); the frame clips at the
+    * partition end, which for those rows IS the full window.
+    */
+  def substringWinnowedMd5Oracle(l: Int, w: Int, minShared: Int,
+                                 maxDf: Int): String =
+    s"""WITH x AS (SELECT doc_id, text, len(text) - ${l - 1} AS n,
+       |            unnest(generate_series(1, len(text) - ${l - 1})) AS i
+       |           FROM documents WHERE len(text) >= $l),
+       |ph AS (SELECT doc_id, n, i, md5(substr(text, i, $l)) AS h FROM x),
+       |wm AS (SELECT doc_id, n, i,
+       |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS mh
+       |       FROM ph),
+       |g AS (SELECT DISTINCT doc_id, mh AS h FROM wm
+       |      WHERE i <= greatest(n - ${w - 1}, 1)),
+       |kept AS (SELECT g.doc_id, g.h FROM g
+       |         JOIN (SELECT h FROM g GROUP BY h HAVING count(*) <= $maxDf) f
+       |           ON f.h = g.h),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+       |      FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= $minShared
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Oracle for `text_dup_span_stats`: per-position L-gram duplication
     * flags (gram present in ≥ 2 distinct docs), aggregated per doc.
     */
@@ -374,6 +403,37 @@ object Oracles {
        |             / count(*), 6) AS dup_frac
        |FROM ph LEFT JOIN dfh ON dfh.h = ph.h
        |GROUP BY ph.doc_id ORDER BY ph.doc_id""".stripMargin
+
+  /** Oracle for `events_funnel_n`: the ordered-sequence funnel over an
+    * ARBITRARY stage list — one CTE per stage, each anchored strictly
+    * after the previous stage's earliest qualifying timestamp, assembled
+    * with left joins off stage 0. Generated from the same stage list the
+    * Spark fold consumes, so adding a stage changes both sides in one
+    * place.
+    */
+  def funnelOracle(stages: Seq[String]): String = {
+    require(stages.size >= 2, "a funnel needs at least two stages")
+    val ctes = stages.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"""s0 AS (SELECT user_id, min(ts) AS t_$st FROM events
+           |      WHERE event_type = '$st' GROUP BY 1)""".stripMargin
+      else
+        s"""s$i AS (SELECT e.user_id, min(e.ts) AS t_$st FROM events e
+           |      JOIN s${i - 1} p ON p.user_id = e.user_id AND e.ts > p.t_${stages(i - 1)}
+           |      WHERE e.event_type = '$st' GROUP BY 1)""".stripMargin
+    }
+    val cols = stages.zipWithIndex
+      .map { case (st, i) => s"s$i.t_$st AS t_$st" }.mkString(", ")
+    val stageExpr = stages.zipWithIndex.tail
+      .map { case (st, i) => s"CAST(s$i.t_$st IS NOT NULL AS INTEGER)" }
+      .mkString("1 + ", " + ", "")
+    val joins = (1 until stages.size)
+      .map(i => s"LEFT JOIN s$i ON s$i.user_id = s0.user_id").mkString(" ")
+    s"""WITH ${ctes.mkString(",\n")}
+       |SELECT s0.user_id, $cols, $stageExpr AS stage
+       |FROM s0 $joins
+       |ORDER BY s0.user_id""".stripMargin
+  }
 
   /** Oracle for `text_lm_score`: add-k-smoothed bigram LM trained on the
     * doc_id % 13 slice, mean per-bigram surprisal for every other doc.

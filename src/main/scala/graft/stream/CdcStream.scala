@@ -10,6 +10,24 @@ import org.apache.spark.sql.streaming.Trigger
   * continuous CDC/analytics deployment needs.
   */
 object CdcStream {
+  /** FileStreamSource wants a DIRECTORY; the fixture is a single parquet
+    * file — expose it through a temp dir holding a symlink (prod points
+    * at a real dir). Cleanup is registered at creation: deleteOnExit on
+    * the link then the (empty) dir, so a long-lived session that calls
+    * the streaming helpers repeatedly does not accumulate temp dirs past
+    * JVM exit (files are deleted in reverse registration order — link
+    * first, then its parent).
+    */
+  private def eventsStreamDir(sfDir: String): java.nio.file.Path = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_events_stream")
+    val link = dir.resolve("events.parquet")
+    java.nio.file.Files.createSymbolicLink(link,
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    dir.toFile.deleteOnExit()
+    link.toFile.deleteOnExit()
+    dir
+  }
+
   /** Tumbling event-time window aggregation — batch form. Identical
     * semantics to the streaming form below (Spark's `window()` is the
     * same operator in both); this is what `stream_tumbling_counts`
@@ -57,9 +75,7 @@ object CdcStream {
                     queryName: String = "sessionize_stream"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val dir = java.nio.file.Files.createTempDirectory("graft_events_sess")
-    java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val dir = eventsStreamDir(sfDir)
     val stream = graft.core.Tables.normalizeEventTs(
         spark.readStream.schema(schema).parquet(dir.toString))
       .withWatermark("ts", "1 hour")
@@ -129,9 +145,7 @@ object CdcStream {
                          horizon: String = "30 minutes"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val dir = java.nio.file.Files.createTempDirectory("graft_events_attrib")
-    java.nio.file.Files.createSymbolicLink(dir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val dir = eventsStreamDir(sfDir)
     def side(eventType: String, idAs: String, tsAs: String) =
       graft.core.Tables.normalizeEventTs(
           spark.readStream.schema(schema).parquet(dir.toString))
@@ -165,12 +179,7 @@ object CdcStream {
                         queryName: String = "tumbling_counts"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    // FileStreamSource wants a directory; the fixture is a single file —
-    // expose it through a temp dir symlink (prod would point at a dir)
-    val dir = java.nio.file.Files.createTempDirectory("graft_events_stream")
-    val link = dir.resolve("events.parquet")
-    java.nio.file.Files.createSymbolicLink(link,
-      java.nio.file.Paths.get(s"$sfDir/events.parquet"))
+    val dir = eventsStreamDir(sfDir)
     // ts physical type varies by fixture generation (see Tables.loadEvents);
     // event-time semantics need session-TZ µs timestamps either way
     val stream = graft.core.Tables.normalizeEventTs(

@@ -46,7 +46,32 @@ object ScaleProbe {
     "text_quality", "text_contamination", "pack_sequences", "sim_ivf",
     "mm_image_dedup_check", "sim_decontaminate",
     "graph_pagerank", "text_bm25_search", "dedup_semantic", "sim_pq_rerank",
-    "text_lm_score", "dedup_substring_winnowed")
+    "text_lm_score", "dedup_substring_winnowed", "dedup_substring_winnowed_hub")
+
+  /** Probe-only queries (not part of the declared surface): stress shapes
+    * the bijective scaled corpus cannot produce. The scaled replicas'
+    * word rewrite makes token sets replica-disjoint BY DESIGN, so no
+    * scaled query ever sees a cross-replica hub gram — which means the
+    * posting-cap path (the r7 verdict's one 100 TB soft spot) was never
+    * stressed at 4×. `dedup_substring_winnowed_hub` plants a fixed
+    * 104-char boilerplate prefix on ~1% of docs AFTER scaling (5k docs
+    * share it at base, 20k at 4× — df ≫ maxDf=1000 either way), so the
+    * capped distinct aggregate must absorb a mega-hub whose posting
+    * would be 20k ids if materialized; linear scaling here pins that
+    * per-key state stays bounded while the planted non-hub pair volume
+    * grows with the corpus.
+    */
+  private val ExtraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+    Map("dedup_substring_winnowed_hub" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val hub = ('a' to 'z').mkString * 4 // 104 chars: 65 fully-shared 40-grams
+      val planted = graft.core.Tables.load(s, d, "documents")
+        .withColumn("text",
+          when(col("doc_id") % 100 === 0, concat(lit(hub), col("text")))
+            .otherwise(col("text")))
+      graft.ext.SubstringDedup.winnowedGramPairs(planted, "doc_id", "text",
+        L = 40, w = 8, minShared = 2)
+    })
 
   /** Wall-ratio ceiling at 4× data. A breach fails the run. */
   private val Thresholds: Map[String, Double] = Map(
@@ -66,10 +91,15 @@ object ScaleProbe {
                                      // would make assignment O(n²) → ~12×
     "sim_pq_rerank" -> 5.0,          // constant train, linear encode+ADC
     "text_lm_score" -> 5.0,          // LM table vocab-sized; scoring join linear
-    "dedup_substring_winnowed" -> 5.0) // PINS the r7 posting-list redesign:
+    "dedup_substring_winnowed" -> 5.0, // PINS the r7 posting-list redesign:
                                      // winnow kernel linear in corpus bytes,
                                      // pair volume posting-bounded (the
                                      // self-join form shuffled 3× the grams)
+    "dedup_substring_winnowed_hub" -> 5.0) // PINS the r8 capped-posting agg:
+                                     // a 1%-of-corpus boilerplate hub must
+                                     // degenerate to a sticky overflow flag,
+                                     // not a df-sized buffer — super-linear
+                                     // here means hub state grew with df
   // NOT probed, deliberately:
   //  - cdc_bucketed_apply: the 4× dir symlinks the same orders table, so
   //    its ratio is identically ~1 and gates nothing — its 1024-file
@@ -96,7 +126,7 @@ object ScaleProbe {
       "/root/testdata/sf0.1").split(",").toSeq
     val probes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").toSeq).getOrElse(DefaultProbes) ++ args
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALE_r7.json")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALE_r8.json")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -136,7 +166,7 @@ object ScaleProbe {
         // materialize through the noop sink exactly like Bench: count()
         // lets Catalyst PRUNE projected expressions, so a pure-projection
         // probe (e.g. text_quality) would time only the parquet scan
-        graft.SparkEntry.queries(name)(spark, scaled)
+        ExtraProbes.getOrElse(name, graft.SparkEntry.queries(name))(spark, scaled)
           .write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
         println(f"[scale] ${new java.io.File(dir).getName}%-8s $name%-24s $t%8.1f s")
