@@ -152,8 +152,23 @@ object Diff {
     */
   def diffApply(internal: DataFrame, external: DataFrame,
                 key: Seq[String], dataCols: Seq[String],
-                nullSafe: Boolean = true): DataFrame = {
-    val kinds   = classify(internal, external, key, dataCols, nullSafe)
+                nullSafe: Boolean = true): DataFrame =
+    applyClassified(internal, external,
+      classify(internal, external, key, dataCols, nullSafe), key, nullSafe)
+
+  /** The apply half of [[diffApply]] with a PRECOMPUTED classification —
+    * the compute-once-consume-many shape a real replicator runs (classify
+    * once, then fetch/changelog/upsert/delete all read the same kinds
+    * table). Callers that already hold a valid classification — the warm
+    * pipeline's memoized kinds, or a schema-evolution apply whose diff
+    * deliberately runs on the ORIGINAL columns so the existing kinds stay
+    * valid — skip re-deriving both (key, sig) projections; `kinds` is
+    * consumed twice below (fetch keys + delete keys), so a persisted
+    * input avoids recomputing the classify join entirely.
+    */
+  def applyClassified(internal: DataFrame, external: DataFrame,
+                      kinds: DataFrame, key: Seq[String],
+                      nullSafe: Boolean = true): DataFrame = {
     val touched = kinds.filter(col(KindCol).isin("changed", "new"))
     val fetched = semiJoinChanged(external, touched, key, nullSafe)
     val deleted = kinds.filter(col(KindCol) === "deleted")

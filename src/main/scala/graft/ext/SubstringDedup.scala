@@ -85,7 +85,7 @@ object SubstringDedup {
     * the full hub posting first — the one 100 TB soft spot the r7
     * verdict flagged.)
     */
-  private def postingPairs(grams: DataFrame, minShared: Int,
+  private[graft] def postingPairs(grams: DataFrame, minShared: Int,
                            maxDf: Int): DataFrame = {
     val posts = grams.groupBy("h")
       .agg(graft.functions.text.capped_distinct_longs(col("id"), maxDf).as("ids"))
@@ -182,25 +182,35 @@ object SubstringDedup {
     */
   def winnowedGramPairsMd5(docs: DataFrame, idCol: String, textCol: String,
                            L: Int = 40, w: Int = 8, minShared: Int = 2,
-                           maxDf: Int = 1000): DataFrame = {
-    val gramArr = transform(sequence(lit(1), length(col("__t")) - (L - 1)),
-      i => md5(col("__t").substr(i, lit(L)).cast("binary")))
-    val winnowSet = array_distinct(transform(
-      sequence(lit(1), greatest(size(col("__g")) - (w - 1), lit(1))),
-      j => array_min(slice(col("__g"), j, lit(w)))))
-    val g = docs.filter(length(col(textCol)) >= L)
-      .select(col(idCol).as("id"), col(textCol).as("__t"))
-      .select(col("id"), gramArr.as("__g"))
-      .select(col("id"), explode(winnowSet).as("h"))
-    postingPairs(g, minShared, maxDf)
-  }
+                           maxDf: Int = 1000): DataFrame =
+    postingPairs(md5WinnowGrams(docs, idCol, textCol, L, w), minShared, maxDf)
+
+  /** The md5 variant's winnowed (id, h) fingerprint rows — shared by
+    * [[winnowedGramPairsMd5]] and the streaming substring gate's
+    * DuckDB-replayable mode. One codegen'd kernel call per doc
+    * ([[org.apache.spark.sql.graft.Md5WinnowedFingerprints]]); the HOF
+    * formulation it replaced (gram array → per-position slice-min)
+    * allocated a w-slice per position and measured ~3× the xxhash
+    * kernel's wall at the 500k-doc bench corpus.
+    */
+  private[graft] def md5WinnowGrams(docs: DataFrame, idCol: String,
+                                    textCol: String, L: Int, w: Int): DataFrame =
+    docs.filter(octet_length(col(textCol)) >= L)
+      .select(col(idCol).as("id"),
+        explode(graft.functions.text.md5_winnowed_fingerprints(col(textCol), L, w)).as("h"))
+
+  /** The production winnowed (id, h) fingerprint rows (xxhash codegen
+    * kernel) — shared by [[winnowedGramPairs]] and the streaming gate's
+    * default mode.
+    */
+  private[graft] def xxWinnowGrams(docs: DataFrame, idCol: String,
+                                   textCol: String, L: Int, w: Int): DataFrame =
+    docs.filter(octet_length(col(textCol)) >= L)
+      .select(col(idCol).as("id"),
+        explode(graft.functions.text.winnowed_fingerprints(col(textCol), L, w)).as("h"))
 
   def winnowedGramPairs(docs: DataFrame, idCol: String, textCol: String,
                         L: Int = 40, w: Int = 8, minShared: Int = 2,
-                        maxDf: Int = 1000): DataFrame = {
-    val g = docs.filter(octet_length(col(textCol)) >= L)
-      .select(col(idCol).as("id"),
-        explode(graft.functions.text.winnowed_fingerprints(col(textCol), L, w)).as("h"))
-    postingPairs(g, minShared, maxDf)
-  }
+                        maxDf: Int = 1000): DataFrame =
+    postingPairs(xxWinnowGrams(docs, idCol, textCol, L, w), minShared, maxDf)
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{Bridge, CappedDistinctLongs, GramFingerprintCounts, LangStopHits, MinHashSig, NgramShingles, NgramStats, SimHash64, TextProfile, WinnowedFingerprints}
+import org.apache.spark.sql.graft.{Bridge, CappedDistinctLongs, GramFingerprintCounts, LangStopHits, Md5WinnowedFingerprints, MinHashSig, NgramShingles, NgramStats, SimHash64, TextProfile, WinnowedFingerprints}
 
 /** Column-API wrappers over the codegen'd text-sketch expressions
   * (see org.apache.spark.sql.graft.TextExpressions).
@@ -51,6 +51,13 @@ object text {
     */
   def winnowed_fingerprints(textCol: Column, l: Int, w: Int): Column =
     Bridge.column(WinnowedFingerprints(Bridge.expression(textCol), l, w))
+
+  /** Distinct robust-winnowed md5 HEX fingerprints of every L-byte
+    * window (the DuckDB-replayable encoding) in one map-side pass — see
+    * [[Md5WinnowedFingerprints]].
+    */
+  def md5_winnowed_fingerprints(textCol: Column, l: Int, w: Int): Column =
+    Bridge.column(Md5WinnowedFingerprints(Bridge.expression(textCol), l, w))
 
   /** Distinct L-byte-gram xxhash64 fingerprints with per-doc position
     * counts, `array<struct<h, cnt>>`, in one map-side pass — see

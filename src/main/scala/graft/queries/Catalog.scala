@@ -766,8 +766,13 @@ object Catalog {
         val e = Fixture.external(s, d).withColumn("l_extra", extra)
         // diff on the ORIGINAL columns only: the new column must not
         // perturb signatures (it would reclassify every row "changed"
-        // and force a full refetch — the failure mode this entry pins)
-        Diff.diffApply(i, e, K, Fixture.DataCols)
+        // and force a full refetch — the failure mode this entry pins).
+        // And BECAUSE the diff ignores l_extra, the pre-ALTER kinds are
+        // still valid — the apply reuses the memoized classification
+        // instead of re-deriving both (key, sig) projections, which is
+        // exactly what a live replicator does across an ALTER (r7
+        // measured the re-classify at ~4× the plain apply)
+        Diff.applyClassified(i, e, Fixture.kinds(s, d), K)
           .orderBy(keyCols: _*)
       },
       Some(s"""${Fixture.OracleCtes},
@@ -1512,6 +1517,32 @@ object Catalog {
           .orderBy("id_a", "id_b")
       },
       Some(Oracles.ingestGateOracle)),
+
+    Entry("dedup_substring_gate",
+      // the streaming SUBSTRING gate's batch contract, oracled: run the
+      // real StreamSubstringGate state machine — wave 0 seeds the
+      // winnowed-fingerprint index, waves 1 and 2 probe the accumulating
+      // index (delta-broadcast, pb-pruned) and absorb — and read back
+      // every verbatim-overlap pair, versioned by the batch that
+      // detected it. md5 mode so DuckDB replays the whole machine as one
+      // winnowed-gram self-join with version = greatest(wave) — the pair
+      // is detected by whichever batch first sees both sides.
+      (s, d) => {
+        val all = docs(s, d)
+        val st = scratchDir("dedup_substring_gate", d)
+        val p = graft.stream.StreamSubstringGate.Params(md5Mode = true)
+        graft.stream.StreamSubstringGate.seedCorpus(
+          all.filter(col("doc_id") % 3 === 0), st, p)
+        graft.stream.StreamSubstringGate.processBatch(
+          all.filter(col("doc_id") % 3 === 1), st, 1L, p)
+        graft.stream.StreamSubstringGate.processBatch(
+          all.filter(col("doc_id") % 3 === 2), st, 2L, p)
+        graft.stream.StreamSubstringGate.pairs(s, st)
+          .select(col("id_a"), col("id_b"), col("n_shared"),
+            col("ingest_version").cast("long").as("ingest_version"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(Oracles.substringGateOracle(l = 40, w = 8, minShared = 2))),
 
     Entry("dedup_simhash",
       (s, d) => Dedup.simhashTable(docs(s, d), "doc_id", "text")

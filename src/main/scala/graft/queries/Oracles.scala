@@ -388,6 +388,36 @@ object Oracles {
        |SELECT id_a, id_b, n_shared FROM p WHERE n_shared >= $minShared
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Oracle for `dedup_substring_gate`: the streaming substring gate's
+    * batch contract replayed. Waves are doc_id % 3 (wave 0 seeds the
+    * index and emits nothing); a pair is detected by the LATER of its two
+    * docs' waves — the batch whose probe first sees both sides — so the
+    * whole state machine replays as one winnowed-gram self-join with
+    * `ingest_version = greatest(wave_a, wave_b)`. The hub cap (maxDf)
+    * never binds at oracle scale (total docs < maxDf bounds every df), so
+    * the replay needs no hub CTE; the cap's behavior is pinned by
+    * StreamSubstringGateSpec instead.
+    */
+  def substringGateOracle(l: Int, w: Int, minShared: Int): String =
+    s"""WITH x AS (SELECT doc_id, text, len(text) - ${l - 1} AS n,
+       |            unnest(generate_series(1, len(text) - ${l - 1})) AS i
+       |           FROM documents WHERE len(text) >= $l),
+       |ph AS (SELECT doc_id, n, i, md5(substr(text, i, $l)) AS h FROM x),
+       |wm AS (SELECT doc_id, n, i,
+       |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS mh
+       |       FROM ph),
+       |g AS (SELECT DISTINCT doc_id, mh AS h FROM wm
+       |      WHERE i <= greatest(n - ${w - 1}, 1)),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+       |      FROM g a JOIN g b ON a.h = b.h AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT id_a, id_b, n_shared,
+       |       CAST(greatest(id_a % 3, id_b % 3) AS BIGINT) AS ingest_version
+       |FROM p
+       |WHERE n_shared >= $minShared AND greatest(id_a % 3, id_b % 3) > 0
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Oracle for `text_dup_span_stats`: per-position L-gram duplication
     * flags (gram present in ≥ 2 distinct docs), aggregated per doc.
     */

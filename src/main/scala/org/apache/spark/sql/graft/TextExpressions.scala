@@ -617,3 +617,111 @@ object GramFingerprintCounts {
     new GenericArrayData(out)
   }
 }
+
+/** The md5 form of [[WinnowedFingerprints]] — DISTINCT robust-winnowed
+  * md5 hex fingerprints of every L-byte window, w-window minima, in one
+  * map-side pass. Exists for the DuckDB-replayable oracle paths
+  * (`dedup_substring_winnowed_md5`, the md5-mode streaming substring
+  * gate): both engines hash the same gram bytes, and lowercase-hex
+  * string ordering is order-isomorphic to the unsigned digest bytes, so
+  * the window-min SELECTION — not just the hashes — matches the SQL
+  * `min(h) OVER (ROWS BETWEEN CURRENT ROW AND w-1 FOLLOWING)` replay
+  * exactly. Replaces the HOF formulation (gram array → per-position
+  * slice-min), which allocated a w-element slice per position and
+  * measured ~3× the xxhash kernel's wall at the 500k-doc bench corpus.
+  */
+case class Md5WinnowedFingerprints(child: Expression, l: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(l > 0 && w > 0)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "md5_winnowed_fingerprints"
+
+  override def nullSafeEval(input: Any): Any =
+    Md5WinnowedFingerprints.compute(input.asInstanceOf[UTF8String], l, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = Md5WinnowedFingerprints.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $cls.compute($t, $l, $w);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5WinnowedFingerprints {
+  private val Hex = "0123456789abcdef".toCharArray
+
+  def compute(text: UTF8String, l: Int, w: Int): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    if (n < l) return new GenericArrayData(Array.empty[Any])
+    val nGrams = n - l + 1
+    // all position digests up front, contiguous (16 B/position): the
+    // deque needs random access to compare window members, and one flat
+    // array beats nGrams small digest allocations
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val digs = new Array[Byte](nGrams * 16)
+    var i = 0
+    while (i < nGrams) {
+      md.reset()
+      md.update(bytes, i, l)
+      md.digest(digs, i * 16, 16)
+      i += 1
+    }
+    // unsigned lexicographic digest order — identical to lowercase-hex
+    // string order (hex encoding preserves byte order nibble by nibble)
+    def less(a: Int, b: Int): Boolean = {
+      var k = 0
+      while (k < 16) {
+        val x = digs(a * 16 + k) & 0xff
+        val y = digs(b * 16 + k) & 0xff
+        if (x != y) return x < y
+        k += 1
+      }
+      false
+    }
+    def hex(idx: Int): UTF8String = {
+      val cs = new Array[Byte](32)
+      var k = 0
+      while (k < 16) {
+        val b = digs(idx * 16 + k) & 0xff
+        cs(2 * k) = Hex(b >>> 4).toByte
+        cs(2 * k + 1) = Hex(b & 0xf).toByte
+        k += 1
+      }
+      UTF8String.fromBytes(cs)
+    }
+    val out = new java.util.LinkedHashSet[UTF8String]()
+    if (nGrams <= w) {
+      // single (short) window: its minimum
+      var m = 0; i = 1
+      while (i < nGrams) { if (less(i, m)) m = i; i += 1 }
+      out.add(hex(m))
+    } else {
+      // monotonic deque of indices; pop `>=` so the RIGHTMOST minimal
+      // position represents the window — value-set semantics make the
+      // tie rule invisible to the output, but it keeps the loop aligned
+      // with the xxhash kernel
+      val dq = new Array[Int](nGrams)
+      var head = 0; var tail = 0
+      var lastEmitted = -1 // same index ⇒ same value: skip the rebuild
+      i = 0
+      while (i < nGrams) {
+        while (tail > head && !less(dq(tail - 1), i)) tail -= 1
+        dq(tail) = i; tail += 1
+        if (dq(head) <= i - w) head += 1
+        if (i >= w - 1 && dq(head) != lastEmitted) {
+          out.add(hex(dq(head)))
+          lastEmitted = dq(head)
+        }
+        i += 1
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator(); i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 }
+    new GenericArrayData(arr)
+  }
+}

@@ -77,6 +77,35 @@ class TextSketchProps extends AnyFunSuite {
     })
   }
 
+  test("Md5WinnowedFingerprints == HOF slice-min built-in derivation on random ASCII texts") {
+    // the independent derivation is the pre-kernel SQL formulation: gram
+    // array of md5 hex hashes → every w-window's array_min → distinct.
+    // ASCII-only texts (the kernel windows bytes, the HOF windows chars —
+    // identical on ASCII, which is also the DuckDB oracle's domain).
+    val asciiGen: Gen[String] = for {
+      n <- Gen.choose(0, 30)
+      cs <- Gen.listOfN(n, Gen.oneOf(('a' to 'e') :+ ' '))
+    } yield cs.mkString
+    val (l, w) = (6, 3)
+    assertHolds(Prop.forAll(Gen.listOfN(6, asciiGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = docs
+        .select(col("doc_id"), explode(
+          graft.functions.text.md5_winnowed_fingerprints(col("text"), l, w)).as("h"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val expected = docs.filter(length(col("text")) >= l)
+        .select(col("doc_id"),
+          expr(s"transform(sequence(1, length(text) - ${l - 1}), " +
+            s"__i -> md5(cast(substring(text, __i, $l) AS BINARY)))").as("g"))
+        .select(col("doc_id"), explode(expr(
+          s"array_distinct(transform(sequence(1, greatest(size(g) - ${w - 1}, 1)), " +
+            s"__j -> array_min(slice(g, __j, $w))))")).as("h"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      got == expected
+    })
+  }
+
   test("SimHash64 == xxhash64 bit-vote built-in derivation on random texts") {
     assertHolds(Prop.forAll(Gen.listOfN(5, textGen)) { texts =>
       val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }

@@ -30,8 +30,8 @@ class CatalogSpec extends AnyFunSuite {
     // invoked and have their own dedicated specs.
     val eager = Set("cdc_bucketed_apply", "changelog_latest_compacted",
       "dedup_ingest_gate", "dedup_vec_ingest_gate", "dedup_incremental_lsh",
-      "sim_ivf_persisted", "sim_ivf_delta", "text_idf_incremental",
-      "diff_apply_scaled", "stream_lm_gate")
+      "dedup_substring_gate", "sim_ivf_persisted", "sim_ivf_delta",
+      "text_idf_incremental", "diff_apply_scaled", "stream_lm_gate")
     val failures = Catalog.entries.filterNot(e => eager(e.name)).flatMap { e =>
       try { e.q(spark, graft.TestSpark.Sf).queryExecution.analyzed; None }
       catch { case ex: Exception => Some(s"${e.name}: ${ex.getMessage.linesIterator.next()}") }
