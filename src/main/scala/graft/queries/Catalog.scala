@@ -1641,6 +1641,35 @@ object Catalog {
         .orderBy("id"),
       None),
 
+    Entry("corpus_ingest_e2e",
+      // the STREAMING-SHAPED counterpart of corpus_prep_e2e: the ingest
+      // gate chain a training-data system runs at the door — LM quality
+      // (wave-0-trained, static) → exact dedup (keep-first) → substring
+      // overlap (winnowed md5, cross vs admitted + in-batch CC min-id) —
+      // folded over ingestion waves with the admitted state
+      // accumulating, every doc's fate labeled by its FIRST failing
+      // stage. Gate ordering is by cost: an LM-rejected doc never
+      // consumes dedup work. The corpus plants verbatim clones
+      // (doc_id % 17 == 3, id + 100000 ⇒ the clone lands one wave over)
+      // because the raw fixture has no exact duplicates — without them
+      // the exact stage would be dead code in the gate; both engines
+      // plant identically. maxAvgNllFrac = 1.0 (vs the strict gate's
+      // 0.98) deliberately admits the all-unseen boundary so the dedup
+      // stages see realistic volume — the strict-rejection contract is
+      // pinned by stream_lm_gate. The oracle unrolls the wave
+      // recursion — both engines walk the identical state machine (see
+      // Oracles.ingestPipelineOracle).
+      (s, d) => {
+        val base = docs(s, d)
+        val planted = base.unionByName(base.filter(col("doc_id") % 17 === 3)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+        IngestPipeline.waveFates(planted, "doc_id", "text",
+            nWaves = 3, maxAvgNllFrac = 1.0, L = 40, w = 8, minShared = 2)
+          .orderBy("doc_id")
+      },
+      Some(Oracles.ingestPipelineOracle(nWaves = 3, frac = 1.0, l = 40,
+        w = 8, minShared = 2))),
+
     Entry("corpus_prep_e2e",
       // THE product shape a training-data user actually runs: the four
       // individually-oracled stages COMPOSED as one pipeline — C4-style

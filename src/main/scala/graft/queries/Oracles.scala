@@ -418,6 +418,119 @@ object Oracles {
        |WHERE n_shared >= $minShared AND greatest(id_a % 3, id_b % 3) > 0
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Oracle for `corpus_ingest_e2e`: the composed LM → exact →
+    * substring gate chain replayed wave by wave. The CTE prefix computes
+    * the three stage primitives ONCE over the whole corpus — the wave-0
+    * bigram LM (the `streamLmGateOracle` body), every doc's md5 text
+    * signature, and every doc's winnowed md5 fingerprints (the
+    * `substringWinnowedMd5Oracle` body) — and each ingest wave is then
+    * an UNROLLED block: LM verdicts, keep-first exact dedup against the
+    * accumulated admitted set, pair-level substring overlap against it,
+    * and recursive-CTE min-label connected components for the in-batch
+    * pairs (the `lshClusterCtesBody` CC discipline). Wave v's admitted
+    * set feeds wave v+1's block — the cross-wave recursion is unrolled,
+    * not recomputed, so both engines walk the identical state machine.
+    * The hub cap (maxDf) never binds at oracle scale and is omitted, as
+    * in `substringGateOracle`.
+    */
+  def ingestPipelineOracle(nWaves: Int, frac: Double, l: Int, w: Int,
+                           minShared: Int): String = {
+    def waveBlock(v: Int, adm: String): String =
+      s"""w${v}_all AS MATERIALIZED (SELECT doc_id FROM pdocs WHERE doc_id % $nWaves = $v),
+         |w${v}_lmfail AS MATERIALIZED (SELECT w.doc_id,
+         |    CASE WHEN sc.doc_id IS NULL THEN 'lm_short' ELSE 'lm' END AS reason
+         |  FROM w${v}_all w LEFT JOIN sc ON sc.doc_id = w.doc_id
+         |  WHERE sc.doc_id IS NULL OR sc.avg_nll > (SELECT c FROM ceil)),
+         |w${v}_lmpass AS MATERIALIZED (SELECT w.doc_id FROM w${v}_all w
+         |  JOIN sc ON sc.doc_id = w.doc_id
+         |  WHERE sc.avg_nll <= (SELECT c FROM ceil)),
+         |w${v}_exfail AS MATERIALIZED (
+         |  SELECT s.doc_id FROM sigs s JOIN w${v}_lmpass p ON p.doc_id = s.doc_id
+         |  WHERE s.sig IN (SELECT sig FROM sigs JOIN $adm USING (doc_id))
+         |  UNION
+         |  SELECT s.doc_id FROM sigs s JOIN w${v}_lmpass p ON p.doc_id = s.doc_id
+         |  JOIN (SELECT s2.sig, min(s2.doc_id) AS m FROM sigs s2
+         |        JOIN w${v}_lmpass p2 ON p2.doc_id = s2.doc_id GROUP BY 1) mm
+         |    ON mm.sig = s.sig AND s.doc_id <> mm.m),
+         |w${v}_expass AS MATERIALIZED (SELECT doc_id FROM w${v}_lmpass
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM w${v}_exfail)),
+         |w${v}_crosssub AS MATERIALIZED (SELECT DISTINCT doc_id FROM (
+         |    SELECT gb.doc_id, ga.doc_id AS aid, count(*) AS ns
+         |    FROM g gb JOIN g ga ON ga.h = gb.h
+         |    JOIN w${v}_expass p ON p.doc_id = gb.doc_id
+         |    JOIN $adm a ON a.doc_id = ga.doc_id
+         |    GROUP BY 1, 2) q WHERE q.ns >= $minShared),
+         |w${v}_subcand AS MATERIALIZED (SELECT doc_id FROM w${v}_expass
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM w${v}_crosssub)),
+         |w${v}_prs AS MATERIALIZED (SELECT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM g x JOIN g y ON x.h = y.h AND x.doc_id < y.doc_id
+         |  JOIN w${v}_subcand cx ON cx.doc_id = x.doc_id
+         |  JOIN w${v}_subcand cy ON cy.doc_id = y.doc_id
+         |  GROUP BY 1, 2 HAVING count(*) >= $minShared),
+         |w${v}_edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM w${v}_prs
+         |  UNION ALL SELECT id_b, id_a FROM w${v}_prs),
+         |w${v}_reach(rid, rlabel) AS (
+         |  SELECT src, src FROM w${v}_edges
+         |  UNION
+         |  SELECT e.dst, w${v}_reach.rlabel FROM w${v}_reach
+         |  JOIN w${v}_edges e ON e.src = w${v}_reach.rid),
+         |w${v}_comp AS MATERIALIZED (SELECT rid, min(rlabel) AS cid FROM w${v}_reach GROUP BY 1),
+         |w${v}_subfail AS MATERIALIZED (SELECT doc_id FROM w${v}_crosssub
+         |  UNION SELECT rid FROM w${v}_comp WHERE rid <> cid),
+         |w${v}_adm AS MATERIALIZED (SELECT doc_id FROM w${v}_subcand
+         |  WHERE doc_id NOT IN (SELECT rid FROM w${v}_comp WHERE rid <> cid)),
+         |adm$v AS MATERIALIZED (SELECT doc_id FROM $adm UNION SELECT doc_id FROM w${v}_adm)""".stripMargin
+    val blocks = (1 until nWaves)
+      .map(v => waveBlock(v, if (v == 1) "adm0" else s"adm${v - 1}"))
+    val fates = (1 until nWaves).map(v =>
+      s"""  SELECT doc_id, $v AS wave, 0 AS admitted, reason FROM w${v}_lmfail
+         |  UNION ALL SELECT doc_id, $v, 0, 'exact' FROM w${v}_exfail
+         |  UNION ALL SELECT doc_id, $v, 0, 'substring' FROM w${v}_subfail
+         |  UNION ALL SELECT doc_id, $v, 1, 'ok' FROM w${v}_adm""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE
+       |pdocs AS MATERIALIZED (SELECT doc_id, text FROM documents
+       |          UNION ALL
+       |          SELECT doc_id + 100000, text FROM documents WHERE doc_id % 17 = 3),
+       |dd AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ws FROM pdocs),
+       |xx AS MATERIALIZED (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+       |       FROM dd WHERE len(ws) >= 2),
+       |bg AS MATERIALIZED (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2 FROM xx),
+       |c12 AS MATERIALIZED (SELECT w1, w2, count(*) AS c12 FROM bg
+       |        WHERE doc_id % $nWaves = 0 GROUP BY 1, 2),
+       |c1 AS MATERIALIZED (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY 1),
+       |vv AS MATERIALIZED (SELECT count(DISTINCT w) AS v FROM (
+       |         SELECT w1 AS w FROM bg WHERE doc_id % $nWaves = 0
+       |         UNION ALL SELECT w2 FROM bg WHERE doc_id % $nWaves = 0)),
+       |tt AS MATERIALIZED (SELECT bg.doc_id,
+       |         CAST(round(-ln((coalesce(c12.c12, 0) + 0.5) /
+       |           (coalesce(c1.c1, 0) + 0.5 * (SELECT v FROM vv))), 9)
+       |           AS DECIMAL(28,9)) AS nll
+       |       FROM bg
+       |       LEFT JOIN c12 ON c12.w1 = bg.w1 AND c12.w2 = bg.w2
+       |       LEFT JOIN c1 ON c1.w1 = bg.w1
+       |       WHERE bg.doc_id % $nWaves <> 0),
+       |sc AS MATERIALIZED (SELECT doc_id, round(CAST(sum(nll) AS DOUBLE) / count(*), 6) AS avg_nll
+       |       FROM tt GROUP BY 1),
+       |ceil AS MATERIALIZED (SELECT $frac * ln(v) AS c FROM vv),
+       |sigs AS MATERIALIZED (SELECT doc_id, md5(text) AS sig FROM pdocs),
+       |gx AS MATERIALIZED (SELECT doc_id, text, len(text) - ${l - 1} AS n,
+       |        unnest(generate_series(1, len(text) - ${l - 1})) AS i
+       |       FROM pdocs WHERE len(text) >= $l),
+       |gph AS MATERIALIZED (SELECT doc_id, n, i, md5(substr(text, i, $l)) AS h FROM gx),
+       |gwm AS MATERIALIZED (SELECT doc_id, n, i,
+       |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                      ROWS BETWEEN CURRENT ROW AND ${w - 1} FOLLOWING) AS mh
+       |       FROM gph),
+       |g AS MATERIALIZED (SELECT DISTINCT doc_id, mh AS h FROM gwm
+       |      WHERE i <= greatest(n - ${w - 1}, 1)),
+       |adm0 AS MATERIALIZED (SELECT doc_id FROM pdocs WHERE doc_id % $nWaves = 0),
+       |${blocks.mkString(",\n")}
+       |SELECT doc_id, wave, admitted, reason FROM (
+       |$fates)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Oracle for `text_dup_span_stats`: per-position L-gram duplication
     * flags (gram present in ≥ 2 distinct docs), aggregated per doc.
     */
