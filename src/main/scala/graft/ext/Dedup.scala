@@ -474,6 +474,66 @@ object Dedup {
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
+  /** DETERMINISTIC banded cell index — the DuckDB-replayable twin of
+    * [[embeddingIndex]]: band b's bucket is the SIGN PATTERN of dims
+    * [b·dimsPerBand, (b+1)·dimsPerBand) — an axis-aligned hyperplane
+    * family, exact under any float widening (sign survives REAL→DOUBLE),
+    * so an oracle can recompute the buckets bit-for-bit where the
+    * xxhash64-derived hyperplanes of the production index cannot be
+    * expressed in SQL. Same (id, band, bucket:int) schema, so the whole
+    * [[incrementalEmbeddingPairs]] probe path and the streaming gate's
+    * state layout are reusable unchanged — the `dedup_semantic_md5`
+    * discipline applied to the index. Recall is governed by the planted
+    * perturbation (a ±ε shadow flips a band only when a dim sits within
+    * ε of zero); production stays on the hyperplane index.
+    */
+  def axisCellIndex(embs: DataFrame, idCol: String, vecCol: String,
+                    bands: Int = 6, dimsPerBand: Int = 10): DataFrame =
+    embs.select(col(idCol).as("id"),
+        explode(array((0 until bands).map(b =>
+          struct(lit(b).as("band"),
+            (0 until dimsPerBand).map(j =>
+              when(element_at(col(vecCol), b * dimsPerBand + j + 1) >= 0,
+                lit(1 << j)).otherwise(lit(0))).reduce(_ + _).as("bucket"))): _*))
+          .as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+
+  /** Batch near-dup over the DETERMINISTIC cell index: candidates where
+    * ANY band's axis-sign bucket agrees, exact cosine ≥ `threshold`
+    * verifies. Output (id_a, id_b, n_bands) with n_bands the number of
+    * agreeing bands — an integer both engines compute identically, so
+    * the whole path (index → candidate join → verify) is cross-engine
+    * checkable; the cosine VALUE stays out of the output (float vs
+    * double accumulation differs in the last decimals, membership never
+    * does when the corpus plants a wide margin). The oracle twin of
+    * [[embeddingNearDups]]; same two-shuffle shape (one candidate
+    * groupBy, one by-id vector fetch), candidate volume n²·bands/2^dims
+    * per band — linear once dimsPerBand tracks log2(n) like `planes`
+    * does in the production path.
+    */
+  def axisCellNearDups(embs: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double, bands: Int = 6,
+                       dimsPerBand: Int = 10): DataFrame = {
+    import graft.functions.vectors
+    val base = embs.select(col(idCol).as("id"), col(vecCol).as("__v"),
+      vectors.float_norm(col(vecCol)).as("__n"))
+    val idx = axisCellIndex(base, "id", "__v", bands, dimsPerBand)
+    // one row per (pair, band) — a band contributes at most one bucket,
+    // so count(1) IS the band-collision count
+    val cands = idx.as("a")
+      .join(idx.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_bands"))
+    val va = base.select(col("id").as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
+    val vb = base.select(col("id").as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
+    cands.join(va, "id_a").join(vb, "id_b")
+      .filter(vectors.float_dot(col("__va"), col("__vb")) /
+        (col("__na") * col("__nb")) >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_bands"))
+  }
+
   /** Incremental embedding near-dup: cosine-verified pairs touching a
     * DELTA of newly-ingested vectors, probing a pre-built corpus
     * [[embeddingIndex]] — the ANN analog of [[incrementalVerifiedPairs]],

@@ -51,13 +51,26 @@ import org.apache.spark.storage.StorageLevel
   * lineage.
   */
 object IngestPipeline {
+  /** `md5Mode = true` (default) runs md5 text signatures and md5 winnowed
+    * grams — the DuckDB-replayable encoding the `corpus_ingest_e2e`
+    * oracle unrolls. `md5Mode = false` is the 100 TB deployment posture:
+    * the xxhash64 codegen kernels (8-byte fingerprints, zero
+    * per-position allocation). The two modes differ ONLY in hash
+    * encoding, so per-doc fates are identical wherever both hash spaces
+    * agree on gram equality (i.e. everywhere, modulo 64-bit collisions) —
+    * IngestPipelineSpec pins that parity on the planted-overlap fixture.
+    */
   def waveFates(docs: DataFrame, idCol: String, textCol: String,
                 nWaves: Int = 3, maxAvgNllFrac: Double = 0.98,
                 L: Int = 40, w: Int = 8, minShared: Int = 2,
-                maxDf: Int = 1000): DataFrame = {
+                maxDf: Int = 1000, md5Mode: Boolean = true): DataFrame = {
     require(nWaves >= 2, "need a seed wave plus at least one ingest wave")
     val wave = pmod(col(idCol), lit(nWaves))
-    def sigOf(c: org.apache.spark.sql.Column) = md5(c.cast("binary"))
+    def sigOf(c: org.apache.spark.sql.Column) =
+      if (md5Mode) md5(c.cast("binary")) else xxhash64(c)
+    def gramsOf(d: DataFrame) =
+      if (md5Mode) SubstringDedup.md5WinnowGrams(d, "id", "__t", L, w)
+      else SubstringDedup.xxWinnowGrams(d, "id", "__t", L, w)
     val seed = docs.filter(wave === 0)
       .select(col(idCol).as("id"), col(textCol).as("__t"))
     val lm = TextLm.train(seed, "id", "__t")
@@ -68,7 +81,7 @@ object IngestPipeline {
     // later waves read blocks, not plans
     var admSigs = seed.select(sigOf(col("__t")).as("sig")).distinct()
       .localCheckpoint(true)
-    var admGrams = SubstringDedup.md5WinnowGrams(seed, "id", "__t", L, w)
+    var admGrams = gramsOf(seed)
       .select(col("id").as("aid"), col("h"))
       .localCheckpoint(true)
 
@@ -99,14 +112,28 @@ object IngestPipeline {
       // consumers — persist it for the wave
       val exactPass = batch.join(lmPassIds, Seq("id"), "left_semi")
         .join(exactFailIds, Seq("id"), "left_anti")
-      val batchGrams = SubstringDedup.md5WinnowGrams(exactPass, "id", "__t", L, w)
+      val batchGrams = gramsOf(exactPass)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val crossSubIds = batchGrams.join(admGrams, Seq("h"))
+      // probe-time hub cap, the StreamSubstringGate discipline: a gram
+      // whose admitted+batch df exceeds maxDf is template noise — drop it
+      // BEFORE the pair-count groupBy, so one boilerplate gram absorbed
+      // into admitted state cannot fan out O(admitted df) per wave. The
+      // hub set is bounded by the batch's distinct gram count, never
+      // corpus-sized; at oracle scale (total docs < maxDf) the cap never
+      // binds, so the uncapped DuckDB replay is unaffected.
+      val admMatches = admGrams.join(batchGrams.select(col("h")).distinct(), Seq("h"))
+      val hubs = admMatches.groupBy("h").agg(count(lit(1)).as("n_c"))
+        .join(batchGrams.groupBy("h").agg(count(lit(1)).as("n_d")), Seq("h"))
+        .filter(col("n_c") + col("n_d") > maxDf)
+        .select(col("h"))
+      val crossSubIds = batchGrams.join(hubs, Seq("h"), "left_anti")
+        .join(admGrams, Seq("h"))
         .groupBy("id", "aid").agg(count(lit(1)).as("ns"))
         .filter(col("ns") >= minShared)
         .select(col("id")).distinct()
         .localCheckpoint(true)
       val candGrams = batchGrams.join(crossSubIds, Seq("id"), "left_anti")
+        .join(hubs, Seq("h"), "left_anti")
       val innerSubIds = Dedup.dupClusters(
           SubstringDedup.postingPairs(candGrams, minShared, maxDf))
         .filter(col("id") =!= col("cluster_id")).select(col("id"))

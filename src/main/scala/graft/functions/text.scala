@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{coalesce, concat, lit, raise_error, when}
 import org.apache.spark.sql.graft.{Bridge, CappedDistinctLongs, GramFingerprintCounts, LangStopHits, Md5WinnowedFingerprints, MinHashSig, NgramShingles, NgramStats, SimHash64, TextProfile, WinnowedFingerprints}
 
 /** Column-API wrappers over the codegen'd text-sketch expressions
@@ -70,8 +71,21 @@ object text {
     * the group exceeds `cap` distinct values — per-key aggregation state
     * is bounded by `cap` no matter how hot the key is. See
     * [[CappedDistinctLongs]].
+    *
+    * Ids are widened to long. A value the cast cannot represent (e.g. a
+    * non-numeric string) RAISES instead of silently vanishing: the
+    * r8 cut cast-to-null and the aggregate skipped nulls, so a caller
+    * with string ids got zero pairs out of [[graft.ext.SubstringDedup]]
+    * with no error — a silent-wrong-result API regression vs the r7
+    * collect_set path. NULL inputs still skip (aggregate convention).
     */
-  def capped_distinct_longs(v: Column, cap: Int): Column =
-    Bridge.column(CappedDistinctLongs(Bridge.expression(v.cast("long")), cap)
+  def capped_distinct_longs(v: Column, cap: Int): Column = {
+    val widened = when(v.isNull, lit(null).cast("long"))
+      .otherwise(coalesce(v.cast("long"),
+        raise_error(concat(
+          lit("capped_distinct_longs: id not representable as long: "),
+          v.cast("string"))).cast("long")))
+    Bridge.column(CappedDistinctLongs(Bridge.expression(widened), cap)
       .toAggregateExpression())
+  }
 }

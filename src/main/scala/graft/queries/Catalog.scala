@@ -156,6 +156,36 @@ object Catalog {
       e.unionByName(shadow)
     }
 
+  /** Memoized md5-PLANTED embedding corpus (the `dedup_semantic_md5`
+    * discipline): every vector plus a shadow at +1000000 whose per-dim
+    * perturbation is derived from md5 of `sem:<base_id>:<dim>` — both
+    * engines hash the same strings and round through float/REAL, so the
+    * planted values are bit-identical and every downstream geometry
+    * (axis-sign cells, cosine) is cross-engine checkable. Perturbation
+    * ±0.0125/dim ⇒ planted cos ≈ 0.998, far above any random pair
+    * (≤ ~0.6 at 64 dims) — no threshold ever decides within float
+    * noise. Shared by `dedup_semantic_md5`, `dedup_embedding_cosine_md5`
+    * and `dedup_vec_ingest_gate_md5`; persisted so the interpreted md5
+    * transform runs once, not once per plan branch / state-machine wave.
+    */
+  private val embSemCache = new QueryCache("embeddings.parquet")
+
+  private def embSemPlanted(s: SparkSession, d: String): DataFrame =
+    embSemCache.get(s, d) { (ss, dd) =>
+      val e = embs(ss, dd).select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding"))
+      // the hash input must be the BASE id: naming it uniquely keeps the
+      // lambda's reference from resolving against the +offset output alias
+      val shadow = e.select(col("vec_id").as("base_id"), col("embedding"))
+        .select((col("base_id") + lit(1000000L)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            (x.cast("double") +
+              (conv(substring(md5(concat(lit("sem:"), col("base_id").cast("string"),
+                lit(":"), i.cast("string"))), 1, 4), 16, 10).cast("double")
+                - lit(32767.5)) / lit(2621400.0)).cast("float")).as("embedding"))
+      e.unionByName(shadow)
+    }
+
   /** Memoized REAL image features (JDK ImageIO decode of the synthetic
     * per-doc PNG corpus): rendered + decoded once per (session, dir),
     * shared by `mm_image_features` and `mm_image_neardup`.
@@ -1954,21 +1984,9 @@ object Catalog {
       // necessity; this closes the family's oracle gap the way
       // dedup_simhash_md5_pairs does for SimHash. Output: dropped rows.
       (s, d) => {
-        val e = embs(s, d).select(col("vec_id").cast("long").as("vec_id"),
-          col("embedding"))
-        // md5-derived per-dim perturbation ±0.0125 ⇒ planted cos ≈ 0.998,
-        // far above tau AND far above any random in-cell pair (≤ ~0.6 at
-        // 64 dims) — the threshold never decides within float noise
-        // the hash input must be the BASE id: naming it uniquely keeps the
-        // lambda's reference from resolving against the +offset output alias
-        val shadow = e.select(col("vec_id").as("base_id"), col("embedding"))
-          .select((col("base_id") + lit(1000000L)).as("vec_id"),
-            transform(col("embedding"), (x, i) =>
-              (x.cast("double") +
-                (conv(substring(md5(concat(lit("sem:"), col("base_id").cast("string"),
-                  lit(":"), i.cast("string"))), 1, 4), 16, 10).cast("double")
-                  - lit(32767.5)) / lit(2621400.0)).cast("float")).as("embedding"))
-        val planted = e.unionByName(shadow)
+        // planted corpus shared with the other *_md5 embedding gates —
+        // see embSemPlanted for the perturbation/margin argument
+        val planted = embSemPlanted(s, d)
         val assign = planted.select(col("vec_id").as("id"),
           (0 until 6).map(i =>
             when(element_at(col("embedding"), i + 1) >= 0, lit(1L << i))
@@ -1979,6 +1997,23 @@ object Catalog {
           .orderBy("id")
       },
       Some(Oracles.semanticMd5Oracle)),
+
+    Entry("dedup_embedding_cosine_md5",
+      // the embedding near-dup path's ORACLE GATE (the production
+      // xxhash-hyperplane variant above stays rows-only by necessity):
+      // banded DETERMINISTIC axis-sign cells — band b is the sign
+      // pattern of dims [10b, 10b+10), exact under float widening — over
+      // the md5-planted corpus, candidates where ANY band agrees, exact
+      // cosine ≥ 0.9 verifies. Cross-engine output is (id_a, id_b,
+      // n_bands): pair membership AND the per-pair band-collision count
+      // are checked; the cosine VALUE stays out of the hash (float vs
+      // double accumulation differs in the 6th decimal — membership
+      // never does, the planted margin is 0.4 wide).
+      (s, d) => Dedup.axisCellNearDups(embSemPlanted(s, d), "vec_id", "embedding",
+          threshold = 0.9, bands = 6, dimsPerBand = 10)
+        .orderBy("id_a", "id_b"),
+      Some(Oracles.embeddingCosineMd5Oracle(threshold = 0.9, bands = 6,
+        dimsPerBand = 10))),
 
     Entry("dedup_vec_ingest_gate",
       // the EMBEDDING ingest gate's batch contract: run the real
@@ -2006,6 +2041,34 @@ object Catalog {
           .orderBy("id_a", "id_b")
       },
       None), // xxhash64 hyperplanes — not expressible in DuckDB
+
+    Entry("dedup_vec_ingest_gate_md5",
+      // the vector gate's ORACLE GATE — the last unoracled ingest-gate
+      // family member (r8 verdict #2): the SAME StreamVecDup state
+      // machine (seed %3==0, two probed waves, bucket-prefix-pruned
+      // index reads, per-version Overwrite), but in cellMode — the
+      // deterministic axis-sign index both engines compute bit-for-bit
+      // over the md5-planted corpus (the dedup_semantic_md5 discipline;
+      // dedup_substring_gate is the versioned-replay template). The
+      // shadow offset (+1000000 ≡ 1 mod 3) makes every planted pair SPAN
+      // waves, so probe + versioning — not just pair membership — is
+      // what the oracle checks: a pair's ingest_version must equal the
+      // later doc's wave.
+      (s, d) => {
+        val all = embSemPlanted(s, d)
+        val st = scratchDir("dedup_vec_ingest_gate_md5", d)
+        val p = graft.stream.StreamVecDup.Params(
+          threshold = 0.9, bands = 6, cellMode = true)
+        graft.stream.StreamVecDup.seedCorpus(all.filter(col("vec_id") % 3 === 0), st, p)
+        graft.stream.StreamVecDup.processBatch(all.filter(col("vec_id") % 3 === 1), st, 1L, p)
+        graft.stream.StreamVecDup.processBatch(all.filter(col("vec_id") % 3 === 2), st, 2L, p)
+        graft.stream.StreamVecDup.pairs(s, st)
+          .select(col("id_a"), col("id_b"),
+            col("ingest_version").cast("long").as("ingest_version"))
+          .orderBy("id_a", "id_b")
+      },
+      Some(Oracles.vecIngestGateMd5Oracle(threshold = 0.9, bands = 6,
+        dimsPerBand = 10))),
 
     // ----- §7.5 similarity search
     Entry("sim_topk_brute",

@@ -346,9 +346,27 @@ object Oracles {
     * distinct fingerprints. Replays [[graft.ext.SubstringDedup
     * .sharedGramPairs]] with DuckDB's generate_series/substr.
     */
+  /** ASCII guard shared by every char-gram oracle: the Spark substring
+    * kernels window BYTES (octet_length gates, byte-window hashing)
+    * while these oracles window CHARS (len/substr) — the two agree ONLY
+    * on ASCII text, which the repo's own multibyte spec pins as a real
+    * divergence the oracle cannot replay. A future non-ASCII fixture
+    * must fail LOUDLY here (DuckDB error()) instead of silently
+    * hash-mismatching — the guard projection feeds every downstream
+    * filter, so it is evaluated for every document, including ones a
+    * char-length gate would have (wrongly) excluded. (ADVICE r8.)
+    */
+  private val asciiDocsCte: String =
+    """docsrc AS (SELECT doc_id,
+      |  CASE WHEN strlen(text) <> len(text)
+      |       THEN error('non-ASCII document ' || doc_id ||
+      |                  ': byte-window kernels vs char-based oracle')
+      |       ELSE text END AS text FROM documents)""".stripMargin
+
   def substringPairsOracle(l: Int, minShared: Int, maxDf: Int): String =
-    s"""WITH x AS (SELECT doc_id, text, unnest(generate_series(1, len(text) - ${l - 1})) AS i
-       |           FROM documents WHERE len(text) >= $l),
+    s"""WITH $asciiDocsCte,
+       |x AS (SELECT doc_id, text, unnest(generate_series(1, len(text) - ${l - 1})) AS i
+       |           FROM docsrc WHERE len(text) >= $l),
        |g AS (SELECT DISTINCT doc_id, md5(substr(text, i, $l)) AS h FROM x),
        |kept AS (SELECT g.doc_id, g.h FROM g
        |         JOIN (SELECT h FROM g GROUP BY h HAVING count(*) <= $maxDf) f
@@ -369,9 +387,10 @@ object Oracles {
     */
   def substringWinnowedMd5Oracle(l: Int, w: Int, minShared: Int,
                                  maxDf: Int): String =
-    s"""WITH x AS (SELECT doc_id, text, len(text) - ${l - 1} AS n,
+    s"""WITH $asciiDocsCte,
+       |x AS (SELECT doc_id, text, len(text) - ${l - 1} AS n,
        |            unnest(generate_series(1, len(text) - ${l - 1})) AS i
-       |           FROM documents WHERE len(text) >= $l),
+       |           FROM docsrc WHERE len(text) >= $l),
        |ph AS (SELECT doc_id, n, i, md5(substr(text, i, $l)) AS h FROM x),
        |wm AS (SELECT doc_id, n, i,
        |         min(h) OVER (PARTITION BY doc_id ORDER BY i
@@ -399,9 +418,10 @@ object Oracles {
     * StreamSubstringGateSpec instead.
     */
   def substringGateOracle(l: Int, w: Int, minShared: Int): String =
-    s"""WITH x AS (SELECT doc_id, text, len(text) - ${l - 1} AS n,
+    s"""WITH $asciiDocsCte,
+       |x AS (SELECT doc_id, text, len(text) - ${l - 1} AS n,
        |            unnest(generate_series(1, len(text) - ${l - 1})) AS i
-       |           FROM documents WHERE len(text) >= $l),
+       |           FROM docsrc WHERE len(text) >= $l),
        |ph AS (SELECT doc_id, n, i, md5(substr(text, i, $l)) AS h FROM x),
        |wm AS (SELECT doc_id, n, i,
        |         min(h) OVER (PARTITION BY doc_id ORDER BY i
@@ -489,9 +509,10 @@ object Oracles {
          |  UNION ALL SELECT doc_id, $v, 1, 'ok' FROM w${v}_adm""".stripMargin)
       .mkString("\nUNION ALL\n")
     s"""WITH RECURSIVE
-       |pdocs AS MATERIALIZED (SELECT doc_id, text FROM documents
+       |$asciiDocsCte,
+       |pdocs AS MATERIALIZED (SELECT doc_id, text FROM docsrc
        |          UNION ALL
-       |          SELECT doc_id + 100000, text FROM documents WHERE doc_id % 17 = 3),
+       |          SELECT doc_id + 100000, text FROM docsrc WHERE doc_id % 17 = 3),
        |dd AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS ws FROM pdocs),
        |xx AS MATERIALIZED (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
        |       FROM dd WHERE len(ws) >= 2),
@@ -535,8 +556,9 @@ object Oracles {
     * flags (gram present in ≥ 2 distinct docs), aggregated per doc.
     */
   def dupSpanStatsOracle(l: Int): String =
-    s"""WITH x AS (SELECT doc_id, text, unnest(generate_series(1, len(text) - ${l - 1})) AS i
-       |           FROM documents WHERE len(text) >= $l),
+    s"""WITH $asciiDocsCte,
+       |x AS (SELECT doc_id, text, unnest(generate_series(1, len(text) - ${l - 1})) AS i
+       |           FROM docsrc WHERE len(text) >= $l),
        |ph AS (SELECT doc_id, md5(substr(text, i, $l)) AS h FROM x),
        |dfh AS (SELECT h FROM (SELECT h, count(DISTINCT doc_id) AS nd FROM ph GROUP BY 1)
        |        WHERE nd >= 2)
@@ -648,13 +670,19 @@ object Oracles {
     * components. Spark runs min-label propagation + pointer jumping — a
     * different CC algorithm — so agreement is evidence, not echo.
     */
-  val semanticMd5Oracle: String = {
+  /** Shared CTE prefix reconstructing the md5-PLANTED embedding corpus
+    * (Catalog.embSemPlanted): base vectors plus a shadow at +1000000
+    * with an md5-derived per-dim perturbation, rounded through REAL so
+    * the planted floats are bit-identical across engines. Yields `ap`
+    * (vec_id BIGINT, i, x DOUBLE) — the corpus every embedding-md5
+    * oracle downstream geometry (cells, cosine) is computed from.
+    */
+  private def semPlantedCtes: String = {
     // first 4 hex digits of md5 → integer in [0, 65535], one shared formula
     val h4 = (0 until 4).map(j =>
       s"(CAST(strpos('0123456789abcdef', substr(m, ${j + 1}, 1)) - 1 AS BIGINT) * ${1L << (4 * (3 - j))})")
       .mkString(" + ")
-    s"""WITH RECURSIVE
-       |e AS (SELECT vec_id, unnest(embedding) AS x,
+    s"""e AS (SELECT vec_id, unnest(embedding) AS x,
        |      unnest(generate_series(0, len(embedding) - 1)) AS i FROM embeddings),
        |shm AS (SELECT vec_id, i, x,
        |        md5('sem:' || CAST(vec_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)) AS m FROM e),
@@ -663,7 +691,77 @@ object Oracles {
        |       FROM shm),
        |ap AS (SELECT CAST(vec_id AS BIGINT) AS vec_id, i, CAST(x AS DOUBLE) AS x FROM e
        |       UNION ALL
-       |       SELECT CAST(vec_id AS BIGINT), i, CAST(x AS DOUBLE) FROM sh),
+       |       SELECT CAST(vec_id AS BIGINT), i, CAST(x AS DOUBLE) FROM sh)""".stripMargin
+  }
+
+  /** Banded axis-sign cell index over `ap` — band b is the sign pattern
+    * of dims [b·dimsPerBand, (b+1)·dimsPerBand), the exact integer
+    * geometry of [[graft.ext.Dedup.axisCellIndex]] (sign survives
+    * REAL→DOUBLE widening, so both engines bucket identically).
+    */
+  private def axisCellCte(bands: Int, dimsPerBand: Int): String =
+    s"""idx AS (SELECT vec_id, CAST(i // $dimsPerBand AS INT) AS band,
+       |        sum(CASE WHEN x >= 0 THEN CAST(1 AS BIGINT) << (i % $dimsPerBand) ELSE 0 END) AS bucket
+       |        FROM ap WHERE i < ${bands * dimsPerBand} GROUP BY 1, 2)""".stripMargin
+
+  /** Oracle for `dedup_embedding_cosine_md5`: axis-cell candidates where
+    * ANY band agrees, exact-cosine verify, per-pair band-collision count
+    * — the deterministic twin of the xxhash-hyperplane near-dup path.
+    * The cosine VALUE is not emitted (float vs double accumulation);
+    * membership is margin-safe (planted cos ≈ 0.998, random ≤ ~0.6).
+    */
+  def embeddingCosineMd5Oracle(threshold: Double, bands: Int,
+                               dimsPerBand: Int): String =
+    s"""WITH
+       |$semPlantedCtes,
+       |${axisCellCte(bands, dimsPerBand)},
+       |cb AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b, count(*) AS n_bands
+       |       FROM idx a JOIN idx b ON a.band = b.band AND a.bucket = b.bucket
+       |         AND a.vec_id < b.vec_id
+       |       GROUP BY 1, 2),
+       |nm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ap GROUP BY 1),
+       |dot AS (SELECT cb.id_a, cb.id_b, cb.n_bands, sum(a.x * b.x) AS dp
+       |        FROM cb JOIN ap a ON a.vec_id = cb.id_a
+       |                JOIN ap b ON b.vec_id = cb.id_b AND b.i = a.i
+       |        GROUP BY 1, 2, 3)
+       |SELECT dot.id_a, dot.id_b, CAST(dot.n_bands AS BIGINT) AS n_bands
+       |FROM dot JOIN nm na ON na.vec_id = dot.id_a
+       |         JOIN nm nb ON nb.vec_id = dot.id_b
+       |WHERE dp / (na.nrm * nb.nrm) >= $threshold
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Oracle for `dedup_vec_ingest_gate_md5`: the vector ingest gate's
+    * whole state machine replayed — waves are vec_id % 3 (wave 0 seeds
+    * and emits nothing), a pair is detected by the LATER of its two
+    * docs' waves (the batch whose probe first sees both sides), so
+    * `ingest_version = greatest(wave_a, wave_b)` — the
+    * `substringGateOracle` versioned-replay discipline over the
+    * axis-cell candidate geometry and an exact-cosine verify.
+    */
+  def vecIngestGateMd5Oracle(threshold: Double, bands: Int,
+                             dimsPerBand: Int): String =
+    s"""WITH
+       |$semPlantedCtes,
+       |${axisCellCte(bands, dimsPerBand)},
+       |cb AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |       FROM idx a JOIN idx b ON a.band = b.band AND a.bucket = b.bucket
+       |         AND a.vec_id < b.vec_id),
+       |nm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ap GROUP BY 1),
+       |dot AS (SELECT cb.id_a, cb.id_b, sum(a.x * b.x) AS dp
+       |        FROM cb JOIN ap a ON a.vec_id = cb.id_a
+       |                JOIN ap b ON b.vec_id = cb.id_b AND b.i = a.i
+       |        GROUP BY 1, 2)
+       |SELECT dot.id_a, dot.id_b,
+       |       CAST(greatest(dot.id_a % 3, dot.id_b % 3) AS BIGINT) AS ingest_version
+       |FROM dot JOIN nm na ON na.vec_id = dot.id_a
+       |         JOIN nm nb ON nb.vec_id = dot.id_b
+       |WHERE dp / (na.nrm * nb.nrm) >= $threshold
+       |  AND greatest(dot.id_a % 3, dot.id_b % 3) > 0
+       |ORDER BY id_a, id_b""".stripMargin
+
+  val semanticMd5Oracle: String = {
+    s"""WITH RECURSIVE
+       |$semPlantedCtes,
        |cl AS (SELECT vec_id, sum(CASE WHEN i < 6 AND x >= 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS cl
        |       FROM ap GROUP BY 1),
        |nm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ap GROUP BY 1),

@@ -38,13 +38,28 @@ object StreamVecDup {
     * corpus of n vectors wants planes ≥ log2(n)+2 (the batch-path
     * auto-sizing in [[Dedup.embeddingNearDups]] — a streaming index
     * cannot resketch, so the choice is made once, at seed time).
+    *
+    * `cellMode` swaps the xxhash64 hyperplane index for the
+    * DETERMINISTIC axis-sign cell index ([[Dedup.axisCellIndex]], 10
+    * dims per band) — the DuckDB-replayable geometry the
+    * `dedup_vec_ingest_gate_md5` oracle runs, mirroring the substring
+    * gate's md5Mode. Fixed at seed time in the state manifest like every
+    * other geometry knob (a mode mismatch would probe a disjoint bucket
+    * space and silently detect nothing).
     */
   final case class Params(idCol: String = "vec_id", vecCol: String = "embedding",
                           threshold: Double = 0.9, planes: Int = 18, bands: Int = 8,
-                          indexPrefixes: Int = 256)
+                          indexPrefixes: Int = 256, cellMode: Boolean = false)
 
   // state layout + replay-safe reads shared with the text gate
   private def pbCols = Seq(col("band"), col("bucket"))
+
+  private def index(vecs: DataFrame, p: Params): DataFrame =
+    // cellMode's dims-per-band is FIXED at 10 (1024 buckets/band keeps
+    // candidate volume linear at gate scale; oracles hardwire the same)
+    if (p.cellMode) Dedup.axisCellIndex(vecs, p.idCol, p.vecCol, p.bands,
+      dimsPerBand = 10)
+    else Dedup.embeddingIndex(vecs, p.idCol, p.vecCol, p.planes, p.bands)
 
   private def writeIndex(idx: DataFrame, dir: String, p: Params): Unit =
     IngestState.writeIndex(idx, dir, p.indexPrefixes, pbCols)
@@ -59,14 +74,14 @@ object StreamVecDup {
   def seedCorpus(vecs: DataFrame, stateDir: String, p: Params = Params()): Unit = {
     vecs.select(col(p.idCol), col(p.vecCol))
       .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/vecs/batch=0")
-    writeIndex(Dedup.embeddingIndex(vecs, p.idCol, p.vecCol, p.planes, p.bands),
-      s"$stateDir/index/batch=0", p)
+    writeIndex(index(vecs, p), s"$stateDir/index/batch=0", p)
     // the geometry is now a property of the state dir — later batches
     // adopt it (see IngestState.writeParams); auto-sized planes at seed
     // time can no longer de-sync from a caller's default Params
     IngestState.writeParams(vecs.sparkSession, stateDir, Seq(
       "planes" -> p.planes.toLong, "bands" -> p.bands.toLong,
-      "indexPrefixes" -> p.indexPrefixes.toLong))
+      "indexPrefixes" -> p.indexPrefixes.toLong,
+      "cellMode" -> (if (p.cellMode) 1L else 0L)))
   }
 
   /** Process one ingest batch at `version` (streaming uses batchId+1;
@@ -82,7 +97,8 @@ object StreamVecDup {
     val p = p0.copy(
       planes = seeded.getOrElse("planes", p0.planes.toLong).toInt,
       bands = seeded.getOrElse("bands", p0.bands.toLong).toInt,
-      indexPrefixes = seeded.getOrElse("indexPrefixes", p0.indexPrefixes.toLong).toInt)
+      indexPrefixes = seeded.getOrElse("indexPrefixes", p0.indexPrefixes.toLong).toInt,
+      cellMode = seeded.getOrElse("cellMode", if (p0.cellMode) 1L else 0L) == 1L)
     val corpusVecs = readOrEmpty(spark, s"$stateDir/vecs",
         batch.select(col(p.idCol), col(p.vecCol)), version)
       .select(col(p.idCol), col(p.vecCol))
@@ -90,13 +106,11 @@ object StreamVecDup {
     // partitioned layout is for the seed/compacted corpus side only (a
     // small batch touching most prefixes would land thousands of tiny
     // files; see IngestState.writeIndexFlat)
-    IngestState.writeIndexFlat(
-      Dedup.embeddingIndex(batch, p.idCol, p.vecCol, p.planes, p.bands),
+    IngestState.writeIndexFlat(index(batch, p),
       s"$stateDir/index/batch=$version", p.indexPrefixes, pbCols)
     val deltaIdx = spark.read.parquet(s"$stateDir/index/batch=$version")
     val deltaPbs = deltaIdx.select("pb").distinct().collect().map(_.getInt(0)).toSeq
-    val idxTemplate = IngestState.withPb(
-      Dedup.embeddingIndex(batch.limit(0), p.idCol, p.vecCol, p.planes, p.bands),
+    val idxTemplate = IngestState.withPb(index(batch.limit(0), p),
       p.indexPrefixes, pbCols)
     val corpusIdx = IngestState.readIndexPruned(spark, s"$stateDir/index",
         idxTemplate, version, deltaPbs)

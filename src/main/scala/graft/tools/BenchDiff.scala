@@ -56,6 +56,13 @@ object BenchDiff {
   def run(oldPath: String, newPath: String): Int = {
     val (oldQ, oldSingle) = parse(oldPath)
     val (newQ, newSingle) = parse(newPath)
+    // an unparseable record must be an ERROR, not a silent "0 shared
+    // queries → no regressions": the whole point of this tool is that a
+    // record-shape change cannot pass unnoticed
+    require(oldQ.nonEmpty,
+      s"$oldPath: no 'queries' map parsed — record missing or format changed")
+    require(newQ.nonEmpty,
+      s"$newPath: no 'queries' map parsed — record missing or format changed")
     val shared = (oldQ.keySet & newQ.keySet).toSeq.sorted
     val flagged = scala.collection.mutable.ListBuffer.empty[String]
     println(f"${"query"}%-34s ${"old"}%8s ${"new"}%8s ${"ratio"}%7s")

@@ -57,7 +57,8 @@ object ScaleProbe {
     "text_quality", "text_contamination", "pack_sequences", "sim_ivf",
     "sim_decontaminate",
     "graph_pagerank", "text_bm25_search", "dedup_semantic", "sim_pq_rerank",
-    "text_lm_score", "dedup_substring_winnowed", "dedup_substring_winnowed_hub")
+    "text_lm_score", "dedup_substring_winnowed", "dedup_substring_winnowed_hub",
+    "dedup_substring_gate")
 
   /** Probe-only queries (not part of the declared surface): stress shapes
     * the bijective scaled corpus cannot produce. The scaled replicas'
@@ -109,11 +110,21 @@ object ScaleProbe {
                                      // winnow kernel linear in corpus bytes,
                                      // pair volume posting-bounded (the
                                      // self-join form shuffled 3× the grams)
-    "dedup_substring_winnowed_hub" -> 5.0) // PINS the r8 capped-posting agg:
+    "dedup_substring_winnowed_hub" -> 5.0, // PINS the r8 capped-posting agg:
                                      // a 1%-of-corpus boilerplate hub must
                                      // degenerate to a sticky overflow flag,
                                      // not a df-sized buffer — super-linear
                                      // here means hub state grew with df
+    "dedup_substring_gate" -> 5.0)   // the streaming gate's whole state
+                                     // machine: seed (⅓ of the corpus —
+                                     // 167k docs at base, 667k at 4×) +
+                                     // two wave backfills probed against
+                                     // the accumulating index. Per-batch
+                                     // cost must track delta grams ×
+                                     // match volume (both linear in the
+                                     // corpus), never corpus²: the probe
+                                     // joins are pb-pruned and hub-capped
+                                     // before the pair join
   // NOT probed, deliberately:
   //  - cdc_bucketed_apply: the 4× dir symlinks the same orders table, so
   //    its ratio is identically ~1 and gates nothing — its 1024-file

@@ -658,25 +658,28 @@ object Md5WinnowedFingerprints {
     val n = bytes.length
     if (n < l) return new GenericArrayData(Array.empty[Any])
     val nGrams = n - l + 1
-    // all position digests up front, contiguous (16 B/position): the
-    // deque needs random access to compare window members, and one flat
-    // array beats nGrams small digest allocations
+    // digest RING of w+1 slots (16 B each), position i in slot i%(w+1):
+    // the deque only ever compares/emits positions in the live w-window,
+    // and after the previous iteration's eviction every live index is
+    // > i-w-1, so slot reuse never clobbers a comparable digest. The r8
+    // cut allocated all 16·nGrams digest bytes contiguously — ~1.6 GB in
+    // ONE task for a pathological 100 MB document, and this kernel is on
+    // the md5-mode ingest-gate path, not just oracle-scale fixtures.
+    val ring = math.min(nGrams, w + 1)
     val md = java.security.MessageDigest.getInstance("MD5")
-    val digs = new Array[Byte](nGrams * 16)
-    var i = 0
-    while (i < nGrams) {
+    val digs = new Array[Byte](ring * 16)
+    def digestInto(i: Int): Unit = {
       md.reset()
       md.update(bytes, i, l)
-      md.digest(digs, i * 16, 16)
-      i += 1
+      md.digest(digs, (i % ring) * 16, 16)
     }
     // unsigned lexicographic digest order — identical to lowercase-hex
     // string order (hex encoding preserves byte order nibble by nibble)
     def less(a: Int, b: Int): Boolean = {
       var k = 0
       while (k < 16) {
-        val x = digs(a * 16 + k) & 0xff
-        val y = digs(b * 16 + k) & 0xff
+        val x = digs((a % ring) * 16 + k) & 0xff
+        val y = digs((b % ring) * 16 + k) & 0xff
         if (x != y) return x < y
         k += 1
       }
@@ -686,7 +689,7 @@ object Md5WinnowedFingerprints {
       val cs = new Array[Byte](32)
       var k = 0
       while (k < 16) {
-        val b = digs(idx * 16 + k) & 0xff
+        val b = digs((idx % ring) * 16 + k) & 0xff
         cs(2 * k) = Hex(b >>> 4).toByte
         cs(2 * k + 1) = Hex(b & 0xf).toByte
         k += 1
@@ -694,27 +697,37 @@ object Md5WinnowedFingerprints {
       UTF8String.fromBytes(cs)
     }
     val out = new java.util.LinkedHashSet[UTF8String]()
+    var i = 0
     if (nGrams <= w) {
-      // single (short) window: its minimum
+      // single (short) window: its minimum (ring ≥ nGrams — all live)
+      digestInto(0)
       var m = 0; i = 1
-      while (i < nGrams) { if (less(i, m)) m = i; i += 1 }
+      while (i < nGrams) { digestInto(i); if (less(i, m)) m = i; i += 1 }
       out.add(hex(m))
     } else {
       // monotonic deque of indices; pop `>=` so the RIGHTMOST minimal
       // position represents the window — value-set semantics make the
       // tie rule invisible to the output, but it keeps the loop aligned
       // with the xxhash kernel
-      val dq = new Array[Int](nGrams)
+      // deque capacity w+1 suffices: entries are strictly increasing
+      // indices within the live window [i-w+1, i] plus the incoming i
+      val dq = new Array[Int](w + 1)
+      // head/tail are absolute counters; slots are taken mod w+1 (the
+      // live entries are strictly increasing indices within [i-w, i],
+      // at most w+1 of them, so the circular buffer never overwrites a
+      // live entry)
+      val cap = w + 1
       var head = 0; var tail = 0
       var lastEmitted = -1 // same index ⇒ same value: skip the rebuild
       i = 0
       while (i < nGrams) {
-        while (tail > head && !less(dq(tail - 1), i)) tail -= 1
-        dq(tail) = i; tail += 1
-        if (dq(head) <= i - w) head += 1
-        if (i >= w - 1 && dq(head) != lastEmitted) {
-          out.add(hex(dq(head)))
-          lastEmitted = dq(head)
+        digestInto(i)
+        while (tail > head && !less(dq((tail - 1) % cap), i)) tail -= 1
+        dq(tail % cap) = i; tail += 1
+        if (dq(head % cap) <= i - w) head += 1
+        if (i >= w - 1 && dq(head % cap) != lastEmitted) {
+          out.add(hex(dq(head % cap)))
+          lastEmitted = dq(head % cap)
         }
         i += 1
       }

@@ -64,6 +64,33 @@ class IngestPipelineSpec extends AnyFunSuite {
     assert(f(10L) == ((1, 0, "substring")))
   }
 
+  test("production xxhash mode reproduces the md5-mode fates exactly") {
+    // waveFates' two modes differ ONLY in hash encoding (md5 text sigs +
+    // md5 winnowed grams vs the xxhash64 codegen kernels); fates depend
+    // on hash EQUALITY, which both spaces decide identically modulo
+    // 64-bit collisions — so the planted-overlap fixture must produce
+    // byte-identical fates. This pins the 100 TB deployment mode against
+    // the oracle-gated mode (the oracle itself stays md5-only).
+    val run = randText(33, 60)
+    val docs = Seq(
+      0L -> seedText, 3L -> s"$seedText $run",
+      1L -> "zz", 4L -> garbage(), 7L -> fluent("uaa", "ubb"),
+      2L -> fluent("uaa", "ubb"), 5L -> fluent("ucc", "udd", run),
+      8L -> fluent("uee", "uff")).toDF("doc_id", "text")
+    def run1(md5: Boolean) =
+      IngestPipeline.waveFates(docs, "doc_id", "text",
+          nWaves = 3, maxAvgNllFrac = 0.98, L = 40, w = 8, minShared = 1,
+          md5Mode = md5)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+        .toSet
+    val md5Fates = run1(md5 = true)
+    val xxFates = run1(md5 = false)
+    assert(md5Fates.nonEmpty && md5Fates.exists(_._4 == "substring"),
+      s"fixture sanity: the substring stage must fire: $md5Fates")
+    assert(xxFates == md5Fates,
+      s"mode parity broken:\n  md5: $md5Fates\n  xx:  $xxFates")
+  }
+
   test("rejected docs never join the admitted state") {
     val run = randText(21, 60)
     // doc 4 (wave 1) is lm-rejected but carries the run; doc 2 (wave 2)

@@ -96,6 +96,62 @@ class StreamSubstringGateSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L)))
   }
 
+  test("crash between the index and pairs writes: replay converges to the uninterrupted run") {
+    // processBatch writes index/batch=N, THEN pairs/batch=N — a crash in
+    // between leaves an absorbed index with no pairs. The contract is
+    // that replaying the same (batch, version) heals the window: both
+    // writes are per-version Overwrite, and the probe reads strictly
+    // below `version`, so the leftover own-index can neither poison the
+    // probe nor survive as a stale layout. Drive the same three batches
+    // through a clean dir and a crashed-then-replayed dir; every state
+    // surface must match.
+    def drive(st: String, crashBatch2: Boolean): Unit = {
+      StreamSubstringGate.seedCorpus(
+        Seq(1L -> withRun(90), 2L -> randText(91, 200)).toDF("doc_id", "text"), st,
+        StreamSubstringGate.Params(minShared = 1))
+      StreamSubstringGate.processBatch(
+        Seq(10L -> withRun(92)).toDF("doc_id", "text"), st, 1L)
+      val b2 = Seq(20L -> withRun(93), 21L -> randText(95, 200))
+        .toDF("doc_id", "text")
+      StreamSubstringGate.processBatch(b2, st, 2L)
+      if (crashBatch2) {
+        // simulate the crash window: batch 2's index write survived, its
+        // pairs write never happened
+        graft.core.Pipeline.deleteRecursively(
+          java.nio.file.Paths.get(s"$st/pairs/batch=2"))
+        assert(java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(s"$st/index/batch=2")),
+          "precondition: the absorbed index must outlive the crash")
+        StreamSubstringGate.processBatch(b2, st, 2L) // replay
+      }
+    }
+    val clean = java.nio.file.Files.createTempDirectory("graft_ssg6a").toString
+    val crashed = java.nio.file.Files.createTempDirectory("graft_ssg6b").toString
+    drive(clean, crashBatch2 = false)
+    drive(crashed, crashBatch2 = true)
+    def pairRows(st: String) = StreamSubstringGate.pairs(spark, st)
+      .select("id_a", "id_b", "n_shared", "ingest_version").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // read per-batch dir, the way the gate's own pruned reads do: the
+    // seed (batch=0) is pb-partitioned while deltas are flat, so a
+    // naive recursive read of index/ trips over the mixed layouts
+    def indexRows(st: String) = {
+      val root = new java.io.File(s"$st/index")
+      root.listFiles().filter(_.getName.startsWith("batch=")).toSeq
+        .flatMap { d =>
+          val b = d.getName.stripPrefix("batch=").toInt
+          spark.read.parquet(d.toString).select("id", "h").collect()
+            .map(r => (r.getLong(0), r.getLong(1), b))
+        }.sorted
+    }
+    assert(pairRows(crashed) == pairRows(clean),
+      s"replayed pairs diverge: ${pairRows(crashed)} vs ${pairRows(clean)}")
+    assert(indexRows(crashed) == indexRows(clean),
+      "replayed index diverges from the uninterrupted run")
+    assert(pairRows(clean).map(p => (p._1, p._2)) == Set((1L, 10L), (1L, 20L), (10L, 20L)),
+      s"fixture sanity: ${pairRows(clean)}")
+  }
+
   test("compaction folds deltas into the partitioned seed without changing future probes") {
     val st = java.nio.file.Files.createTempDirectory("graft_ssg5").toString
     StreamSubstringGate.seedCorpus(

@@ -164,6 +164,37 @@ class StreamVecDupSpec extends AnyFunSuite {
       s"probe read ${recordsRead.get()} rows — index not prefix-pruned at 4096")
   }
 
+  test("cellMode: axis-sign index drives the same machinery; mode adopted from the manifest") {
+    val st = java.nio.file.Files.createTempDirectory("graft_svd7").toString
+    // sign-structured vectors: plus is all-positive, mixed flips the top
+    // half — cos(plus, mixed) = 0, so they can share cells (the first 3
+    // bands cover dims 0-29, all positive in both) yet must be rejected
+    // by the exact-cosine verify; each *Near twin nudges one dim without
+    // a sign flip (cos ≈ 0.9999, same buckets in every band)
+    val plus = Array.tabulate(64)(_ => 1.0f)
+    val plusNear = Array.tabulate(64)(i => if (i == 0) 0.9f else 1.0f)
+    val mixed = Array.tabulate(64)(i => if (i < 32) 1.0f else -1.0f)
+    val mixedNear = Array.tabulate(64)(i =>
+      if (i == 0) 0.9f else if (i < 32) 1.0f else -1.0f)
+    StreamVecDup.seedCorpus(
+      Seq(1L -> plus, 2L -> mixed).toDF("vec_id", "embedding"), st,
+      StreamVecDup.Params(bands = 6, cellMode = true))
+    // both batches run with DEFAULT Params: cellMode (and bands) must be
+    // adopted from the seed manifest, or the probe sketches hyperplane
+    // buckets against an axis-cell corpus index and silently matches
+    // nothing — the exact failure mode the manifest exists to prevent
+    StreamVecDup.processBatch(
+      Seq(10L -> plusNear).toDF("vec_id", "embedding"), st, 1L)
+    StreamVecDup.processBatch(
+      Seq(20L -> mixedNear).toDF("vec_id", "embedding"), st, 2L)
+    val got = StreamVecDup.pairs(spark, st)
+      .select(col("id_a"), col("id_b"), col("ingest_version").cast("long"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 10L, 1L), (2L, 20L, 2L)),
+      s"cellMode gate missed a planted twin or passed an orthogonal candidate: $got")
+  }
+
   test("file-stream wiring: a streamed batch is gated against the seeded corpus") {
     val st = java.nio.file.Files.createTempDirectory("graft_svd2").toString
     val in = java.nio.file.Files.createTempDirectory("graft_svd_in").toString

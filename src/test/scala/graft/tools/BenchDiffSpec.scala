@@ -26,4 +26,14 @@ class BenchDiffSpec extends AnyFunSuite {
   test("the real r7 -> r8 records parse and show no regression") {
     assert(BenchDiff.run("BENCH_r07_full.json", "BENCH_r08_full.json") == 0)
   }
+
+  test("a record with no parseable queries map ERRORS instead of passing silently") {
+    // r8 advisory: regex-scraping an empty/renamed record yielded an
+    // empty map, zero shared queries, and a clean exit — a false "no
+    // regressions" from the very tool built to catch silent drift
+    val good = write("""{"queries":{"a":2.0},"single_run":[]}""")
+    val empty = write("""{"metric":"total","value":1.0}""")
+    intercept[IllegalArgumentException] { BenchDiff.run(good, empty) }
+    intercept[IllegalArgumentException] { BenchDiff.run(empty, good) }
+  }
 }
