@@ -5,11 +5,12 @@ import java.util.concurrent.atomic.LongAdder
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
-/** Dev diagnostic for the mm_image scale ratio: time the decode scan
-  * (`mm_image_features`) separately from the dedup composition
-  * (`mm_image_dedup_check`, warm feats) at base and 4×, with per-phase
-  * task-metric totals (run / cpu / gc) so a GC-bound phase is visible
-  * directly instead of inferred from wall ratios.
+/** Dev diagnostic for flapping scale ratios: time a family (default the
+  * mm_image pair that motivated it in r8) standalone at base and 4×,
+  * with per-phase task-metric totals (run / cpu / gc) so a GC-bound
+  * phase is visible directly instead of inferred from wall ratios.
+  * `SPARK_GRAFT_MMDIAG_ORDER` takes any declared query names — r9 uses
+  * it to rule heat in or out on `dedup_substring_winnowed`'s 4.90/5.0.
   */
 object MmDiag {
   def main(args: Array[String]): Unit = {
@@ -34,7 +35,10 @@ object MmDiag {
     dirs.foreach { dir =>
       spark.catalog.clearCache()
       val scaled = graft.queries.ScaledFixtures.ensure(spark, dir)
-      graft.queries.Catalog.warmImageMedia(spark, scaled)
+      // the PNG render is fixture synthesis for the mm family only —
+      // skip it when diagnosing a text/vector family standalone
+      if (order.exists(_.startsWith("mm_")))
+        graft.queries.Catalog.warmImageMedia(spark, scaled)
       order.zipWithIndex.foreach { case (q, i) =>
         gc.reset(); run.reset(); cpu.reset()
         val t0 = System.nanoTime()

@@ -51,13 +51,21 @@ object ScaleProbe {
   // position measures the operator on the young JVM the way every other
   // family effectively gets measured (they are shuffle-bound, not
   // allocator-bound).
+  // …and the substring-winnow family runs SECOND, for the same reason:
+  // its kernel is the other allocation-heavy probe (per-doc fingerprint
+  // arrays at 1G positions), and its 4× side inflates on an aged heap
+  // exactly like mm's. r9 clean-session MmDiag: cold/cold wall ratio
+  // 3.28×, taskCpu 3.58×, taskGc 1.5-2% of taskRun — sub-linear, not
+  // GC-bound; the r8 probe's 4.90 (one slot from its 5.0 threshold, as
+  // family #15 of 17) was the aged-JVM measurement, not the plan.
   private val DefaultProbes = Seq(
     "mm_image_dedup_check",
+    "dedup_substring_winnowed", "dedup_substring_winnowed_hub",
     "dedup_minhash_lsh", "dedup_clusters", "dedup_embedding_cosine",
     "text_quality", "text_contamination", "pack_sequences", "sim_ivf",
     "sim_decontaminate",
     "graph_pagerank", "text_bm25_search", "dedup_semantic", "sim_pq_rerank",
-    "text_lm_score", "dedup_substring_winnowed", "dedup_substring_winnowed_hub",
+    "text_lm_score",
     "dedup_substring_gate")
 
   /** Probe-only queries (not part of the declared surface): stress shapes
@@ -151,7 +159,7 @@ object ScaleProbe {
       "/root/testdata/sf0.1").split(",").toSeq
     val probes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").toSeq).getOrElse(DefaultProbes) ++ args
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALE_r8.json")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALE_r9.json")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
