@@ -474,6 +474,25 @@ object Dedup {
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
+  /** Axis-sign cell geometry shared by every cellMode path and its
+    * DuckDB oracles: 4 bands × 16 dims = the full 64-dim fixture, 2^16
+    * buckets per band. Unlike the production hyperplane index — whose
+    * per-band bucket space is 2^planes with planes auto-sized to
+    * log2(corpus) — the cell index is capped by the vector's physical
+    * dimension, so the bucket count must be spent up front: the original
+    * 6×10 split (1024 buckets/band) put ~390 vectors per bucket on the
+    * 400k-vector bench corpus ⇒ ~470M candidate pairs, which thrashed
+    * the GC locker shuffling through the pair groupBy. 16 dims/band
+    * keeps in-bucket occupancy ~6 at that scale (≈5M candidates).
+    * Recall cost under the ±0.0125 planted perturbation: a dim flips
+    * sign with p≈2%, a band survives with 0.98^16≈0.72, a pair is
+    * missed entirely with (1−0.72)^4 ≈ 0.6% — deterministic for the
+    * md5-planted fixture, and the oracle replays the identical geometry
+    * so cross-engine agreement is unaffected.
+    */
+  val CellBands = 4
+  val CellDims = 16
+
   /** DETERMINISTIC banded cell index — the DuckDB-replayable twin of
     * [[embeddingIndex]]: band b's bucket is the SIGN PATTERN of dims
     * [b·dimsPerBand, (b+1)·dimsPerBand) — an axis-aligned hyperplane
@@ -487,15 +506,20 @@ object Dedup {
     * perturbation (a ±ε shadow flips a band only when a dim sits within
     * ε of zero); production stays on the hyperplane index.
     */
+  /** One (band, bucket) struct per band: band b's bucket is the sign
+    * pattern of dims [b·dimsPerBand, (b+1)·dimsPerBand).
+    */
+  private def axisCellBands(vecCol: String, bands: Int, dimsPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        (0 until dimsPerBand).map(j =>
+          when(element_at(col(vecCol), b * dimsPerBand + j + 1) >= 0,
+            lit(1 << j)).otherwise(lit(0))).reduce(_ + _).as("bucket"))): _*)
+
   def axisCellIndex(embs: DataFrame, idCol: String, vecCol: String,
-                    bands: Int = 6, dimsPerBand: Int = 10): DataFrame =
+                    bands: Int = CellBands, dimsPerBand: Int = CellDims): DataFrame =
     embs.select(col(idCol).as("id"),
-        explode(array((0 until bands).map(b =>
-          struct(lit(b).as("band"),
-            (0 until dimsPerBand).map(j =>
-              when(element_at(col(vecCol), b * dimsPerBand + j + 1) >= 0,
-                lit(1 << j)).otherwise(lit(0))).reduce(_ + _).as("bucket"))): _*))
-          .as("bb"))
+        explode(axisCellBands(vecCol, bands, dimsPerBand)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
 
   /** Batch near-dup over the DETERMINISTIC cell index: candidates where
@@ -512,25 +536,35 @@ object Dedup {
     * does in the production path.
     */
   def axisCellNearDups(embs: DataFrame, idCol: String, vecCol: String,
-                       threshold: Double, bands: Int = 6,
-                       dimsPerBand: Int = 10): DataFrame = {
+                       threshold: Double, bands: Int = CellBands,
+                       dimsPerBand: Int = CellDims): DataFrame = {
     import graft.functions.vectors
     val base = embs.select(col(idCol).as("id"), col(vecCol).as("__v"),
       vectors.float_norm(col(vecCol)).as("__n"))
-    val idx = axisCellIndex(base, "id", "__v", bands, dimsPerBand)
-    // one row per (pair, band) — a band contributes at most one bucket,
-    // so count(1) IS the band-collision count
-    val cands = idx.as("a")
+    // the index rows CARRY the vector+norm so the cosine verify runs
+    // INLINE in the band join: with only 2^dimsPerBand buckets per band
+    // the candidate volume is n²·bands/2^(dimsPerBand+1) — ~470M rows on
+    // the 400k-vector bench corpus — and the previous
+    // candidates→groupBy→fetch-vectors-by-id shape shuffled all of them
+    // three times (GC-locker thrash, failed 64 MB page allocations).
+    // Filtering in the join stage pipelines the explosion: nothing past
+    // the join survives but true near-dups. A pair's cosine is identical
+    // on every agreeing band row, so filter-then-count ≡ the old
+    // count-then-filter — n_bands and membership are bit-identical.
+    val idx = base.select(col("id"), col("__v"), col("__n"),
+        explode(axisCellBands("__v", bands, dimsPerBand)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"),
+        col("__v"), col("__n"))
+    val hits = idx.as("a")
       .join(idx.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .filter(vectors.float_dot(col("a.__v"), col("b.__v")) /
+        (col("a.__n") * col("b.__n")) >= threshold)
+    // one row per (pair, band) — a band contributes at most one bucket,
+    // so count(1) IS the band-collision count
+    hits.groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_bands"))
-    val va = base.select(col("id").as("id_a"), col("__v").as("__va"), col("__n").as("__na"))
-    val vb = base.select(col("id").as("id_b"), col("__v").as("__vb"), col("__n").as("__nb"))
-    cands.join(va, "id_a").join(vb, "id_b")
-      .filter(vectors.float_dot(col("__va"), col("__vb")) /
-        (col("__na") * col("__nb")) >= threshold)
       .select(col("id_a"), col("id_b"), col("n_bands"))
   }
 

@@ -73,11 +73,19 @@ object text {
     * [[CappedDistinctLongs]].
     *
     * Ids are widened to long. A value the cast cannot represent (e.g. a
-    * non-numeric string) RAISES instead of silently vanishing: the
-    * r8 cut cast-to-null and the aggregate skipped nulls, so a caller
-    * with string ids got zero pairs out of [[graft.ext.SubstringDedup]]
-    * with no error — a silent-wrong-result API regression vs the r7
-    * collect_set path. NULL inputs still skip (aggregate convention).
+    * non-numeric string) RAISES instead of silently vanishing: an
+    * earlier cut cast-to-null and the aggregate skipped nulls, so a
+    * caller with string ids silently got an empty result. NULL inputs
+    * still skip (aggregate convention).
+    *
+    * Use when a CAPPED distinct set is the desired OUTPUT of an
+    * aggregation. When the cap is a pre-filter — drop hot keys, then
+    * collect the survivors — a count window over the grouped exchange
+    * plus `collect_list` does the same with 8 bytes of state for the
+    * dropped keys and no id widening at all; that is what
+    * [[graft.ext.SubstringDedup.postingPairs]] moved to after the
+    * hash-aggregate build over a ~400M-key gram space measured 5×
+    * the sort-based window's wall at the 500k-doc bench.
     */
   def capped_distinct_longs(v: Column, cap: Int): Column = {
     val widened = when(v.isNull, lit(null).cast("long"))

@@ -2002,7 +2002,7 @@ object Catalog {
       // the embedding near-dup path's ORACLE GATE (the production
       // xxhash-hyperplane variant above stays rows-only by necessity):
       // banded DETERMINISTIC axis-sign cells — band b is the sign
-      // pattern of dims [10b, 10b+10), exact under float widening — over
+      // pattern of dims [16b, 16b+16), exact under float widening — over
       // the md5-planted corpus, candidates where ANY band agrees, exact
       // cosine ≥ 0.9 verifies. Cross-engine output is (id_a, id_b,
       // n_bands): pair membership AND the per-pair band-collision count
@@ -2010,10 +2010,10 @@ object Catalog {
       // double accumulation differs in the 6th decimal — membership
       // never does, the planted margin is 0.4 wide).
       (s, d) => Dedup.axisCellNearDups(embSemPlanted(s, d), "vec_id", "embedding",
-          threshold = 0.9, bands = 6, dimsPerBand = 10)
+          threshold = 0.9)
         .orderBy("id_a", "id_b"),
-      Some(Oracles.embeddingCosineMd5Oracle(threshold = 0.9, bands = 6,
-        dimsPerBand = 10))),
+      Some(Oracles.embeddingCosineMd5Oracle(threshold = 0.9,
+        bands = Dedup.CellBands, dimsPerBand = Dedup.CellDims))),
 
     Entry("dedup_vec_ingest_gate",
       // the EMBEDDING ingest gate's batch contract: run the real
@@ -2058,7 +2058,7 @@ object Catalog {
         val all = embSemPlanted(s, d)
         val st = scratchDir("dedup_vec_ingest_gate_md5", d)
         val p = graft.stream.StreamVecDup.Params(
-          threshold = 0.9, bands = 6, cellMode = true)
+          threshold = 0.9, cellMode = true)
         graft.stream.StreamVecDup.seedCorpus(all.filter(col("vec_id") % 3 === 0), st, p)
         graft.stream.StreamVecDup.processBatch(all.filter(col("vec_id") % 3 === 1), st, 1L, p)
         graft.stream.StreamVecDup.processBatch(all.filter(col("vec_id") % 3 === 2), st, 2L, p)
@@ -2067,8 +2067,8 @@ object Catalog {
             col("ingest_version").cast("long").as("ingest_version"))
           .orderBy("id_a", "id_b")
       },
-      Some(Oracles.vecIngestGateMd5Oracle(threshold = 0.9, bands = 6,
-        dimsPerBand = 10))),
+      Some(Oracles.vecIngestGateMd5Oracle(threshold = 0.9,
+        bands = Dedup.CellBands, dimsPerBand = Dedup.CellDims))),
 
     // ----- §7.5 similarity search
     Entry("sim_topk_brute",

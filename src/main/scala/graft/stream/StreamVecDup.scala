@@ -40,8 +40,8 @@ object StreamVecDup {
     * cannot resketch, so the choice is made once, at seed time).
     *
     * `cellMode` swaps the xxhash64 hyperplane index for the
-    * DETERMINISTIC axis-sign cell index ([[Dedup.axisCellIndex]], 10
-    * dims per band) — the DuckDB-replayable geometry the
+    * DETERMINISTIC axis-sign cell index ([[Dedup.axisCellIndex]],
+    * [[Dedup.CellBands]]×[[Dedup.CellDims]]) — the DuckDB-replayable geometry the
     * `dedup_vec_ingest_gate_md5` oracle runs, mirroring the substring
     * gate's md5Mode. Fixed at seed time in the state manifest like every
     * other geometry knob (a mode mismatch would probe a disjoint bucket
@@ -55,10 +55,13 @@ object StreamVecDup {
   private def pbCols = Seq(col("band"), col("bucket"))
 
   private def index(vecs: DataFrame, p: Params): DataFrame =
-    // cellMode's dims-per-band is FIXED at 10 (1024 buckets/band keeps
-    // candidate volume linear at gate scale; oracles hardwire the same)
-    if (p.cellMode) Dedup.axisCellIndex(vecs, p.idCol, p.vecCol, p.bands,
-      dimsPerBand = 10)
+    // cellMode's geometry is the FIXED [[Dedup.CellBands]]×[[Dedup.CellDims]]
+    // split (p.bands/p.planes are hyperplane knobs and don't apply: the
+    // cell index is capped by the vector's physical dimension, so its
+    // bucket budget is a corpus-independent constant — see the CellBands
+    // scaladoc for the candidate-volume/recall accounting); oracles
+    // hardwire the same constants
+    if (p.cellMode) Dedup.axisCellIndex(vecs, p.idCol, p.vecCol)
     else Dedup.embeddingIndex(vecs, p.idCol, p.vecCol, p.planes, p.bands)
 
   private def writeIndex(idx: DataFrame, dir: String, p: Params): Unit =

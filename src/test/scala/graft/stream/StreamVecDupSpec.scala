@@ -167,8 +167,8 @@ class StreamVecDupSpec extends AnyFunSuite {
   test("cellMode: axis-sign index drives the same machinery; mode adopted from the manifest") {
     val st = java.nio.file.Files.createTempDirectory("graft_svd7").toString
     // sign-structured vectors: plus is all-positive, mixed flips the top
-    // half — cos(plus, mixed) = 0, so they can share cells (the first 3
-    // bands cover dims 0-29, all positive in both) yet must be rejected
+    // half — cos(plus, mixed) = 0, so they can share cells (the lower
+    // bands cover dims 0-31, all positive in both) yet must be rejected
     // by the exact-cosine verify; each *Near twin nudges one dim without
     // a sign flip (cos ≈ 0.9999, same buckets in every band)
     val plus = Array.tabulate(64)(_ => 1.0f)
@@ -178,7 +178,7 @@ class StreamVecDupSpec extends AnyFunSuite {
       if (i == 0) 0.9f else if (i < 32) 1.0f else -1.0f)
     StreamVecDup.seedCorpus(
       Seq(1L -> plus, 2L -> mixed).toDF("vec_id", "embedding"), st,
-      StreamVecDup.Params(bands = 6, cellMode = true))
+      StreamVecDup.Params(cellMode = true))
     // both batches run with DEFAULT Params: cellMode (and bands) must be
     // adopted from the seed manifest, or the probe sketches hyperplane
     // buckets against an axis-cell corpus index and silently matches
