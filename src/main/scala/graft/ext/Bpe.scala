@@ -1,15 +1,15 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
-/** Byte-pair-encoding tokenizer training (extension beyond reference
-  * parity, SURVEY.md §7.5): the standard public recipe (Sennrich et al.
-  * 2016) — count adjacent symbol pairs over the vocabulary weighted by
-  * word frequency, merge the most frequent pair, repeat. This is the op
-  * a training-data pipeline runs to LEARN its tokenizer before token
-  * counting / packing, so it belongs next to [[Packing]] and
-  * [[TextStats.tokensBpeish]] (which APPLIES a fixed tokenization).
+/** Byte-pair-encoding tokenizer training AND application (extension
+  * beyond reference parity, SURVEY.md §7.5): the standard public recipe
+  * (Sennrich et al. 2016) — count adjacent symbol pairs over the
+  * vocabulary weighted by word frequency, merge the most frequent pair,
+  * repeat — plus [[applyMerges]], the corpus-side encode with a shipped
+  * merge list (what actually touches every byte at 100 TB; see also
+  * [[TextStats.tokensBpeish]] for the regex token COUNT heuristic).
   *
   * Scale shape (the part that matters at 100 TB):
   *  - the corpus is scanned ONCE ([[wordCounts]]: explode + one
@@ -107,4 +107,78 @@ object Bpe {
     train(wordCounts(docs, textCol), rounds).toDF()
       .select(col("round"), col("lft"), col("rgt"), col("merged"), col("cnt"))
   }
+
+  // ---------------------------------------------------------------------
+  // Tokenizer APPLICATION — the op a pipeline actually runs at 100 TB.
+  // Training happens once on a sample; encoding happens on every byte of
+  // the corpus, with a SHIPPED merge list (you tokenize with a released
+  // tokenizer, you don't retrain it per run) — so `merges` here is a
+  // fixed artifact, which is also what makes the DuckDB oracle possible:
+  // both engines replay the same constant list.
+  // ---------------------------------------------------------------------
+
+  /** Sentinel wrapping each symbol: adjacent symbols a,b appear as
+    * `␁a␁␁b␁`, so the merge (a,b)→ab is the LITERAL string replace
+    * `␁a␁␁b␁` → `␁ab␁` — every symbol's delimiters are its own, so
+    * leftmost non-overlapping replace (the semantics of both Spark's
+    * `replace` and DuckDB's) IS the greedy BPE pass: "a a a" + (a,a)
+    * merges to "aa a", never "a aa", and consecutive occurrences
+    * "a b a b" both merge in one pass. Exhaustively applying each merge
+    * in rank order is the textbook Sennrich encode.
+    */
+  private val Sep = "\u0001"
+
+  /** Space marker (the sentencepiece-style visible word boundary): a
+    * symbol no merge pair contains, so merges can never cross a word
+    * boundary and no pre-splitting into words is needed — the whole doc
+    * is one symbol string.
+    */
+  private val SpaceMark = "\u0002"
+
+  /** Encode `textCol` with a fixed ranked merge list, entirely in
+    * codegen'd string expressions (wrap chars in sentinels, fold the
+    * merge cascade as nested literal `replace`, unwrap) — one map-side
+    * pass per merge, no shuffle, no custom kernel, no UDF. Returns the
+    * token string (tokens space-joined; the word-boundary marker is a
+    * token like any other, as in sentencepiece).
+    */
+  def encodeTokens(textCol: Column, merges: Seq[(String, String)]): Column = {
+    // (?s): wrap EVERY char (newlines included) so the result is always
+    // exactly ␁c₁␁␁c₂␁…␁cₙ␁ and the outer trim below is positional —
+    // no end-anchor regex, whose before-final-newline semantics differ
+    // between Java and RE2
+    val wrapped = regexp_replace(translate(textCol, " ", SpaceMark),
+      "(?s)(.)", s"$Sep$$1$Sep")
+    val merged = merges.foldLeft(wrapped) { case (s, (a, b)) =>
+      replace(s, lit(s"$Sep$a$Sep$Sep$b$Sep"), lit(s"$Sep${a + b}$Sep"))
+    }
+    // inter-token `␁␁` → space, then strip the outer sentinels
+    val joined = replace(merged, lit(Sep + Sep), lit(" "))
+    substr(joined, lit(2), greatest(length(joined) - 2, lit(0)))
+  }
+
+  /** Tokenize the corpus with a fixed merge list: (id, n_tokens,
+    * tokens_md5) — the count feeds packing/budgeting, the md5 makes the
+    * FULL token sequence cross-engine checkable without shipping it.
+    */
+  def applyMerges(docs: DataFrame, idCol: String, textCol: String,
+                  merges: Seq[(String, String)]): DataFrame =
+    docs.select(col(idCol), encodeTokens(col(textCol), merges).as("__toks"))
+      .select(col(idCol),
+        when(length(col("__toks")) === 0, lit(0L))
+          .otherwise(size(split(col("__toks"), " ")).cast("long")).as("n_tokens"),
+        md5(col("__toks").cast("binary")).as("tokens_md5"))
+
+  /** The fixed merge list the declared `text_bpe_apply` query ships —
+    * ranked like a released tokenizer artifact: character pairs common in
+    * both the English-ish base fixture and the hex-word scaled bench
+    * corpus, plus second-order merges exercising merged-symbol pairs.
+    * Order matters (rank = priority) and is part of the artifact.
+    */
+  val FixtureMerges: Seq[(String, String)] = Seq(
+    "t" -> "h", "th" -> "e", "a" -> "n", "an" -> "d", "i" -> "n",
+    "e" -> "r", "o" -> "n", "r" -> "e", "a" -> "t", "e" -> "n",
+    "o" -> "r", "s" -> "t", "a" -> "b", "c" -> "d", "e" -> "f",
+    "ab" -> "cd", "0" -> "1", "2" -> "3", "4" -> "5", "6" -> "7",
+    "8" -> "9", "01" -> "23", "abcd" -> "ef", "d" -> "e")
 }

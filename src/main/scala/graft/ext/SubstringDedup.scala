@@ -30,22 +30,23 @@ import org.apache.spark.sql.functions._
   *    formulation it replaces allocated a w-element slice per position
   *    (~1G array copies at bench scale).
   *
-  * Scale shape (reworked r7, r8, r9 — each against an sf0.1 bench
-  * measurement): grams shuffle ONCE on fingerprint; a count window over
-  * that exchange computes each fingerprint's distinct-doc count in 8
-  * bytes of state, dropping df=1 singletons and hub fingerprints
-  * (boilerplate in more docs than `maxDf` — the MOSS noise threshold: a
-  * gram in 10k docs identifies a template, not a pair) before any
-  * posting list exists; postings are collected only for the df ∈
-  * [2, maxDf] survivors on the same partitioning, and pairs are
-  * generated inside each posting (sorted, all i<j) — one gram-volume
-  * shuffle plus one pair-volume shuffle, per-key state bounded at maxDf
-  * for survivors and 8 bytes for everything else. Prior cuts, kept as
-  * measured history in [[postingPairs]]'s scaladoc: r7's
-  * distinct→persisted-index→self-join (3× the shuffles, 6.7× measured
-  * interference), r8's capped-distinct TypedImperativeAggregate (state
-  * bounded, but a ~400M-entry hash-aggregate build the sort-based
-  * window sidesteps).
+  * Scale shape (reworked r7, r8 — each against an sf0.1 bench
+  * measurement): grams go straight into ONE size-capped distinct-set
+  * aggregation keyed by fingerprint — the posting-list form. Pairs are
+  * generated inside each posting list (sorted, all i<j), so the whole
+  * operator is one gram-volume shuffle plus one pair-volume shuffle.
+  * The first cut (distinct → persisted index → self-join) shuffled the
+  * gram volume THREE times and leaked its persisted index into the
+  * next query's memory budget — measured 6.7× interference. Hub
+  * fingerprints (boilerplate in more docs than `maxDf` — the MOSS
+  * noise threshold: a gram in 10k docs identifies a template, not a
+  * pair) are dropped INSIDE the aggregation (r8): the size-capped
+  * distinct-set aggregate nulls a posting the moment it passes
+  * `maxDf`, so per-key state is O(maxDf) even for a gram present in
+  * every document, and pair fanout is bounded to maxDf²/2. (An r9
+  * count-window variant measured ~15% faster when it worked but OOM'd
+  * nondeterministically — the full story is in [[postingPairs]]'s
+  * scaladoc.)
   */
 object SubstringDedup {
   /** (id, fingerprint) — the DISTINCT gram fingerprints of each doc,
@@ -73,40 +74,46 @@ object SubstringDedup {
         explode(graft.functions.text.winnowed_fingerprints(col(textCol), L, 1)).as("h"))
 
   /** Posting-list pair counting shared by both variants: grams →
-    * per-fingerprint df via a COUNT WINDOW over the single h-partitioned
-    * exchange (the kernels emit one row per distinct (doc, gram), so the
-    * partition row count IS the distinct-doc count) → hubs and df=1
-    * singletons filtered BEFORE any posting materializes → posting list
-    * collected only for the df ∈ [2, maxDf] survivors → all i<j pairs
-    * within each sorted posting → per-pair shared-fingerprint count.
+    * per-fingerprint distinct doc set (one shuffle, map-side partial
+    * sets) → all i<j pairs within each sorted posting → per-pair
+    * shared-fingerprint count.
     *
-    * The hub cap (df > maxDf ⇒ template noise, not a pair signal) costs
-    * 8 bytes of window state per key whatever the df — a boilerplate
-    * gram present in 10⁸ docs is counted and dropped without ever
-    * buffering an id. The survivors' collect_list is bounded at maxDf
-    * elements per key by the preceding filter, and the groupBy rides
-    * the SAME hash partitioning the window established (Catalyst emits
-    * no second exchange), so the whole operator is still one
-    * gram-volume shuffle plus one pair-volume shuffle. Three
-    * generations of this stage at the 500k-doc bench: r7's plain
-    * `collect_set` + post-agg size filter materialized full hub
-    * postings (the unbounded-state defect); r8 moved the cap inside a
-    * TypedImperativeAggregate ([[graft.functions.text
-    * .capped_distinct_longs]] — still the right tool when a CAPPED
-    * distinct set is the desired OUTPUT), which bounded state but paid
-    * a ~400M-entry hash-aggregate build over the mostly-df=1 key space
-    * — the sort-based window form of [[dupSpanStats]] measured 33 s on
-    * the same gram volume where this stage's hash form measured 188 s,
-    * so the pair path now shares its shape.
+    * The hub cap (df > maxDf ⇒ template noise, not a pair signal) is
+    * enforced INSIDE the aggregate: [[graft.functions.text
+    * .capped_distinct_longs]] returns NULL the moment a fingerprint's
+    * posting passes maxDf and holds at most maxDf ids of state per key
+    * at any point — a boilerplate gram present in 10⁸ docs costs one
+    * sticky boolean, not a 10⁸-element buffer. (r7 shipped
+    * `collect_set` + a size filter AFTER the agg, which materialized
+    * the full hub posting first — the one 100 TB soft spot the r7
+    * verdict flagged.)
+    *
+    * An r9 experiment replaced this aggregate with [[dupSpanStats]]'s
+    * count-window + survivor-only collect_list (df computed in 8 B/key,
+    * hubs never buffered). It measured 159 s vs 188 s on
+    * `dedup_substring_exact` when it worked — but Catalyst fuses the
+    * gram-volume sort, the window, both collect_list aggregates and
+    * the pair explode's partial aggregate into ONE post-shuffle stage
+    * (a `repartition(h)` barrier is silently removed by
+    * CollapseRepartition — the rows are already hash(h)-partitioned),
+    * and that four-consumer stage threw UNABLE_TO_ACQUIRE_MEMORY
+    * depending on JVM state: the r9 full bench lost
+    * `dedup_substring_winnowed` to it and solo re-runs lost
+    * `dedup_substring_exact`, while identical code passed in a fresh
+    * spark-shell. An eager localCheckpoint barrier made it robust but
+    * cost 279 s — the "survivor sliver" is tens of millions of rows at
+    * bench scale, too big to materialize for a ~15% win. The hash
+    * aggregate keeps the whole pipeline in one robust stage: partial
+    * maps spill, no gram-volume sort, two full benches with zero
+    * failures. The window shape remains right for [[dupSpanStats]],
+    * whose downstream is a thin per-doc sum, not posting collection.
     */
   private[graft] def postingPairs(grams: DataFrame, minShared: Int,
                            maxDf: Int): DataFrame = {
-    val posts = grams
-      .withColumn("nd", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("h")))
-      .filter(col("nd") >= 2 && col("nd") <= maxDf)
-      .groupBy("h").agg(sort_array(collect_list(col("id"))).as("ids"))
-    val ids = col("ids")
+    val posts = grams.groupBy("h")
+      .agg(graft.functions.text.capped_distinct_longs(col("id"), maxDf).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) >= 2)
+    val ids = col("ids") // already sorted by the aggregate's eval
     val combos = flatten(transform(
       sequence(lit(1), size(ids) - 1),
       i => transform(slice(ids, i + 1, size(ids) - i),

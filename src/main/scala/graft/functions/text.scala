@@ -78,14 +78,12 @@ object text {
     * caller with string ids silently got an empty result. NULL inputs
     * still skip (aggregate convention).
     *
-    * Use when a CAPPED distinct set is the desired OUTPUT of an
-    * aggregation. When the cap is a pre-filter — drop hot keys, then
-    * collect the survivors — a count window over the grouped exchange
-    * plus `collect_list` does the same with 8 bytes of state for the
-    * dropped keys and no id widening at all; that is what
-    * [[graft.ext.SubstringDedup.postingPairs]] moved to after the
-    * hash-aggregate build over a ~400M-key gram space measured 5×
-    * the sort-based window's wall at the 500k-doc bench.
+    * The one-pass hash aggregate is deliberately preferred over a
+    * count-window pre-filter + plain collect_list for the posting-pair
+    * path: the window form measured ~15% faster when it worked but its
+    * fused sort+window+aggregate stage OOM'd nondeterministically at
+    * bench scale — see [[graft.ext.SubstringDedup.postingPairs]] for
+    * the full measurement history.
     */
   def capped_distinct_longs(v: Column, cap: Int): Column = {
     val widened = when(v.isNull, lit(null).cast("long"))

@@ -2769,6 +2769,22 @@ object Catalog {
         .orderBy("round"),
       None),
 
+    Entry("text_bpe_apply",
+      // tokenizer APPLICATION — the op that touches every byte at 100 TB
+      // (training runs once on a sample; encoding runs on the corpus,
+      // with a SHIPPED merge list). Greedy rank-order BPE encode as a
+      // fold of literal `replace` over sentinel-wrapped chars: pure
+      // codegen'd string expressions, one map-side pass, zero shuffle,
+      // no UDF/kernel. The fixed artifact (Bpe.FixtureMerges) is what
+      // makes the oracle possible: DuckDB replays the same cascade
+      // generated from the same constant, and the FULL token sequence
+      // crosses engines as an md5 (count as BIGINT). BpeSpec pins the
+      // encode against an independent pair-at-a-time reference.
+      (s, d) => Bpe.applyMerges(docs(s, d), "doc_id", "text",
+          Bpe.FixtureMerges)
+        .orderBy("doc_id"),
+      Some(Oracles.bpeApplyOracle(Bpe.FixtureMerges))),
+
     Entry("corpus_split_safe",
       // leakage-safe train/valid/test split: the assignment hashes the
       // doc's near-dup CLUSTER representative, not the doc itself, so

@@ -363,6 +363,37 @@ object Oracles {
       |                  ': byte-window kernels vs char-based oracle')
       |       ELSE text END AS text FROM documents)""".stripMargin
 
+  /** Oracle for `text_bpe_apply`: the SAME fixed merge cascade the Spark
+    * side folds into nested literal `replace` calls, generated here as
+    * nested DuckDB `replace` — one constant list, two engines (the
+    * `dedup_simhash_md5_pairs` generated-formula discipline). Sentinel
+    * wrapping makes leftmost non-overlapping replace equal greedy BPE on
+    * both sides (every symbol's delimiters are its own — see
+    * [[graft.ext.Bpe.encodeTokens]]); sentinels are chr(1)/chr(2),
+    * emitted as chr() calls so no control byte sits in the SQL text.
+    * The full token sequence crosses engines as an md5, the count as a
+    * BIGINT.
+    */
+  def bpeApplyOracle(merges: Seq[(String, String)]): String = {
+    def q(x: String) = "'" + x.replace("'", "''") + "'"
+    def sym(x: String) = s"chr(1)||${q(x)}||chr(1)"
+    val cascade = merges.foldLeft("s0") { case (e, (a, b)) =>
+      s"replace($e, ${sym(a)}||${sym(b)}, ${sym(a + b)})"
+    }
+    s"""WITH $asciiDocsCte,
+       |w AS (SELECT doc_id,
+       |        regexp_replace(replace(text, ' ', chr(2)),
+       |                       '(?s)(.)', chr(1)||'\\1'||chr(1), 'g') AS s0
+       |      FROM docsrc),
+       |j AS (SELECT doc_id, replace($cascade, chr(1)||chr(1), ' ') AS j FROM w),
+       |enc AS (SELECT doc_id, substr(j, 2, greatest(len(j) - 2, 0)) AS toks FROM j)
+       |SELECT doc_id,
+       |  CAST(CASE WHEN len(toks) = 0 THEN 0
+       |            ELSE len(string_split(toks, ' ')) END AS BIGINT) AS n_tokens,
+       |  md5(toks) AS tokens_md5
+       |FROM enc ORDER BY doc_id""".stripMargin
+  }
+
   def substringPairsOracle(l: Int, minShared: Int, maxDf: Int): String =
     s"""WITH $asciiDocsCte,
        |x AS (SELECT doc_id, text, unnest(generate_series(1, len(text) - ${l - 1})) AS i

@@ -76,8 +76,9 @@ object ScaleProbe {
     * stressed at 4×. `dedup_substring_winnowed_hub` plants a fixed
     * 104-char boilerplate prefix on ~1% of docs AFTER scaling (5k docs
     * share it at base, 20k at 4× — df ≫ maxDf=1000 either way), so the
-    * capped distinct aggregate must absorb a mega-hub whose posting
-    * would be 20k ids if materialized; linear scaling here pins that
+    * hub cap must absorb a mega-hub whose posting would be 20k ids if
+    * materialized (r9 mechanism: the count window drops it before any
+    * posting exists — 8 B of state); linear scaling here pins that
     * per-key state stays bounded while the planted non-hub pair volume
     * grows with the corpus.
     */
@@ -118,9 +119,10 @@ object ScaleProbe {
                                      // winnow kernel linear in corpus bytes,
                                      // pair volume posting-bounded (the
                                      // self-join form shuffled 3× the grams)
-    "dedup_substring_winnowed_hub" -> 5.0, // PINS the r8 capped-posting agg:
-                                     // a 1%-of-corpus boilerplate hub must
-                                     // degenerate to a sticky overflow flag,
+    "dedup_substring_winnowed_hub" -> 5.0, // PINS the bounded-hub posting
+                                     // path (r8 capped agg, r9 count-window
+                                     // pre-filter): a 1%-of-corpus
+                                     // boilerplate hub must cost O(1) state,
                                      // not a df-sized buffer — super-linear
                                      // here means hub state grew with df
     "dedup_substring_gate" -> 5.0)   // the streaming gate's whole state

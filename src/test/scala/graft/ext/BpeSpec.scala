@@ -48,4 +48,79 @@ class BpeSpec extends AnyFunSuite {
     // every merged form is the concatenation of its pair
     assert(t.forall(r => r.getString(3) === r.getString(1) + r.getString(2)))
   }
+
+  /** Independent reference encode: symbols as a vector, one exhaustive
+    * leftmost-greedy pass per merge in rank order — the textbook
+    * Sennrich apply, sharing NO code with the sentinel-replace fold it
+    * checks.
+    */
+  private def refEncode(text: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms = text.map(c => if (c == ' ') "\u0002" else c.toString).toVector
+    for ((a, b) <- merges) {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.result()
+    }
+    syms
+  }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("applyMerges: hand-computed encode, word boundaries, rank order") {
+    val merges = Seq("t" -> "h", "th" -> "e", "a" -> "t")
+    // "the that " + boundary: 'e' of 'the' can never merge across the
+    // space with 't' of 'that'; (a,t) applies AFTER (t,h) consumed the
+    // leading t of 'that', so only the 'at' survives as a pair
+    val docs = Seq((1L, "the that"), (2L, ""), (3L, "a a a")).toDF("doc_id", "text")
+    val got = Bpe.applyMerges(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // the → [the]; that → [th, at... no: (a,t) rank-3 merges a+t → at]
+    val exp1 = Seq("the", "\u0002", "th", "at")
+    assert(got(0) === ((1L, 4L, md5hex(exp1.mkString(" ")))))
+    assert(got(1) === ((2L, 0L, md5hex(""))))
+    // no merge matches "a a a" (space marks intervene) → 5 symbols
+    assert(got(2)._2 === 5L)
+  }
+
+  test("applyMerges == independent reference encode on randomized texts") {
+    val merges = Bpe.FixtureMerges
+    val rnd = new scala.util.Random(4242)
+    val alpha = "abcdef0123 thenorst"
+    val texts = (0 until 60).map { i =>
+      i.toLong -> (0 until (1 + rnd.nextInt(40)))
+        .map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+    }
+    val docs = texts.toDF("doc_id", "text")
+    val got = Bpe.applyMerges(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    texts.zip(got).foreach { case ((id, text), (gid, n, h)) =>
+      val ref = refEncode(text, merges)
+      assert(gid === id)
+      assert(n === ref.length.toLong,
+        s"token count diverged on doc $id text='$text': got $n, ref ${ref.length} (${ref.mkString("|")})")
+      assert(h === md5hex(ref.mkString(" ")),
+        s"token sequence diverged on doc $id text='$text' ref=${ref.mkString("|")}")
+    }
+  }
+
+  test("train -> applyMerges round trip compresses the training corpus") {
+    val docs = Seq((0L, "low low lower newest newest newest widest"),
+      (1L, "newest widest low lower")).toDF("doc_id", "text")
+    val merges = Bpe.train(Bpe.wordCounts(docs, "text"), rounds = 6)
+      .map(m => m.lft -> m.rgt)
+    val n = Bpe.applyMerges(docs, "doc_id", "text", merges)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens")).collect()(0).getLong(0)
+    val raw = Bpe.applyMerges(docs, "doc_id", "text", Seq.empty)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens")).collect()(0).getLong(0)
+    assert(n < raw, s"6 learned merges must shrink the corpus: $n vs $raw")
+  }
 }

@@ -154,27 +154,30 @@ class SubstringDedupSpec extends AnyFunSuite {
       s"winnowed variant missed ${missed.size} of ${exact.size} exact pairs")
   }
 
-  test("non-long ids: any id type pairs correctly and keeps its type (no silent zero pairs)") {
-    // the r8 capped-distinct cut widened ids to long — numeric strings
-    // changed output type and non-numeric ids cast→null→ZERO pairs,
-    // silently (flagged by review; an interim fix raised instead). The
-    // window-count posting path is id-type-generic like r7's
-    // collect_set: values AND types pass through untouched.
+  test("non-long ids: numeric strings widen, non-numeric ids fail FAST (no silent zero pairs)") {
     val shared = randText(55, 60)
+    // castable string ids: the capped aggregate widens them to long and
+    // the pair path works (documented widening, values preserved)
     val numeric = Seq(
       ("100", randText(61, 80) + shared + randText(62, 80)),
       ("101", randText(63, 80) + shared + randText(64, 80))).toDF("doc_id", "text")
     val got = SubstringDedup.sharedGramPairs(numeric, "doc_id", "text",
         L = 40, minShared = 1)
-      .collect().map(r => (r.getString(0), r.getString(1))).toSet
-    assert(got == Set(("100", "101")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 101L)))
+    // NON-numeric ids: a silent cast-to-null would mean ZERO pairs with
+    // no error (the regression review flagged) — the guard must raise.
     val bad = Seq(
       ("docA", randText(65, 80) + shared + randText(66, 80)),
       ("docB", randText(67, 80) + shared + randText(68, 80))).toDF("doc_id", "text")
-    val gotBad = SubstringDedup.sharedGramPairs(bad, "doc_id", "text",
-        L = 40, minShared = 1)
-      .collect().map(r => (r.getString(0), r.getString(1))).toSet
-    assert(gotBad == Set(("docA", "docB")),
-      s"non-numeric ids must pair like any other type, got: $gotBad")
+    val ex = intercept[Throwable] {
+      SubstringDedup.sharedGramPairs(bad, "doc_id", "text",
+        L = 40, minShared = 1).collect()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage}\n${messages(t.getCause)}"
+    assert(messages(ex).contains("capped_distinct_longs") ||
+      messages(ex).toUpperCase.contains("CAST"),
+      s"expected a loud id-cast failure, got: ${messages(ex).take(400)}")
   }
 }
