@@ -27,4 +27,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // JDK-8192647 mitigation: with 32 allocation-heavy executor threads
+  // and JNI compression codecs (parquet/shuffle) holding the GC locker,
+  // G1 gives up after 2 retry cycles and throws a SPURIOUS
+  // OutOfMemoryError with free heap ("Retried waiting for GCLocker too
+  // often" precedes every such death in the bench logs — it killed
+  // dedup_substring_winnowed twice in r9 full-bench runs, each time
+  // ~20 min into the JVM's life, while the same query passed solo).
+  // The GCLocker is gone in JDK 22+; until then, retry harder.
+  "-XX:+UnlockDiagnosticVMOptions",
+  "-XX:GCLockerRetryAllocationCount=100",
 )

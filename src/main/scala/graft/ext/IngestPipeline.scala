@@ -121,13 +121,23 @@ object IngestPipeline {
       // hub set is bounded by the batch's distinct gram count, never
       // corpus-sized; at oracle scale (total docs < maxDf) the cap never
       // binds, so the uncapped DuckDB replay is unaffected.
+      // admMatches — the admitted rows whose h occurs in the batch — is
+      // persisted and feeds BOTH the hub census and the pair join: every
+      // batch gram's admitted join partners are by definition in it, so
+      // re-joining the FULL accumulated admGrams (the first cut of this
+      // cap) paid a second admitted-volume shuffle per wave. (Wall-
+      // neutral at the 500k-doc bench, where admitted-state reads are
+      // local checkpoint blocks — but at 100 TB the admitted gram table
+      // is the corpus-sized side, and scanning it once per wave instead
+      // of twice is the difference that matters.)
       val admMatches = admGrams.join(batchGrams.select(col("h")).distinct(), Seq("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val hubs = admMatches.groupBy("h").agg(count(lit(1)).as("n_c"))
         .join(batchGrams.groupBy("h").agg(count(lit(1)).as("n_d")), Seq("h"))
         .filter(col("n_c") + col("n_d") > maxDf)
         .select(col("h"))
       val crossSubIds = batchGrams.join(hubs, Seq("h"), "left_anti")
-        .join(admGrams, Seq("h"))
+        .join(admMatches, Seq("h"))
         .groupBy("id", "aid").agg(count(lit(1)).as("ns"))
         .filter(col("ns") >= minShared)
         .select(col("id")).distinct()
@@ -159,6 +169,7 @@ object IngestPipeline {
           .select(col("id").as("aid"), col("h"))
           .localCheckpoint(true))
       batchGrams.unpersist()
+      admMatches.unpersist()
     }
     fates.reduce(_ unionByName _)
       .select(col("id").as(idCol), col("wave"), col("admitted"), col("reason"))

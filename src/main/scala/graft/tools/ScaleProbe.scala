@@ -66,7 +66,7 @@ object ScaleProbe {
     "sim_decontaminate",
     "graph_pagerank", "text_bm25_search", "dedup_semantic", "sim_pq_rerank",
     "text_lm_score",
-    "dedup_substring_gate")
+    "dedup_substring_gate", "text_bpe_apply")
 
   /** Probe-only queries (not part of the declared surface): stress shapes
     * the bijective scaled corpus cannot produce. The scaled replicas'
@@ -125,6 +125,9 @@ object ScaleProbe {
                                      // boilerplate hub must cost O(1) state,
                                      // not a df-sized buffer — super-linear
                                      // here means hub state grew with df
+    "text_bpe_apply" -> 5.0,         // merge cascade is map-side string
+                                     // rewriting, zero shuffle — linear in
+                                     // corpus bytes by construction
     "dedup_substring_gate" -> 5.0)   // the streaming gate's whole state
                                      // machine: seed (⅓ of the corpus —
                                      // 167k docs at base, 667k at 4×) +
