@@ -139,4 +139,51 @@ object Packing {
       }
     }(enc)
   }
+
+  /** Range-sharded NEXT-fit-decreasing packing — the DETERMINISTIC,
+    * SQL-replayable member of the no-split family. [[packBinsFFD]] is
+    * the better packer but its partition boundaries come from Spark's
+    * range sampler, so no other engine can replay its assignment; this
+    * variant derives everything from the data: shard = id / span (fixed
+    * id ranges), docs packed within a shard in (n_tokens desc, id)
+    * order by next-fit (fill the current bin until a doc doesn't fit,
+    * then open a new one; a doc over `budget` forces its own bin and is
+    * flagged `oversize` — by next-fit its bin starts with 0 free space,
+    * so nothing else ever lands in it). Bin ids are `shard << 20 +
+    * local_bin`, globally unique and stable under any partitioning.
+    *
+    * Scale shape: one hash shuffle on `shard`, each group ≤ span docs
+    * (dense ids) packed in bounded memory — embarrassingly parallel,
+    * no global order, no driver state. The oracle replays the identical
+    * fold as a DuckDB recursive CTE advancing every shard one doc per
+    * iteration (Catalog `pack_bins_nextfit`).
+    *
+    * Output: (id, n_tokens, bin_id, oversize) — same contract as FFD.
+    */
+  def packBinsNextFit(docs: DataFrame, idCol: String, tokenCol: String,
+                      budget: Long, span: Long): DataFrame = {
+    require(budget > 0 && span > 0)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long").as("id"),
+        col(tokenCol).cast("long").as("n_tokens"),
+        // ids are non-negative in every corpus this packs (scaled
+        // replicas stay positive: id + replica * IdStride); floor
+        // matches DuckDB's `//` there, and both engines stay exact
+        // while id < 2^53
+        floor(col(idCol).cast("long") / span).cast("long").as("shard"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroups { (shard, it) =>
+        val items = it.map { case (id, n, _) => (id, n) }.toArray
+          .sortBy { case (id, n) => (-n, id) }
+        var bin = -1L; var free = -1L
+        items.iterator.map { case (id, n) =>
+          if (bin < 0 || n > free) { bin += 1; free = math.max(budget - n, 0L) }
+          else free -= n
+          (id, n, (shard << 20) + bin, n > budget)
+        }
+      }
+      .toDF("id", "n_tokens", "bin_id", "oversize")
+  }
 }

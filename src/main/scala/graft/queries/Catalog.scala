@@ -838,7 +838,32 @@ object Catalog {
           .groupBy("kind").agg(count(lit(1)).as("n"))
         kinds.unionByName(applied).orderBy("kind")
       },
-      None), // synthetic input built from Spark's hash() — engine-internal
+      // ORACLED (new r9): the synthetic corpus is pure id arithmetic —
+      // the hash(id, seed) VALUES are engine-internal, but which rows
+      // differ is decided entirely by the id rules (a differs iff
+      // id % 100 = 1, external-only iff id % 200 = 0, internal-only iff
+      // id % 200 = 3), so DuckDB replays the full_outer classify + apply
+      // algebra over range(n) and must land the identical per-kind
+      // counts. A Spark md5-signature collision would break the
+      // id-rule equivalence — and fail this oracle loudly, which is the
+      // correct outcome. n tracks the sf multiplier via lineitem's
+      // exact 6000×mult row count (1M keys at the driver's sf0.01 gate).
+      Some("""WITH m AS (SELECT CAST(count(*) / 6000 AS BIGINT) AS mult FROM lineitem),
+             |ids AS (SELECT unnest(range(100000 * (SELECT mult FROM m))) AS id),
+             |internal AS (SELECT id FROM ids WHERE id % 200 <> 0),
+             |external AS (SELECT id, (id % 100 = 1) AS a_diff FROM ids WHERE id % 200 <> 3),
+             |kinds AS (
+             |  SELECT CASE WHEN i.id IS NULL THEN 'new'
+             |              WHEN e.id IS NULL THEN 'deleted'
+             |              WHEN e.a_diff THEN 'changed'
+             |              ELSE 'unchanged' END AS kind
+             |  FROM internal i FULL OUTER JOIN external e ON e.id = i.id)
+             |SELECT kind, n FROM (
+             |  SELECT kind, count(*) AS n FROM kinds GROUP BY kind
+             |  UNION ALL
+             |  SELECT 'applied_rows' AS kind, count(*) AS n
+             |  FROM kinds WHERE kind <> 'deleted')
+             |ORDER BY kind""".stripMargin)),
 
     // ----- §2.6 window
     Entry("changelog_latest",
@@ -1670,6 +1695,48 @@ object Catalog {
           "doc_id", "n", budget = 2048L)
         .orderBy("id"),
       None),
+
+    Entry("pack_bins_nextfit",
+      // the ORACLED no-split packer (new r9): range-sharded next-fit-
+      // decreasing — shard = doc_id/100 (fixed id ranges, no sampler),
+      // next-fit within the shard in (n desc, id) order. Unlike FFD,
+      // every assignment derives from the data alone, so DuckDB replays
+      // the identical greedy fold as a recursive CTE that advances all
+      // shards one doc per iteration. Docs with doc_id % 83 == 7 get
+      // their token count ×30 (planted IDENTICALLY by both engines):
+      // the raw fixture maxes at ~99 tokens, so without the plant the
+      // oversize branch (n > budget ⇒ forced singleton bin) would be
+      // dead code in the gate. budget=512 puts planted docs on both
+      // sides of the oversize line (30n ∈ [300, 2970]).
+      (s, d) => {
+        val n = size(split(col("text"), " ")).cast("long")
+        Packing.packBinsNextFit(
+            docs(s, d).select(col("doc_id"),
+              when(col("doc_id") % 83 === 7, n * 30).otherwise(n).as("n")),
+            "doc_id", "n", budget = 512L, span = 100L)
+          .orderBy("id")
+      },
+      Some("""WITH RECURSIVE
+             |d AS (SELECT doc_id AS id,
+             |        CAST(CASE WHEN doc_id % 83 = 7
+             |                  THEN len(string_split(text, ' ')) * 30
+             |                  ELSE len(string_split(text, ' ')) END AS BIGINT) AS n_tokens,
+             |        doc_id // 100 AS shard FROM documents),
+             |ord AS (SELECT *, CAST(row_number() OVER (PARTITION BY shard
+             |          ORDER BY n_tokens DESC, id) AS BIGINT) AS seq FROM d),
+             |packed AS (
+             |  SELECT shard, seq, id, n_tokens, CAST(0 AS BIGINT) AS bin,
+             |         greatest(512 - n_tokens, 0) AS free, n_tokens > 512 AS oversize
+             |  FROM ord WHERE seq = 1
+             |  UNION ALL
+             |  SELECT o.shard, o.seq, o.id, o.n_tokens,
+             |         CASE WHEN o.n_tokens <= p.free THEN p.bin ELSE p.bin + 1 END,
+             |         CASE WHEN o.n_tokens <= p.free THEN p.free - o.n_tokens
+             |              ELSE greatest(512 - o.n_tokens, 0) END,
+             |         o.n_tokens > 512
+             |  FROM packed p JOIN ord o ON o.shard = p.shard AND o.seq = p.seq + 1)
+             |SELECT id, n_tokens, shard * 1048576 + bin AS bin_id, oversize
+             |FROM packed ORDER BY id""".stripMargin)),
 
     Entry("corpus_ingest_e2e",
       // the STREAMING-SHAPED counterpart of corpus_prep_e2e: the ingest
@@ -2759,15 +2826,17 @@ object Catalog {
 
     Entry("text_bpe_train",
       // 8 learned BPE merges over the fixture corpus (ext.Bpe): the
-      // iterative argmax + greedy merge-apply loop. Rows-only: each
-      // round's merge application is greedy leftmost-first over the
-      // evolving symbol string (zero-width-lookaround regex), which RE2
-      // (DuckDB) cannot express — BpeSpec pins the algebra against a
-      // hand-computed classic corpus instead, and `text_bpe_pairs`
-      // oracles the counting kernel the loop is built from.
+      // iterative argmax + greedy merge-apply loop. ORACLED (new r9):
+      // the lookaround-regex apply that kept this rows-only through r8
+      // is replayed with the sentinel literal-replace discipline
+      // text_bpe_apply established — but with the merge pair coming
+      // from each round's argmax ROW instead of a shipped constant, the
+      // 8 (count → argmax → apply) stages unrolled as one DuckDB CTE
+      // program (Oracles.bpeTrainOracle). BpeSpec additionally pins the
+      // algebra against a hand-computed classic corpus.
       (s, d) => Bpe.trainTable(docs(s, d), "text", rounds = 8)
         .orderBy("round"),
-      None),
+      Some(Oracles.bpeTrainOracle(rounds = 8))),
 
     Entry("text_bpe_apply",
       // tokenizer APPLICATION — the op that touches every byte at 100 TB

@@ -394,6 +394,56 @@ object Oracles {
        |FROM enc ORDER BY doc_id""".stripMargin
   }
 
+  /** Oracle for `text_bpe_train` (new r9): the full 8-round learning
+    * loop — pair-count → argmax → greedy merge-apply — unrolled into
+    * one CTE program, one (pairs, top, vocab) stage per round. The
+    * lookaround regex that kept this rows-only is sidestepped exactly
+    * the way [[bpeApplyOracle]] encodes: sentinel-wrap the symbol
+    * string, and leftmost non-overlapping literal `replace` IS the
+    * greedy merge pass — with the pair coming from the round's argmax
+    * ROW (DuckDB `replace` takes column args), not a constant. The
+    * argmax tie-break (cnt desc, lft, rgt — binary string order both
+    * engines) and the exhaustion contract (an empty round's 1-row CTE
+    * is empty, emptying every later round — same truncated table Spark
+    * returns) replay [[graft.ext.Bpe.train]] exactly.
+    */
+  def bpeTrainOracle(rounds: Int): String = {
+    require(rounds >= 1)
+    // sentinel-apply of round k's (lft, rgt) to a space-joined symbol
+    // string: wrap, literal-replace with the argmax row's columns, unwrap
+    def applied(sym: String): String = {
+      val s = s"chr(1) || replace($sym, ' ', chr(1)||chr(1)) || chr(1)"
+      val rep = s"replace($s, chr(1)||lft||chr(1)||chr(1)||rgt||chr(1)," +
+        " chr(1)||lft||rgt||chr(1))"
+      val back = s"replace($rep, chr(1)||chr(1), ' ')"
+      s"substr($back, 2, len($back) - 2)"
+    }
+    val stages = (1 to rounds).flatMap { k =>
+      val pairs =
+        s"""p$k AS (SELECT t[i] AS lft, t[i+1] AS rgt, CAST(sum(freq) AS BIGINT) AS cnt
+           |  FROM (SELECT freq, string_split(sym, ' ') AS t FROM v${k - 1}),
+           |       unnest(range(1, len(t))) u(i)
+           |  GROUP BY 1, 2)""".stripMargin
+      val top =
+        s"t$k AS (SELECT lft, rgt, cnt FROM p$k ORDER BY cnt DESC, lft, rgt LIMIT 1)"
+      val next =
+        if (k == rounds) Nil
+        else Seq(s"v$k AS (SELECT freq, ${applied("sym")} AS sym FROM v${k - 1}, t$k)")
+      Seq(pairs, top) ++ next
+    }
+    val merges = (1 to rounds).map { k =>
+      s"SELECT $k AS round, lft, rgt, lft || rgt AS merged, cnt FROM t$k"
+    }
+    s"""WITH $asciiDocsCte,
+       |w AS (SELECT word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM docsrc)
+       |  WHERE len(word) > 0 GROUP BY word),
+       |v0 AS (SELECT freq, array_to_string(string_split(word, ''), ' ') AS sym FROM w),
+       |${stages.mkString(",\n")}
+       |SELECT round, lft, rgt, merged, cnt FROM (
+       |${merges.mkString("\nUNION ALL ")}) ORDER BY round""".stripMargin
+  }
+
   def substringPairsOracle(l: Int, minShared: Int, maxDf: Int): String =
     s"""WITH $asciiDocsCte,
        |x AS (SELECT doc_id, text, unnest(generate_series(1, len(text) - ${l - 1})) AS i

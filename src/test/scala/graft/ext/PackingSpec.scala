@@ -134,4 +134,37 @@ class PackingSpec extends AnyFunSuite {
     val lower = math.max(1L, totalTok / budget)
     assert(bins <= (lower * 3) / 2 + 32, s"bins=$bins lower=$lower")
   }
+
+  test("packBinsNextFit equals a sequential replay of the greedy fold, under any partitioning") {
+    val budget = 512L; val span = 100L
+    val base = Tables.load(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      // plant ×30 giants on both sides of the oversize line, like the
+      // oracled Catalog entry does (the raw fixture never exceeds budget)
+      .select(col("doc_id"),
+        when(col("doc_id") % 83 === 7, col("n") * 30).otherwise(col("n")).as("n"))
+    val got = Packing.packBinsNextFit(base, "doc_id", "n", budget, span)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    // driver-side replay of the documented semantics: shard by id range,
+    // next-fit in (n desc, id) order
+    val want = base.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy { case (id, _) => id / span }
+      .toSeq.flatMap { case (shard, items) =>
+        var bin = -1L; var free = -1L
+        items.sortBy { case (id, n) => (-n, id) }.map { case (id, n) =>
+          if (bin < 0 || n > free) { bin += 1; free = math.max(budget - n, 0L) }
+          else free -= n
+          (id, n, (shard << 20) + bin, n > budget)
+        }
+      }.sortBy(_._1)
+    assert(got.toSeq == want)
+    assert(got.exists(_._4), "plant failed: no oversize doc exercised")
+    // determinism under a hostile input layout: same result from one
+    // skewed partition (bin ids derive from the data, not the plan)
+    val repacked = Packing.packBinsNextFit(base.repartition(1), "doc_id", "n", budget, span)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(repacked.toSeq == got.toSeq)
+  }
 }
