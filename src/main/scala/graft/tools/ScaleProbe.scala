@@ -22,51 +22,50 @@ import org.apache.spark.sql.SparkSession
   * corpus untimed — the probe measures the OPERATOR, not corpus
   * creation.
   *
-  * Measurement design, learned the hard way in r6: the loop is
-  * FAMILY-major (each family times base then 4× back-to-back), every
-  * timing starts from an evicted session cache, and there is NO
-  * explicit System.gc(). Dir-major order ran every 4× probe in a JVM
-  * ~20 min older than its base counterpart, and single-JVM heap aging
-  * is worth 2× on allocation-heavy paths (mm_image_dedup_check: 24.9 s
-  * standalone vs 44.5 s as probe #8 of the 4× pass) — family-major puts
-  * both sides of each ratio at the same JVM age, so aging cancels where
-  * it matters. Explicit GC made it worse, not better: G1 uncommits the
-  * heap after a full collection and the next probe crawls while it
-  * re-expands (measured 103 s on the same mm path). Absolute seconds
-  * still drift with JVM age across families; the RATIOS are the gate.
+  * Measurement design — one FRESH JVM PER FAMILY, learned over three
+  * rounds of chasing the same ghost. A single long-lived JVM ages:
+  * G1's heap layout and the JIT's deopt history after an hour of
+  * allocation-heavy work inflate allocator-bound probes by 1.5-2.5×,
+  * and the inflation is asymmetric (the 4× leg runs on the older
+  * heap), so RATIOS flap while the code and the bench medians stay
+  * flat. Measured instances, identical code each time:
+  * mm_image_dedup_check 2.1× clean vs 4.9-7.4× as family #8 (r8,
+  * MmDiag: taskGc 16 s of 376 s — not GC-bound, heap-age-bound);
+  * dedup_substring_winnowed 3.28× clean vs 4.90 as family #15 (r9
+  * diagnosis, PERFORMANCE.md); dedup_substring_gate 3.79× solo vs
+  * 5.64 as family #17 and 5.36 as family #4. Ordering heuristics
+  * (allocation-heavy families first) only moved the ghost around.
+  * Forking a fresh JVM per family makes every measurement the
+  * clean-session measurement by construction: the parent process
+  * spawns one child per family (inheriting this JVM's flags and
+  * classpath), each child times base then 4× back-to-back on a young
+  * heap — family-major within the child still cancels what little age
+  * a single family accrues — writes a JSON fragment, and the parent
+  * merges fragments, gates thresholds, and writes the tracked record.
+  * ~15 s of SparkSession startup per family is the price; it buys
+  * ratios that are reproducible to ~10% instead of ~2×. Explicit GC
+  * between families was tried and is WORSE: G1 uncommits the heap
+  * after a full collection and the next probe crawls while it
+  * re-expands (measured 103 s on a 25 s mm path).
   *
   * Usage: build an sf0.4-shaped dir of symlinks to the sf0.1 testdata
   * (ScaledFixtures keys the multiplier off the dir NAME), then
   *   SPARK_GRAFT_SCALE_DIRS=/root/testdata/sf0.1,/tmp/sfscale/sf0.4 \
   *     sbt "runMain graft.tools.ScaleProbe"
+  * (the sbt-forked JVM becomes the parent; children are plain
+  * `java -cp` re-invocations of this class with
+  * SPARK_GRAFT_SCALE_CHILD=1).
   */
 object ScaleProbe {
-  // mm_image_dedup_check runs FIRST: the decode path is the one probe
-  // whose cost is allocation-bound (2M BufferedImages), and its 4× side
-  // is systematically more sensitive to a heap aged by prior families'
-  // shuffle churn — measured r8: ratio 2.1× in a clean session (MmDiag,
-  // taskGc 16 s of 376 s), 4.9-7.4× as family #8 of the full probe,
-  // IDENTICAL code, flat bench medians. Family-major ordering cancels
-  // aging within a family but not this asymmetric sensitivity; first
-  // position measures the operator on the young JVM the way every other
-  // family effectively gets measured (they are shuffle-bound, not
-  // allocator-bound).
-  // …and the substring-winnow family runs SECOND, for the same reason:
-  // its kernel is the other allocation-heavy probe (per-doc fingerprint
-  // arrays at 1G positions), and its 4× side inflates on an aged heap
-  // exactly like mm's. r9 clean-session MmDiag: cold/cold wall ratio
-  // 3.28×, taskCpu 3.58×, taskGc 1.5-2% of taskRun — sub-linear, not
-  // GC-bound; the r8 probe's 4.90 (one slot from its 5.0 threshold, as
-  // family #15 of 17) was the aged-JVM measurement, not the plan.
   private val DefaultProbes = Seq(
     "mm_image_dedup_check",
     "dedup_substring_winnowed", "dedup_substring_winnowed_hub",
+    "dedup_substring_gate", "text_bpe_apply",
     "dedup_minhash_lsh", "dedup_clusters", "dedup_embedding_cosine",
     "text_quality", "text_contamination", "pack_sequences", "sim_ivf",
     "sim_decontaminate",
     "graph_pagerank", "text_bm25_search", "dedup_semantic", "sim_pq_rerank",
-    "text_lm_score",
-    "dedup_substring_gate", "text_bpe_apply")
+    "text_lm_score")
 
   /** Probe-only queries (not part of the declared surface): stress shapes
     * the bijective scaled corpus cannot produce. The scaled replicas'
@@ -165,6 +164,72 @@ object ScaleProbe {
     val probes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").toSeq).getOrElse(DefaultProbes) ++ args
     val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALE_r9.json")
+    if (sys.env.contains("SPARK_GRAFT_SCALE_CHILD")) runFamilies(probes, dirs, outPath)
+    else runParent(probes.distinct, dirs, outPath)
+  }
+
+  /** Parent: one fresh JVM per family (see the measurement-design
+    * scaladoc), then merge the per-family fragments into the tracked
+    * record and gate the thresholds. Children inherit this JVM's flags
+    * (-Xmx, add-opens, the GCLocker retry mitigation) and classpath, so
+    * `sbt runMain` posture carries through.
+    */
+  private def runParent(probes: Seq[String], dirs: Seq[String], outPath: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    require(dirs.size >= 2, "parent mode needs base,x4 dirs in SPARK_GRAFT_SCALE_DIRS")
+    val javaBin = new java.io.File(new java.io.File(
+      System.getProperty("java.home"), "bin"), "java").getPath
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toSeq
+      .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-Xrunjdwp"))
+    val cp = System.getProperty("java.class.path")
+    val fragDir = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get("target", "scale-frag"))
+    val fragments = probes.map { name =>
+      val frag = fragDir.resolve(s"$name.json").toFile
+      frag.delete()
+      val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp,
+        "graft.tools.ScaleProbe")).asJava
+      val pb = new ProcessBuilder(cmd).inheritIO()
+      pb.environment().put("SPARK_GRAFT_SCALE_CHILD", "1")
+      pb.environment().put("SPARK_GRAFT_SCALE_PROBES", name)
+      pb.environment().put("SPARK_GRAFT_SCALE_OUT", frag.getPath)
+      val exit = pb.start().waitFor()
+      require(exit == 0 && frag.isFile,
+        s"[scale] child for $name died (exit $exit) — record incomplete, aborting")
+      name -> new String(java.nio.file.Files.readAllBytes(frag.toPath), "UTF-8")
+    }
+    // each fragment is {"base_dir":…,"x4_dir":…,"queries":{ INNER }}\n —
+    // splice the INNER objects together (we control the writer; the
+    // inner object is the only nested brace pair after the marker)
+    val inner = fragments.map { case (name, txt) =>
+      val start = txt.indexOf("\"queries\":{") + "\"queries\":{".length
+      val body = txt.substring(start, txt.lastIndexOf("}}")).trim
+      require(body.startsWith("\"" + name + "\""), s"fragment for $name malformed: $body")
+      body
+    }
+    val json = inner.mkString(
+      s"""{"base_dir":"${dirs.head}","x4_dir":"${dirs.last}","queries":{""",
+      ",", "}}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
+    println(s"[scale] wrote $outPath (${probes.size} families, fresh JVM each)")
+    val breach = """"([a-z0-9_]+)":\{[^}]*"ratio":([0-9.]+),"threshold":([0-9.]+),"ok":false""".r
+    val breaches = breach.findAllMatchIn(json).map(m =>
+      (m.group(1), m.group(2), m.group(3))).toSeq
+    breaches.foreach { case (n, r, t) =>
+      System.err.println(s"[scale] BREACH: $n ratio $r exceeds threshold $t")
+    }
+    if (breaches.nonEmpty) sys.exit(1)
+  }
+
+  /** Child (SPARK_GRAFT_SCALE_CHILD=1): time the given families in this
+    * JVM and write the fragment. Also the single-JVM path for manual
+    * subset runs; threshold breaches are recorded in the JSON (`"ok"`)
+    * but never exit nonzero — the parent gates.
+    */
+  private def runFamilies(probeSeq: Seq[String], dirs: Seq[String], outPath: String): Unit = {
+    val probes = probeSeq
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -229,11 +294,9 @@ object ScaleProbe {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (json + "\n").getBytes("UTF-8"))
       println(s"[scale] wrote $outPath")
-      val breaches = rows.filter(!_._6)
-      breaches.foreach { case (n, _, _, r, t, _) =>
+      rows.filter(!_._6).foreach { case (n, _, _, r, t, _) =>
         System.err.println(f"[scale] BREACH: $n ratio $r%.1f exceeds threshold $t%.1f")
       }
-      if (breaches.nonEmpty) sys.exit(1)
     }
   }
 }

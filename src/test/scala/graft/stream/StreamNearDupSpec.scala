@@ -36,6 +36,65 @@ class StreamNearDupSpec extends AnyFunSuite {
     assert(StreamNearDup.pairs(spark, st).count() == 3)
   }
 
+  test("crash between the index and pairs/docs writes: replay converges to the uninterrupted run") {
+    // processBatch writes index/batch=N, THEN pairs/batch=N, THEN
+    // docs/batch=N — a crash after the first write leaves an absorbed
+    // index with no pairs and no corpus docs for that version. Healing
+    // contract (same as StreamSubstringGate/StreamVecDup): per-version
+    // Overwrite everywhere, probe and corpus reads pruned STRICTLY
+    // below `version`, so the leftover own-version index neither
+    // poisons the replay's probe nor survives as stale layout.
+    def drive(st: String, crashBatch2: Boolean): Unit = {
+      StreamNearDup.seedCorpus(Seq(1L -> tA, 2L -> tB).toDF("doc_id", "text"), st)
+      StreamNearDup.processBatch(
+        Seq(10L -> tA, 11L -> tC).toDF("doc_id", "text"), st, 1L)
+      val b2 = Seq(
+        20L -> tC,
+        21L -> "twin text planted twice inside one single ingest batch here",
+        22L -> "twin text planted twice inside one single ingest batch here")
+        .toDF("doc_id", "text")
+      StreamNearDup.processBatch(b2, st, 2L)
+      if (crashBatch2) {
+        graft.core.Pipeline.deleteRecursively(
+          java.nio.file.Paths.get(s"$st/pairs/batch=2"))
+        graft.core.Pipeline.deleteRecursively(
+          java.nio.file.Paths.get(s"$st/docs/batch=2"))
+        assert(java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(s"$st/index/batch=2")),
+          "precondition: the absorbed index must outlive the crash")
+        StreamNearDup.processBatch(b2, st, 2L) // replay
+      }
+    }
+    val clean = java.nio.file.Files.createTempDirectory("graft_snd6a").toString
+    val crashed = java.nio.file.Files.createTempDirectory("graft_snd6b").toString
+    drive(clean, crashBatch2 = false)
+    drive(crashed, crashBatch2 = true)
+    def pairRows(st: String) = StreamNearDup.pairs(spark, st)
+      .select(org.apache.spark.sql.functions.col("id_a"),
+        org.apache.spark.sql.functions.col("id_b"),
+        org.apache.spark.sql.functions.col("ingest_version").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def perBatch(st: String, sub: String, cols: Seq[String]) = {
+      val root = new java.io.File(s"$st/$sub")
+      root.listFiles().filter(_.getName.startsWith("batch=")).toSeq
+        .flatMap { d =>
+          val b = d.getName.stripPrefix("batch=").toInt
+          spark.read.parquet(d.toString).select(cols.head, cols.tail: _*)
+            .collect().map(r => (r.toSeq.map(String.valueOf), b))
+        }.sortBy(_.toString)
+    }
+    assert(pairRows(crashed) == pairRows(clean),
+      s"replayed pairs diverge: ${pairRows(crashed)} vs ${pairRows(clean)}")
+    assert(perBatch(crashed, "index", Seq("id", "bucket")) ==
+      perBatch(clean, "index", Seq("id", "bucket")),
+      "replayed index diverges from the uninterrupted run")
+    assert(perBatch(crashed, "docs", Seq("doc_id")) ==
+      perBatch(clean, "docs", Seq("doc_id")),
+      "replayed corpus docs diverge from the uninterrupted run")
+    assert(pairRows(clean).map(p => (p._1, p._2)) ==
+      Set((1L, 10L), (11L, 20L), (21L, 22L)), s"fixture sanity: ${pairRows(clean)}")
+  }
+
   test("probe is bucket-pruned: a small batch reads a fraction of the accumulated index") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     val st = java.nio.file.Files.createTempDirectory("graft_snd3").toString

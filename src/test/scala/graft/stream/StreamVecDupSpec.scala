@@ -195,6 +195,69 @@ class StreamVecDupSpec extends AnyFunSuite {
       s"cellMode gate missed a planted twin or passed an orthogonal candidate: $got")
   }
 
+  test("crash between the index and pairs/vecs writes: replay converges to the uninterrupted run") {
+    // processBatch writes index/batch=N, THEN pairs/batch=N, THEN
+    // vecs/batch=N — a crash after the first write leaves an absorbed
+    // index with no pairs and no corpus vectors for that version. The
+    // healing contract mirrors StreamSubstringGate's: all three writes
+    // are per-version Overwrite, and both the index probe and the
+    // corpus-vecs read are pruned to batches STRICTLY below `version`,
+    // so the leftover own-version index can neither poison the replay's
+    // probe nor survive as a stale layout. Drive the same three batches
+    // through a clean dir and a crashed-then-replayed dir; every state
+    // surface (pairs, per-batch index, per-batch vecs) must match.
+    def drive(st: String, crashBatch2: Boolean): Unit = {
+      StreamVecDup.seedCorpus(
+        Seq(1L -> e(0), 2L -> e(1)).toDF("vec_id", "embedding"), st)
+      StreamVecDup.processBatch(
+        Seq(10L -> near(0), 11L -> e(2)).toDF("vec_id", "embedding"), st, 1L)
+      val b2 = Seq(20L -> near(2), 21L -> e(4), 22L -> near(4))
+        .toDF("vec_id", "embedding")
+      StreamVecDup.processBatch(b2, st, 2L)
+      if (crashBatch2) {
+        // simulate the widest crash window: batch 2's index write
+        // survived, pairs and vecs never happened
+        graft.core.Pipeline.deleteRecursively(
+          java.nio.file.Paths.get(s"$st/pairs/batch=2"))
+        graft.core.Pipeline.deleteRecursively(
+          java.nio.file.Paths.get(s"$st/vecs/batch=2"))
+        assert(java.nio.file.Files.isDirectory(
+          java.nio.file.Paths.get(s"$st/index/batch=2")),
+          "precondition: the absorbed index must outlive the crash")
+        StreamVecDup.processBatch(b2, st, 2L) // replay
+      }
+    }
+    val clean = java.nio.file.Files.createTempDirectory("graft_svd6a").toString
+    val crashed = java.nio.file.Files.createTempDirectory("graft_svd6b").toString
+    drive(clean, crashBatch2 = false)
+    drive(crashed, crashBatch2 = true)
+    def pairRows(st: String) = StreamVecDup.pairs(spark, st)
+      .select(col("id_a"), col("id_b"), col("ingest_version").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // per-batch reads, the way the gate's own pruned reads go: the seed
+    // index (batch=0) is pb-partitioned while deltas are flat, so a
+    // naive recursive read trips over the mixed layouts
+    def perBatch(st: String, sub: String, cols: Seq[String]) = {
+      val root = new java.io.File(s"$st/$sub")
+      root.listFiles().filter(_.getName.startsWith("batch=")).toSeq
+        .flatMap { d =>
+          val b = d.getName.stripPrefix("batch=").toInt
+          spark.read.parquet(d.toString).select(cols.head, cols.tail: _*)
+            .collect().map(r => (r.toSeq.map(String.valueOf), b))
+        }.sortBy(_.toString)
+    }
+    assert(pairRows(crashed) == pairRows(clean),
+      s"replayed pairs diverge: ${pairRows(crashed)} vs ${pairRows(clean)}")
+    assert(perBatch(crashed, "index", Seq("id", "band", "bucket")) ==
+      perBatch(clean, "index", Seq("id", "band", "bucket")),
+      "replayed index diverges from the uninterrupted run")
+    assert(perBatch(crashed, "vecs", Seq("vec_id")) ==
+      perBatch(clean, "vecs", Seq("vec_id")),
+      "replayed corpus vecs diverge from the uninterrupted run")
+    assert(pairRows(clean).map(p => (p._1, p._2)) ==
+      Set((1L, 10L), (11L, 20L), (21L, 22L)), s"fixture sanity: ${pairRows(clean)}")
+  }
+
   test("file-stream wiring: a streamed batch is gated against the seeded corpus") {
     val st = java.nio.file.Files.createTempDirectory("graft_svd2").toString
     val in = java.nio.file.Files.createTempDirectory("graft_svd_in").toString
