@@ -79,6 +79,183 @@ object Sketches {
   def mergeQuantileTables(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
     mergeBy(a, b, groupCols, graft.functions.sketch.kll_union(_, _))
 
+  // ---- md5-HLL: the oracle twin of the Datasketches path ----
+  //
+  // Classic Flajolet–Fusy–Gandouet–Meunier HyperLogLog with an
+  // md5-derived hash, built from plain relational ops so the ENTIRE
+  // sketch — hash, register assignment, register merge, estimator,
+  // small-range correction — replays in DuckDB SQL and the estimate
+  // crosses engines bit-for-bit (the `dedup_semantic_md5` discipline
+  // applied to sketches; Datasketches' xxhash + HIP accumulator can't
+  // cross). p=12 → m=4096 registers, the same geometry as the
+  // production `distinctSketch(lgK=12)`, standard error ≈ 1.6%.
+  //
+  // Determinism across engines, term by term: the hash is md5 of the
+  // value's decimal string (identical hex both sides); bucket and the
+  // 48-bit rho window come from hex-digit arithmetic (conv here, a
+  // generated digit-sum in the oracle); rho is a generated 48-branch
+  // compare chain, NOT floor(log2(x)) — libm log at power-of-two
+  // boundaries is exactly the cross-engine hazard an oracle must rule
+  // out; the indicator sum Σ 2^-M[j] is scaled by 2^49 and summed in
+  // BIGINT (max 4096·2^49 = 2^61 — EXACT, no FP summation order); the
+  // final estimate is one IEEE division of identical doubles, and the
+  // linear-counting branch's single ln() is rounded at 6 dp (the
+  // text-LM oracle's rounding discipline — a last-ulp libm difference
+  // is 10 orders below the rounding grain).
+  //
+  // Registers are a (group, bucket, r) table — mergeable by max(r),
+  // which makes merge-then-estimate ≡ estimate-of-full EXACTLY (max of
+  // maxes), so the committed ∪ delta maintenance path is pinned by
+  // value equality, not an error bound.
+
+  private val HllP = 12
+  private val HllM: Int = 1 << HllP            // 4096 registers
+  private val HllRestBits = 48                 // hex digits 4..15 of the md5
+  /** 0.7213/(1 + 1.079/m) for m=4096, embedded as the exact double so
+    * the oracle SQL can carry the IDENTICAL literal. */
+  val HllAlpha = 0.7211100396160289
+
+  /** Per-(group, bucket) max-rho register table for distinct `valueCol`,
+    * from the md5 hash of its decimal-string form.
+    */
+  def md5HllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    val m = md5(col(valueCol).cast("string").cast("binary"))
+    val bucket = conv(substring(m, 1, 3), 16, 10).cast("long")
+    val rest = conv(substring(m, 4, 12), 16, 10).cast("long")
+    val rho = (2 to HllRestBits).foldLeft(
+        when(rest >= lit(1L << (HllRestBits - 1)), 1)) { (acc, k) =>
+        acc.when(rest >= lit(1L << (HllRestBits - k)), k)
+      }.otherwise(HllRestBits + 1)
+    df.select(groupCols.map(col) :+ bucket.as("bucket") :+ rho.as("rho"): _*)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max("rho").as("r"))
+  }
+
+  /** Merge register tables (the sketch-table maintenance step): union,
+    * max per (group, bucket). Exactly idempotent and commutative.
+    */
+  def md5HllMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
+    a.unionByName(b).groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max("r").as("r"))
+
+  /** The HLL estimate from a register table, as `outCol` per group.
+    * Σ 2^-M[j] is computed exactly: present registers contribute
+    * 2^(49-r) and the V absent ones 2^49 each, summed in BIGINT and
+    * divided out of α·m²·2^49 in one IEEE step; linear counting
+    * (m·ln(m/V)) replaces the raw estimate below 2.5m when V > 0.
+    */
+  def md5HllEstimate(regs: DataFrame, groupCols: Seq[String], outCol: String): DataFrame =
+    regs.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__np"),
+        sum(expr(s"shiftleft(cast(1 as bigint), ${HllRestBits + 1} - r)")).as("__sp"))
+      .withColumn("__s",
+        col("__sp") + (lit(HllM.toLong) - col("__np")) * lit(1L << (HllRestBits + 1)))
+      .withColumn("__raw",
+        lit(HllAlpha) * lit((HllM.toDouble) * HllM) * lit((1L << (HllRestBits + 1)).toDouble) /
+          col("__s").cast("double"))
+      .withColumn("__v", lit(HllM.toLong) - col("__np"))
+      .withColumn(outCol, round(
+        when(col("__raw") <= lit(2.5 * HllM) && col("__v") > 0,
+          lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("__v").cast("double")))
+          .otherwise(col("__raw")), 6))
+      .select(groupCols.map(col) :+ col(outCol): _*)
+
+  // ---- log-histogram quantile sketch: the oracle twin of the KLL path
+  //
+  // A DDSketch-shaped quantile sketch (Masson, Lee, Rim: "DDSketch: a
+  // fast and fully-mergeable quantile sketch with relative-error
+  // guarantees", VLDB'19) built deterministic and SQL-replayable where
+  // the paper's is not quite: bucket indices come from INTEGER bit
+  // arithmetic over the value's exact cents form, not ceil(log_γ(x)) —
+  // libm log at bucket boundaries is the cross-engine hazard, the same
+  // one the md5-HLL rho chain avoids. Geometry: values < 32 cents get
+  // exact unit buckets (ids 0..31); larger values bucket by
+  // (bit_length, next-4-bits) — 16 sub-buckets per octave, ids ≥ 96,
+  // width/lo ≤ 1/16, so the mid-bucket representative carries ≤ ~3.1%
+  // relative error at any rank. The sketch is a (group, bucket, cnt)
+  // table: counts, so the merge is SUM — exact, associative — and
+  // merge-then-estimate ≡ estimate-of-full bit-for-bit, same pinning
+  // discipline as md5-HLL. KLL (randomized compaction, tighter rank
+  // error) stays the production path; this is the cross-engine-checked
+  // twin.
+
+  private val LhSub = 16        // sub-buckets per octave (4 bits)
+  private val LhDirectMax = 32L // cents below this get exact unit buckets
+  private val LhMaxBits = 48    // compare-chain depth: cents < 2^48
+
+  /** Exact non-negative cents from a currency double (prices in the
+    * data are cents-exact by construction, so the round is a no-op
+    * that both engines resolve identically).
+    */
+  private def centsOf(valueCol: String) =
+    round(col(valueCol) * lit(100.0)).cast("long")
+
+  /** Per-(group, bucket) count table for `valueCol` (a currency
+    * double). The log-histogram form of [[quantileSketch]].
+    */
+  def logHistogram(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    val v = centsOf(valueCol)
+    // one compare-chain branch per octave, LARGEST first (a when-chain
+    // takes the first match), each with a CONSTANT shift: bucket =
+    // bit_length(v)·16 + the 4 bits after the leading one. Deterministic
+    // in any engine; never floor(log2).
+    val bucket = (LhMaxBits - 1 to 6 by -1).foldLeft(
+        when(v >= lit(1L << (LhMaxBits - 1)),
+          lit(LhMaxBits.toLong * LhSub) + shiftright(v, LhMaxBits - 5) % LhSub) ) { (acc, b) =>
+        acc.when(v >= lit(1L << (b - 1)),
+          lit(b.toLong * LhSub) + shiftright(v, b - 5) % LhSub)
+      }.otherwise(v) // v < 32: exact unit buckets 0..31
+    df.select(groupCols.map(col) :+ bucket.as("bucket"): _*)
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Merge log-histogram tables: union, per-bucket count sum. Exact. */
+  def logHistMerge(a: DataFrame, b: DataFrame, groupCols: Seq[String]): DataFrame =
+    a.unionByName(b).groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(sum("cnt").as("cnt"))
+
+  /** Quantile estimates from a log-histogram table: for each p, the
+    * mid-point (in original currency units) of the first bucket whose
+    * running count reaches ceil(p·n), one `p{NN}_<tag>` column per
+    * prob, plus the exact `n_<tag>` the counts carry. Rank selection
+    * and bucket inversion are integer arithmetic; the only doubles are
+    * the final mid-point halving and cents→units division — identical
+    * everywhere.
+    */
+  def logHistQuantiles(hist: DataFrame, groupCols: Seq[String], probs: Seq[Double],
+                       tag: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = hist
+      .withColumn("__cum", sum("cnt").over(
+        Window.partitionBy(groupCols.map(col): _*).orderBy(col("bucket"))))
+      .withColumn("__n", sum("cnt").over(Window.partitionBy(groupCols.map(col): _*)))
+    // representative cents of a bucket: direct buckets are exact; a
+    // composite bucket (e·16 + sub) spans [(16+sub)·2^(e-5), +2^(e-5))
+    // — take the arithmetic midpoint, one constant-width branch per
+    // octave (mirrors the forward chain)
+    def rep(bucket: Column): Column =
+      (7 to LhMaxBits).foldLeft(
+        when(bucket < lit(LhDirectMax), bucket.cast("double"))) { (acc, b) =>
+        val width = 1L << (b - 5)
+        acc.when(bucket >= lit(b.toLong * LhSub) && bucket < lit((b + 1).toLong * LhSub),
+          ((lit(LhSub.toLong) + bucket % LhSub) * lit(width)).cast("double")
+            + lit(width / 2.0))
+      }.otherwise( // b = 6 octave: ids 96..111, width 2
+        ((lit(LhSub.toLong) + bucket % LhSub) * lit(2L)).cast("double") + lit(1.0))
+    val qs = probs.map { p =>
+      val name = s"p${(p * 100).toInt}_$tag"
+      val rank = ceil(lit(p) * col("__n")).cast("long")
+      name -> min(when(col("__cum") >= rank, col("bucket"))).as(s"__b_$name")
+    }
+    val agged = cum.groupBy(groupCols.map(col): _*)
+      .agg(max(col("__n")).as(s"n_$tag"), qs.map(_._2): _*)
+    qs.foldLeft(agged) { case (df, (name, _)) =>
+      df.withColumn(name, round(rep(col(s"__b_$name")) / lit(100.0), 6))
+        .drop(s"__b_$name")
+    }
+  }
+
   /** Full-outer merge of two (groupCols, sketch) tables under `union`:
     * groups new in either side pass through, both present → union. The
     * rename-prefix (fresh exprIds) matters — the two sketch tables often

@@ -1030,6 +1030,74 @@ object Catalog {
       },
       None),
 
+    Entry("agg_distinct_hll_md5",
+      // the ORACLED twin of agg_distinct_hll: classic md5-hashed
+      // HyperLogLog built from plain relational ops (Sketches.md5Hll*),
+      // same register geometry (m=4096) and same self-evidencing shape —
+      // full-corpus estimate, 90%-committed ∪ 10%-delta merged estimate,
+      // exact count — but every stage replays in DuckDB and the
+      // ESTIMATES cross engines bit-for-bit. The merge path is pinned by
+      // exact value equality (max-of-maxes ≡ full), not an error bound;
+      // the error bound itself is crossed as a column so the oracle
+      // checks it too. Datasketches stays the production path
+      // (agg_distinct_hll); this is the cross-engine evidence that the
+      // whole sketch mechanism — hash → register → merge → estimator
+      // with small-range correction — is the textbook construction.
+      (s, d) => {
+        val l = li(s, d)
+        val g = Seq("l_returnflag")
+        val full = Sketches.md5HllEstimate(
+          Sketches.md5HllRegisters(l, g, "l_orderkey"), g, "approx_full")
+        val merged = Sketches.md5HllEstimate(
+          Sketches.md5HllMerge(
+            Sketches.md5HllRegisters(l.filter(col("l_orderkey") % 10 =!= 0), g, "l_orderkey"),
+            Sketches.md5HllRegisters(l.filter(col("l_orderkey") % 10 === 0), g, "l_orderkey"),
+            g), g, "approx_merged")
+        val exact = l.groupBy(col("l_returnflag"))
+          .agg(countDistinct(col("l_orderkey")).as("exact_distinct"))
+        full.join(merged, g).join(exact, g)
+          .withColumn("merge_exact",
+            (col("approx_full") === col("approx_merged")).cast("int"))
+          .withColumn("rel_err", round(
+            abs(col("approx_full") - col("exact_distinct").cast("double")) /
+              col("exact_distinct").cast("double"), 6))
+          .orderBy("l_returnflag")
+      },
+      Some(graft.queries.Oracles.md5HllOracle)),
+
+    Entry("agg_quantile_loghist",
+      // the ORACLED twin of agg_quantile_sketch: a DDSketch-shaped
+      // log-histogram quantile sketch (Sketches.logHistogram) whose
+      // bucketing is integer bit arithmetic over exact cents — so the
+      // whole sketch (bucketing, count merge, rank walk, mid-bucket
+      // inversion) replays in DuckDB and the estimates cross engines
+      // bit-for-bit. Counts merge by SUM, so the committed ∪ delta path
+      // is pinned by exact value equality (merge ≡ full), like the
+      // md5-HLL twin. KLL stays the production path (tighter rank
+      // error, fixed-size state vs the histogram's value-range-bounded
+      // bucket count); this is the cross-engine evidence for the
+      // sketch-table maintenance discipline.
+      (s, d) => {
+        val l = li(s, d)
+        val g = Seq("l_returnflag")
+        val probs = Seq(0.5, 0.9, 0.99)
+        val full = Sketches.logHistQuantiles(
+          Sketches.logHistogram(l, g, "l_extendedprice"), g, probs, "full")
+        val merged = Sketches.logHistQuantiles(
+          Sketches.logHistMerge(
+            Sketches.logHistogram(l.filter(col("l_orderkey") % 10 =!= 0), g, "l_extendedprice"),
+            Sketches.logHistogram(l.filter(col("l_orderkey") % 10 === 0), g, "l_extendedprice"),
+            g), g, probs, "merged")
+        full.join(merged, g)
+          .withColumn("merge_exact",
+            (col("n_full") === col("n_merged") &&
+              col("p50_full") === col("p50_merged") &&
+              col("p90_full") === col("p90_merged") &&
+              col("p99_full") === col("p99_merged")).cast("int"))
+          .orderBy("l_returnflag")
+      },
+      Some(graft.queries.Oracles.logHistOracle)),
+
     Entry("agg_quantile_sketch",
       // mergeable QUANTILE sketches (KLL; SketchExpressions.scala): the
       // percentile sibling of agg_distinct_hll. Same self-evidencing

@@ -865,4 +865,110 @@ object Oracles {
        |SELECT rid AS id, cluster_id, cluster_id AS kept_id
        |FROM comp WHERE rid <> cluster_id ORDER BY id""".stripMargin
   }
+
+  /** Oracle for `agg_distinct_hll_md5`: the whole md5-HLL sketch —
+    * hash, register assignment, committed ∪ delta register merge,
+    * estimator with small-range correction — replayed in DuckDB
+    * (`Sketches.md5Hll*` is the Spark side; constants must match it
+    * term for term). Hex digits become integers via the
+    * `dedup_simhash_md5_pairs` strpos trick; rho is the same generated
+    * 48-branch compare chain (never floor(log2) — libm at power-of-two
+    * boundaries is a cross-engine hazard); Σ 2^-M[j] is an exact BIGINT
+    * sum scaled by 2^49; the one ln() rounds at 6 dp per the LM-oracle
+    * discipline.
+    */
+  /** Oracle for `agg_quantile_loghist`: the log-histogram quantile
+    * sketch replayed in DuckDB (`Sketches.logHistogram/logHistMerge/
+    * logHistQuantiles` is the Spark side — geometry constants must
+    * match). Bucketing and inversion are generated per-octave compare
+    * chains with constant shifts (never floor(log2)); counts merge by
+    * sum; rank selection is ceil(p·n) over a running count window.
+    */
+  val logHistOracle: String = {
+    // forward chain: bucket from exact cents, largest octave first
+    val bucket = "CASE " + (48 to 6 by -1).map { b =>
+      s"WHEN v >= ${1L << (b - 1)} THEN ${b.toLong * 16} + (v >> ${b - 5}) % 16"
+    }.mkString(" ") + " ELSE v END"
+    // inverse: mid-bucket cents from the bucket id, one branch per octave
+    def rep(x: String) = "CASE WHEN " + x + " < 32 THEN CAST(" + x + " AS DOUBLE) " +
+      (6 to 48).map { b =>
+        val w = 1L << (b - 5)
+        s"WHEN $x >= ${b.toLong * 16} AND $x < ${(b + 1).toLong * 16} " +
+          s"THEN CAST((16 + $x % 16) * $w AS DOUBLE) + ${w / 2.0}"
+      }.mkString(" ") + " END"
+    def est(h: String, tag: String) =
+      s"""SELECT l_returnflag, n_$tag,
+         |  round(${rep(s"b50_$tag")} / 100.0, 6) AS p50_$tag,
+         |  round(${rep(s"b90_$tag")} / 100.0, 6) AS p90_$tag,
+         |  round(${rep(s"b99_$tag")} / 100.0, 6) AS p99_$tag
+         |FROM (SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n_$tag,
+         |        min(CASE WHEN cum >= ceil(0.5 * n) THEN bucket END) AS b50_$tag,
+         |        min(CASE WHEN cum >= ceil(0.9 * n) THEN bucket END) AS b90_$tag,
+         |        min(CASE WHEN cum >= ceil(0.99 * n) THEN bucket END) AS b99_$tag
+         |      FROM (SELECT l_returnflag, bucket, cnt,
+         |              sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum,
+         |              sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+         |            FROM $h)
+         |      GROUP BY 1)""".stripMargin
+    s"""WITH c AS (SELECT l_returnflag, l_orderkey,
+       |             CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+       |bk AS (SELECT l_returnflag, l_orderkey, $bucket AS bucket FROM c),
+       |hf AS (SELECT l_returnflag, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+       |hm AS (SELECT l_returnflag, bucket, sum(cnt) AS cnt FROM (
+       |    SELECT l_returnflag, bucket, count(*) AS cnt FROM bk
+       |    WHERE l_orderkey % 10 <> 0 GROUP BY 1, 2
+       |  UNION ALL
+       |    SELECT l_returnflag, bucket, count(*) AS cnt FROM bk
+       |    WHERE l_orderkey % 10 = 0 GROUP BY 1, 2) GROUP BY 1, 2),
+       |qf AS (${est("hf", "full")}),
+       |qm AS (${est("hm", "merged")})
+       |SELECT l_returnflag, n_full, p50_full, p90_full, p99_full,
+       |  n_merged, p50_merged, p90_merged, p99_merged,
+       |  CAST(n_full = n_merged AND p50_full = p50_merged
+       |       AND p90_full = p90_merged AND p99_full = p99_merged AS INT) AS merge_exact
+       |FROM qf JOIN qm USING (l_returnflag)
+       |ORDER BY l_returnflag""".stripMargin
+  }
+
+  val md5HllOracle: String = {
+    def hv(i: Int) = s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
+    val bucket = s"${hv(1)} * 256 + ${hv(2)} * 16 + ${hv(3)}"
+    val rest = (4 to 15).map(i => s"${hv(i)} * ${1L << (4 * (15 - i))}").mkString(" + ")
+    val rho = "CASE " + (1 to 48).map(k =>
+      s"WHEN rest >= ${1L << (48 - k)} THEN $k").mkString(" ") + " ELSE 49 END"
+    def est(regs: String, out: String) =
+      s"""SELECT l_returnflag, round(CASE
+         |    WHEN raw <= 10240.0::DOUBLE AND v > 0
+         |    THEN 4096.0::DOUBLE * ln(4096.0::DOUBLE / CAST(v AS DOUBLE))
+         |    ELSE raw END, 6) AS $out
+         |  FROM (SELECT l_returnflag,
+         |          0.7211100396160289::DOUBLE * 16777216.0::DOUBLE * 562949953421312.0::DOUBLE
+         |            / CAST(s AS DOUBLE) AS raw, v
+         |        FROM (SELECT l_returnflag,
+         |                sum(1::BIGINT << (49 - r)) + (4096 - count(*)) * 562949953421312::BIGINT AS s,
+         |                4096 - count(*) AS v
+         |              FROM $regs GROUP BY 1))""".stripMargin
+    s"""WITH h AS (SELECT l_returnflag, l_orderkey,
+       |             md5(CAST(l_orderkey AS VARCHAR)) AS m FROM lineitem),
+       |rr AS (SELECT l_returnflag, l_orderkey, bucket, $rho AS rho
+       |       FROM (SELECT l_returnflag, l_orderkey,
+       |               $bucket AS bucket, $rest AS rest FROM h)),
+       |regs_full AS (SELECT l_returnflag, bucket, max(rho) AS r FROM rr GROUP BY 1, 2),
+       |regs_merged AS (SELECT l_returnflag, bucket, max(r) AS r FROM (
+       |    SELECT l_returnflag, bucket, max(rho) AS r FROM rr
+       |    WHERE l_orderkey % 10 <> 0 GROUP BY 1, 2
+       |  UNION ALL
+       |    SELECT l_returnflag, bucket, max(rho) AS r FROM rr
+       |    WHERE l_orderkey % 10 = 0 GROUP BY 1, 2) GROUP BY 1, 2),
+       |ef AS (${est("regs_full", "approx_full")}),
+       |em AS (${est("regs_merged", "approx_merged")}),
+       |exact AS (SELECT l_returnflag, count(DISTINCT l_orderkey) AS exact_distinct
+       |          FROM lineitem GROUP BY 1)
+       |SELECT l_returnflag, approx_full, approx_merged, exact_distinct,
+       |  CAST(approx_full = approx_merged AS INT) AS merge_exact,
+       |  round(abs(approx_full - CAST(exact_distinct AS DOUBLE))
+       |          / CAST(exact_distinct AS DOUBLE), 6) AS rel_err
+       |FROM ef JOIN em USING (l_returnflag) JOIN exact USING (l_returnflag)
+       |ORDER BY l_returnflag""".stripMargin
+  }
 }

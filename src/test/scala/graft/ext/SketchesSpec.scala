@@ -83,6 +83,106 @@ class SketchesSpec extends AnyFunSuite {
     assert(est(mergedT) == merged) // deterministic across evaluations
   }
 
+  // ---- md5-HLL (the oracle twin: Sketches.md5Hll*)
+
+  test("md5-HLL: rho chain matches a bit-arithmetic reference over the md5 hash") {
+    // the production chain derives (bucket, rho) from hex-string
+    // arithmetic so the DuckDB oracle can replay it; this reference
+    // derives them from the raw digest bits — the two must agree for
+    // every value, or the generated 48-branch compare chain is off by
+    // one somewhere
+    def ref(v: Long): (Long, Int) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(v.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val bucket = java.lang.Long.parseLong(hex.substring(0, 3), 16)
+      val rest = java.lang.Long.parseLong(hex.substring(3, 15), 16)
+      val rho = if (rest == 0L) 49
+                else java.lang.Long.numberOfLeadingZeros(rest) - 16 + 1
+      (bucket, rho)
+    }
+    val vals = (1L to 4000L) ++ Seq(0L, 999999937L)
+    val got = Sketches.md5HllRegisters(
+        vals.map(v => ("g", v)).toDF("g", "v"), G, "v")
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+      .toSet
+    val want = vals.map(ref).groupBy(_._1)
+      .map { case (b, rs) => (b, rs.map(_._2).max) }.toSet
+    assert(got == want)
+  }
+
+  test("md5-HLL: estimate in bound vs exact; merge-then-estimate EXACTLY equals full (not just in bound)") {
+    val df = (1 to 60000).map(i => ("g" + (i % 3), (i * 17L) % 20011L)).toDF("g", "v")
+    def est(regs: org.apache.spark.sql.DataFrame, out: String) =
+      Sketches.md5HllEstimate(regs, G, out)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val full = est(Sketches.md5HllRegisters(df, G, "v"), "e")
+    val merged = est(Sketches.md5HllMerge(
+      Sketches.md5HllRegisters(df.filter(col("v") % 10 =!= 0), G, "v"),
+      Sketches.md5HllRegisters(df.filter(col("v") % 10 === 0), G, "v"), G), "e")
+    assert(full == merged, "max-register merge must reproduce the full sketch bit-for-bit")
+    val exact = df.groupBy("g").agg(countDistinct("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val err = math.abs(full(k) / ex - 1.0)
+      assert(err < 0.05, s"group $k: approx=${full(k)} exact=$ex err=$err")
+    }
+  }
+
+  test("md5-HLL: small-range linear counting engages and stays in bound for tiny groups") {
+    // 40 distinct values in one group: raw HLL at m=4096 would
+    // overestimate badly; the V>0 branch must take over
+    val df = (1 to 40).map(i => ("t", i * 1009L)).toDF("g", "v")
+    val e = Sketches.md5HllEstimate(Sketches.md5HllRegisters(df, G, "v"), G, "e")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(e("t") - 40.0) < 4.0, s"linear-counting estimate off: ${e("t")}")
+  }
+
+  // ---- log-histogram quantile sketch (the oracle twin: Sketches.logHist*)
+
+  test("log-histogram: mid-bucket representative is within the 1/32 relative bound of every value") {
+    // push a wide sweep of magnitudes through bucket → quantile-of-one
+    // (the p50 of a single-row group IS that row's representative):
+    // the round trip must stay within width/2 / lo = 1/32 relative
+    val vals = (Seq(0.01, 0.05, 0.31, 0.32, 5.00, 123.45, 999.99) ++
+      (1 to 60).map(i => math.pow(1.31, i))).map(v => math.rint(v * 100) / 100.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (s"g$i", v) }.toDF("g", "v")
+    val got = Sketches.logHistQuantiles(
+        Sketches.logHistogram(df, G, "v"), G, Seq(0.5), "t")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    vals.zipWithIndex.foreach { case (v, i) =>
+      val r = got(s"g$i")
+      if (v * 100 < 32) assert(r == v, s"direct bucket must be exact: $v -> $r")
+      else assert(math.abs(r / v - 1.0) <= 1.0 / 32 + 1e-9, s"$v -> $r off by ${r / v - 1.0}")
+    }
+  }
+
+  test("log-histogram: quantiles in relative bound vs exact; count-sum merge EXACTLY equals full") {
+    val l = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+    val g = Seq("l_returnflag")
+    def est(q: org.apache.spark.sql.DataFrame) = q.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val full = est(Sketches.logHistQuantiles(
+      Sketches.logHistogram(l, g, "l_extendedprice"), g, Seq(0.5, 0.9, 0.99), "f"))
+    val merged = est(Sketches.logHistQuantiles(
+      Sketches.logHistMerge(
+        Sketches.logHistogram(l.filter(col("l_orderkey") % 10 =!= 0), g, "l_extendedprice"),
+        Sketches.logHistogram(l.filter(col("l_orderkey") % 10 === 0), g, "l_extendedprice"),
+        g), g, Seq(0.5, 0.9, 0.99), "f"))
+    assert(full == merged, "count-sum merge must reproduce the full histogram bit-for-bit")
+    val exact = l.groupBy("l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.5)"), expr("percentile(l_extendedprice, 0.9)"),
+        expr("percentile(l_extendedprice, 0.99)"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    exact.foreach { case (k, (e50, e90, e99)) =>
+      val (_, p50, p90, p99) = full(k)
+      Seq((p50, e50), (p90, e90), (p99, e99)).foreach { case (got, want) =>
+        assert(math.abs(got / want - 1.0) < 0.04,
+          s"group $k: sketch $got vs exact $want (rel ${got / want - 1.0})")
+      }
+    }
+  }
+
   // ---- KLL quantile sketches
 
   /** True rank of `q` within the sorted values of a group — the metric
