@@ -189,19 +189,46 @@ object ScaleProbe {
     val cp = System.getProperty("java.class.path")
     val fragDir = java.nio.file.Files.createDirectories(
       java.nio.file.Paths.get("target", "scale-frag"))
+    // SPARK_GRAFT_SCALE_RESUME=1 reuses fragments already on disk —
+    // after a mid-run death (one child OOM'd 40 min into the first
+    // dual-ratio run), the finished families' measurements survive.
+    val resume = sys.env.contains("SPARK_GRAFT_SCALE_RESUME")
     val fragments = probes.map { name =>
       val frag = fragDir.resolve(s"$name.json").toFile
-      frag.delete()
-      val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp,
-        "graft.tools.ScaleProbe")).asJava
-      val pb = new ProcessBuilder(cmd).inheritIO()
-      pb.environment().put("SPARK_GRAFT_SCALE_CHILD", "1")
-      pb.environment().put("SPARK_GRAFT_SCALE_PROBES", name)
-      pb.environment().put("SPARK_GRAFT_SCALE_OUT", frag.getPath)
-      val exit = pb.start().waitFor()
-      require(exit == 0 && frag.isFile,
-        s"[scale] child for $name died (exit $exit) — record incomplete, aborting")
-      name -> new String(java.nio.file.Files.readAllBytes(frag.toPath), "UTF-8")
+      def readFrag() =
+        new String(java.nio.file.Files.readAllBytes(frag.toPath), "UTF-8")
+      def attempt(): Int = {
+        frag.delete()
+        val cmd = (Seq(javaBin) ++ jvmArgs ++ Seq("-cp", cp,
+          "graft.tools.ScaleProbe")).asJava
+        val pb = new ProcessBuilder(cmd).inheritIO()
+        pb.environment().put("SPARK_GRAFT_SCALE_CHILD", "1")
+        pb.environment().put("SPARK_GRAFT_SCALE_PROBES", name)
+        pb.environment().put("SPARK_GRAFT_SCALE_OUT", frag.getPath)
+        pb.start().waitFor()
+      }
+      if (resume && frag.isFile) {
+        println(s"[scale] reusing fragment for $name")
+        name -> readFrag()
+      } else {
+        var exit = attempt()
+        if (exit != 0 || !frag.isFile) {
+          // one retry on a fresh JVM: a heap-marginal leg can die on GC
+          // weather (measured: the gate's 4× leg passed twice at
+          // 444-577 s, then OOM'd on an identically-configured run)
+          System.err.println(s"[scale] child for $name died (exit $exit) — retrying once")
+          exit = attempt()
+        }
+        if (exit == 0 && frag.isFile) name -> readFrag()
+        else {
+          // record the failure and keep probing: one family must not
+          // cost the other 17 their measurements. The synthesized
+          // fragment is a threshold breach, so the run still exits 1.
+          System.err.println(s"[scale] child for $name died twice (exit $exit) — recording as breach")
+          val thr = Thresholds.getOrElse(name, DefaultThreshold)
+          name -> s"""{"queries":{"$name":{"error":"child died twice (exit $exit)","ratio":9999.000,"threshold":$thr,"ok":false}}}"""
+        }
+      }
     }
     val json = spliceFragments(fragments, dirs.head, dirs.last)
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
