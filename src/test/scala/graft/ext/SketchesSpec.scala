@@ -183,6 +183,27 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("log-histogram table round-trips through parquet and keeps merging exactly") {
+    // the maintenance contract at scale: the committed sketch is a
+    // parquet table of (group, bucket, cnt); a delta folds in by count
+    // sum and the result must equal the from-scratch sketch exactly —
+    // including after the disk round trip
+    val tmp = java.nio.file.Files.createTempDirectory("graft_loghist").toString
+    val df = (1 to 4000).map(i => ("g" + (i % 4), ((i * 37) % 90000) / 100.0 + 0.37))
+      .toDF("g", "v")
+    val corpus = df.filter(round(col("v") * 100) % 7 =!= 0)
+    val delta = df.filter(round(col("v") * 100) % 7 === 0)
+    Sketches.logHistogram(corpus, G, "v").write.parquet(s"$tmp/hist")
+    val committed = spark.read.parquet(s"$tmp/hist")
+    def q(h: org.apache.spark.sql.DataFrame) =
+      Sketches.logHistQuantiles(h, G, Seq(0.5, 0.9), "t")
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    val merged = q(Sketches.logHistMerge(
+      committed, Sketches.logHistogram(delta, G, "v"), G))
+    assert(merged == q(Sketches.logHistogram(df, G, "v")),
+      "delta-merged persisted histogram must equal the from-scratch sketch exactly")
+  }
+
   // ---- KLL quantile sketches
 
   /** True rank of `q` within the sorted values of a group — the metric
