@@ -60,9 +60,13 @@ object Bpe {
     * rgt) so two engines/runs learn the same merges.
     */
   def train(words: DataFrame, rounds: Int): Seq[Merge] = {
-    // initial symbolization: one space between every adjacent char pair
+    // initial symbolization: one space between every adjacent char pair.
+    // (?s) so '.' crosses '\n' — without it a word containing a newline
+    // is not split around it, while the DuckDB oracle's string_split
+    // splits every character (encodeTokens already carries the flag for
+    // the same reason)
     var sym = words.select(col("word"), col("freq"),
-        regexp_replace(col("word"), "(?<=.)(?=.)", " ").as("sym"))
+        regexp_replace(col("word"), "(?s)(?<=.)(?=.)", " ").as("sym"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sym.count() // materialize before the loop mutates the var
     val merges = Seq.newBuilder[Merge]

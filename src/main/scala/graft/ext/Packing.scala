@@ -150,7 +150,9 @@ object Packing {
     * then open a new one; a doc over `budget` forces its own bin and is
     * flagged `oversize` — by next-fit its bin starts with 0 free space,
     * so nothing else ever lands in it). Bin ids are `shard << 20 +
-    * local_bin`, globally unique and stable under any partitioning.
+    * local_bin`, globally unique and stable under any partitioning —
+    * enforced by `span <= 2^20` (local bins can't spill into the next
+    * shard's range) and `shard < 2^43` (the shift can't overflow).
     *
     * Scale shape: one hash shuffle on `shard`, each group ≤ span docs
     * (dense ids) packed in bounded memory — embarrassingly parallel,
@@ -163,6 +165,12 @@ object Packing {
   def packBinsNextFit(docs: DataFrame, idCol: String, tokenCol: String,
                       budget: Long, span: Long): DataFrame = {
     require(budget > 0 && span > 0)
+    // bin_id packs shard << 20 | local_bin: local_bin < span must fit
+    // in the 20 low bits (worst case one bin per doc) and the shifted
+    // shard must not overflow Long, or bin ids silently collide across
+    // adjacent shards (r10 advisor finding)
+    require(span <= (1L << 20),
+      s"span $span exceeds 2^20: local bin ids would collide across shards")
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long").as("id"),
@@ -175,6 +183,10 @@ object Packing {
       .as[(Long, Long, Long)]
       .groupByKey(_._3)
       .flatMapGroups { (shard, it) =>
+        // shard << 20 must stay within Long: ids >= 2^43 * span would
+        // wrap the packed bin id negative and collide
+        require(shard < (1L << 43),
+          s"shard $shard >= 2^43: shard << 20 would overflow Long")
         val items = it.map { case (id, n, _) => (id, n) }.toArray
           .sortBy { case (id, n) => (-n, id) }
         var bin = -1L; var free = -1L

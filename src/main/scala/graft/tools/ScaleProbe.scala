@@ -11,9 +11,12 @@ import org.apache.spark.sql.SparkSession
   * Output is a TRACKED artifact (default `/root/repo/SCALE_r9.json`):
   * per-query base/4× WALL seconds and PHYSICAL-WORK seconds (task CPU +
   * GC), both ratios, the threshold, and pass/fail — a family passes if
-  * EITHER ratio is under its threshold (min-gate: wall alone reads high
-  * on box weather, ±20% measured run-to-run on heavy 4× legs; a genuine
-  * super-linear plan inflates both) — and the probe EXITS NONZERO on
+  * its wall ratio is under threshold, or if its work ratio is under
+  * threshold AND wall is within 2× of work (wall alone reads high on
+  * box weather, ±20% measured run-to-run on heavy 4× legs; but a
+  * parallelism-destroying regression inflates wall while work stays
+  * linear, so low work alone must not rescue an unbounded wall) — and
+  * the probe EXITS NONZERO on
   * any breach, so the two super-linear plans r5 caught and fixed
   * (quadratic fixed-plane embedding LSH at 25×, `text_contamination`'s
   * broadcast cliff at 10.5×) can never silently return. Thresholds are
@@ -295,9 +298,25 @@ object ScaleProbe {
     inner.mkString(s"""{"base_dir":"$baseDir","x4_dir":"$x4Dir","queries":{""", ",", "}}")
   }
 
-  /** (family, ratio, threshold) rows whose `ok` flag is false. */
+  /** The family gate (see the runFamilies comment): wall under
+    * threshold passes; a wall breach is rescued by work only when work
+    * is under threshold AND wall stays within 2× of work. Separated out
+    * for the spec — the unconditional min(wall, work) gate it replaces
+    * silently masked parallelism-destroying regressions (wall 20×, work
+    * 4×) behind a linear work ratio.
+    */
+  private[tools] def gatePass(wallRatio: Double, workRatio: Double, thr: Double): Boolean =
+    wallRatio <= thr || (workRatio <= thr && wallRatio <= 2.0 * workRatio)
+
+  /** (family, ratio, threshold) rows whose `ok` flag is false. The
+    * field scan excludes BOTH braces (`[^{}]*`) so a match can't start
+    * at the top-level `"queries":{` key and tunnel into the first
+    * family's fields — which misreported the breach name as `queries`
+    * whenever the FIRST family breached (r10 advisor finding; exit code
+    * was already correct either way).
+    */
   private[tools] def breaches(json: String): Seq[(String, String, String)] = {
-    val re = """"([a-z0-9_]+)":\{[^}]*"ratio":([0-9.]+),"threshold":([0-9.]+),"ok":false""".r
+    val re = """[{,]"([a-z0-9_]+)":\{[^{}]*"ratio":([0-9.]+),"threshold":([0-9.]+),"ok":false""".r
     re.findAllMatchIn(json).map(m => (m.group(1), m.group(2), m.group(3))).toSeq
   }
 
@@ -370,8 +389,10 @@ object ScaleProbe {
         ExtraProbes.getOrElse(name, graft.SparkEntry.queries(name))(spark, scaled)
           .write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
-        // listener events drain asynchronously; settle before snapshotting
-        Thread.sleep(300)
+        // listener events drain asynchronously; settle before
+        // snapshotting (1 s: the bus can drop or lag events under load,
+        // and an under-counted 4× leg deflates the work ratio)
+        Thread.sleep(1000)
         val work = (cpuNs.get() - cpu0) / 1e9 + (gcMs.get() - gc0) / 1e3
         println(f"[scale] ${new java.io.File(dir).getName}%-8s $name%-24s $t%8.1f s  (work $work%8.1f s)")
         dir -> (t, work)
@@ -387,13 +408,20 @@ object ScaleProbe {
         val ratio = if (base > 0) big / base else Double.PositiveInfinity
         val workRatio = if (workBase > 0) workBig / workBase else Double.PositiveInfinity
         val thr = Thresholds.getOrElse(name, DefaultThreshold)
-        // the gate: min of the two ratios vs the threshold. Wall alone
-        // can read high on box weather (±20% measured on the heavy 4×
-        // legs); physical work alone could in principle read high while
-        // wall stays flat (wider parallelism) — a REGRESSION, the thing
-        // the probe hunts, shows in both.
+        // the gate: wall under threshold passes outright. A low WORK
+        // ratio rescues a wall breach only when wall stays within 2× of
+        // work — box weather inflates wall ±20% while task CPU holds
+        // (the r9 motivation for dual ratios), but a regression that
+        // DESTROYS PARALLELISM (plan collapsing to one partition, a
+        // serialized driver loop) inflates wall super-linearly while
+        // per-task CPU+GC stays ~linear, so an unconditional
+        // min(wall, work) gate would silently mask exactly that class
+        // (r10 advisor finding). The 2× bound also limits the damage of
+        // listener under-counting: a dropped-event-deflated work ratio
+        // now drags the wall bound DOWN with it instead of widening the
+        // escape hatch.
         (name, base, big, ratio, workBase, workBig, workRatio, thr,
-          math.min(ratio, workRatio) <= thr)
+          gatePass(ratio, workRatio, thr))
       }
       val json = rows.map { case (n, b, x4, r, wb, wx, wr, t, ok) =>
         s""""$n":{"base_sec":${ms(b)},"x4_sec":${ms(x4)},"work_base_sec":${ms(wb)},""" +
@@ -406,7 +434,7 @@ object ScaleProbe {
       println(s"[scale] wrote $outPath")
       rows.filter(!_._9).foreach { case (n, _, _, r, _, _, wr, t, _) =>
         System.err.println(
-          f"[scale] BREACH: $n wall ratio $r%.1f AND work ratio $wr%.1f exceed threshold $t%.1f")
+          f"[scale] BREACH: $n wall ratio $r%.1f over threshold $t%.1f and not rescued by work ratio $wr%.1f (needs work<=thr and wall<=2*work)")
       }
     }
   }

@@ -39,6 +39,19 @@ class BpeSpec extends AnyFunSuite {
       Bpe.Merge(2, "aa", "a", "aaa", 1L)))
   }
 
+  test("train symbolizes words containing a newline character by character") {
+    // the symbolization regex needs (?s): without it Java '.' refuses to
+    // match at '\n', the word "a\nb" stays unsplit, and round 1 sees no
+    // pairs — while the DuckDB oracle's string_split splits every char
+    // "a\nb" → "a \n b"; pairs (a,\n) and (\n,b) tie at 4, and the
+    // (cnt desc, lft, rgt) break picks lft "\n" (0x0A) before "a"
+    val words = Seq(("a\nb", 4L)).toDF("word", "freq")
+    val m = Bpe.train(words, rounds = 2)
+    assert(m === Seq(
+      Bpe.Merge(1, "\n", "b", "\nb", 4L),
+      Bpe.Merge(2, "a", "\nb", "a\nb", 4L)))
+  }
+
   test("trainTable runs end-to-end from documents and orders rounds") {
     val docs = Seq((0L, "low low lower newest"), (1L, "newest widest low"))
       .toDF("doc_id", "text")

@@ -167,4 +167,25 @@ class PackingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
     assert(repacked.toSeq == got.toSeq)
   }
+
+  test("packBinsNextFit rejects a span that could collide bin ids across shards") {
+    // worst case is one bin per doc: local_bin can reach span-1, which
+    // must fit in the 20 low bits of the packed bin id
+    val docs = Tables.load(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id"), lit(10L).as("n"))
+    val e = intercept[IllegalArgumentException] {
+      Packing.packBinsNextFit(docs, "doc_id", "n", budget = 512L, span = (1L << 20) + 1)
+    }
+    assert(e.getMessage.contains("2^20"))
+  }
+
+  test("packBinsNextFit rejects ids whose shard would overflow the shift") {
+    val docs = spark.range(1).select(
+      lit((1L << 43) * 100L).as("doc_id"), lit(10L).as("n"))
+    val e = intercept[org.apache.spark.SparkException] {
+      Packing.packBinsNextFit(docs, "doc_id", "n", budget = 512L, span = 100L).collect()
+    }
+    assert(e.getMessage.contains("2^43") ||
+      Option(e.getCause).exists(_.getMessage.contains("2^43")))
+  }
 }

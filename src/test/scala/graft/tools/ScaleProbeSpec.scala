@@ -37,6 +37,34 @@ class ScaleProbeSpec extends AnyFunSuite {
     }
   }
 
+  test("breach scan names the family even when the FIRST fragment breaches") {
+    // unanchored, [^}]* used to start its match at the top-level
+    // "queries":{ key and report the breach name as "queries"
+    val json = ScaleProbe.spliceFragments(Seq(
+      "fam_bad" -> frag("fam_bad", 7.5, ok = false),
+      "fam_ok" -> frag("fam_ok", 2.0, ok = true)), "/b", "/x")
+    assert(ScaleProbe.breaches(json).map(_._1) == Seq("fam_bad"))
+  }
+
+  test("gate: wall under threshold passes outright") {
+    assert(ScaleProbe.gatePass(wallRatio = 4.2, workRatio = 9.0, thr = 5.0))
+  }
+
+  test("gate: weather-inflated wall is rescued by linear work within 2x") {
+    // the r9 motivation: wall flapped ±20% while task CPU held
+    assert(ScaleProbe.gatePass(wallRatio = 6.0, workRatio = 3.9, thr = 5.0))
+  }
+
+  test("gate: parallelism collapse (wall >> work) breaches despite linear work") {
+    // a plan collapsing to one partition: per-task CPU stays ~linear
+    // while wall goes super-linear — the class min(wall, work) masked
+    assert(!ScaleProbe.gatePass(wallRatio = 20.0, workRatio = 4.0, thr = 5.0))
+  }
+
+  test("gate: both ratios over threshold breaches") {
+    assert(!ScaleProbe.gatePass(wallRatio = 8.0, workRatio = 7.0, thr = 5.0))
+  }
+
   test("breach scan finds exactly the ok:false rows") {
     val json = ScaleProbe.spliceFragments(Seq(
       "fam_ok" -> frag("fam_ok", 2.0, ok = true),
