@@ -56,6 +56,43 @@ object IvfIndex {
   def defaultNlist(n: Long): Int =
     math.max(8, math.min(4096, math.round(math.sqrt(n.toDouble)).toInt))
 
+  /** DETERMINISTIC axis-sign coarse quantizer — the DuckDB-replayable
+    * twin of [[build]] (the [[Dedup.axisCellIndex]] discipline applied
+    * to the IVF list space): a vector's list is the SIGN PATTERN of its
+    * first `bits` dims, and the centroid table is the 2^bits ±1 sign
+    * vectors (zero outside the sign dims). The sign cell IS the nearest
+    * of those centroids under the KMeans criterion — |c|² = bits for
+    * every centroid, so argmin ‖v−c‖² = argmax v·c, maximized by
+    * matching each sign independently — which means [[applyDelta]]'s
+    * nearest-EXISTING-centroid delta assignment lands every upsert in
+    * its sign cell too, and [[topK]]'s centroid-cosine probe ranking is
+    * Σ(±q_i)/(|q|·√bits) — exact doubles both engines compute
+    * bit-for-bit. The whole persisted lifecycle (build → write →
+    * applyDelta → pruned probe → top-k) becomes SQL-replayable
+    * (Catalog `sim_ivf_md5`). Production stays on [[build]]'s trained
+    * quantizer; this is oracle gear, exactly like
+    * [[Dedup.axisCellNearDups]] vs the hyperplane index. Edge: a dim of
+    * exactly 0.0f assigns bit=1 here (>= 0) while applyDelta's distance
+    * tie breaks toward the LOWER list — the fixtures' floats are never
+    * exactly zero, and the oracle gate would catch it if one were.
+    */
+  def buildCells(spark: SparkSession, embs: DataFrame, idCol: String,
+                 vecCol: String, bits: Int = 6): Index = {
+    require(bits >= 1 && bits <= 16, s"bits $bits outside [1,16]")
+    val dim = embs.select(size(col(vecCol))).head().getInt(0)
+    require(dim >= bits, s"vector dim $dim smaller than sign bits $bits")
+    val centroids = Array.tabulate(1 << bits) { p =>
+      p -> Array.tabulate(dim)(i =>
+        if (i >= bits) 0f else if (((p >> i) & 1) == 1) 1f else -1f)
+    }
+    val list = (0 until bits).map(i =>
+      when(element_at(col(vecCol), i + 1) >= 0, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val assigned = embs.select(col(idCol).as("vid"), col(vecCol).as("v"),
+      list.cast("int").as("list"))
+    Index(centroids, assigned, builtN = embs.count())
+  }
+
   def build(spark: SparkSession, embs: DataFrame, idCol: String, vecCol: String,
             nlist: Int = 0, seed: Long = 42L, trainPerList: Int = 256,
             maxIter: Int = 20, initMode: String = "k-means||"): Index = {
@@ -335,10 +372,13 @@ object IvfIndex {
     val cents = index.centroids.toSeq.toDF("list", "centroid")
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qv"),
       vectors.float_norm(col(vecCol)).as("qn"))
-    // nearest nprobe centroids per query (centroid table is tiny)
+    // nearest nprobe centroids per query (centroid table is tiny); ties
+    // break toward the lower list id so the probe set is deterministic
+    // (KMeans centroids never tie in practice; the sign-cell quantizer's
+    // oracle replays the same ordering)
     val wc = Window.partitionBy("qid").orderBy(
       (vectors.float_dot(col("qv"), col("centroid")) /
-        (col("qn") * vectors.float_norm(col("centroid")))).desc)
+        (col("qn") * vectors.float_norm(col("centroid")))).desc, col("list").asc)
     val probes0 = q.crossJoin(broadcast(cents))
       .withColumn("__cr", row_number().over(wc))
       .filter(col("__cr") <= nprobe)

@@ -25,6 +25,35 @@ object Pq {
   /** Flat codebook: `codebook[(j*ks + c)*dsub + t]`. */
   final case class Model(m: Int, ks: Int, dsub: Int, codebook: Array[Float])
 
+  /** DETERMINISTIC sign-grid codebooks — the DuckDB-replayable twin of
+    * [[train]] (the axis-cell discipline applied to the PQ subspaces):
+    * subspace `j`'s centroids enumerate the 2^dsub sign combinations at
+    * ±`half` per dim (centroid `c`, dim `t` = +half iff bit t of c).
+    * [[encode]]'s per-subspace argmin then reduces to matching each
+    * dim's sign independently — (|x|∓half)² is minimized by the
+    * matching sign — so an oracle recomputes every code as
+    * `x >= 0 → bit 1` without replaying Lloyd's, and the ADC luts are
+    * EXACT doubles (each entry is ±half·Σ±q over dsub exact terms)
+    * both engines cast through REAL identically. Production keeps
+    * [[train]]'s k-means codebooks (tighter cells → better shortlists);
+    * this is oracle gear for `sim_pq_rerank_md5`, like
+    * [[IvfIndex.buildCells]] vs the trained quantizer. Edge: a dim of
+    * exactly 0.0f encodes as bit 0 here (PqEncode keeps the lowest
+    * centroid on a distance tie) where the sign rule says bit 1 — the
+    * fixtures' floats are never exactly zero, and the oracle gate would
+    * catch it if one were.
+    */
+  def gridModel(dim: Int, m: Int, half: Float = 0.5f): Model = {
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    require(dsub >= 1 && dsub <= 8, s"dsub $dsub outside [1,8]")
+    val ks = 1 << dsub
+    val codebook = new Array[Float](m * ks * dsub)
+    for (j <- 0 until m; c <- 0 until ks; t <- 0 until dsub)
+      codebook((j * ks + c) * dsub + t) = if (((c >> t) & 1) == 1) half else -half
+    Model(m, ks, dsub, codebook)
+  }
+
   def train(embs: DataFrame, idCol: String, vecCol: String,
             m: Int = 8, ks: Int = 16, sampleMax: Int = 65536,
             iters: Int = 10): Model = {

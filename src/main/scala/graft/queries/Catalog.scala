@@ -2385,6 +2385,66 @@ object Catalog {
         .orderBy("qid", "rk"),
       None), // KMeans quantizer — not DuckDB-expressible
 
+    Entry("sim_ivf_md5",
+      // the IVF family's ORACLE GATE — the r9 verdict's largest
+      // remaining unoracled cluster, closed with the discipline that
+      // oracled the vector gate and embedding cosine: a DETERMINISTIC
+      // sign-cell coarse quantizer (IvfIndex.buildCells — centroids are
+      // the 2^6 ±1 sign vectors, a vector's list is the sign pattern of
+      // its first 6 dims, which IS the nearest centroid under the
+      // KMeans criterion) makes the ENTIRE persisted lifecycle
+      // replayable in DuckDB: build on the % 10 != 0 seed → write the
+      // list-partitioned layout → applyDelta (upsert the % 10 == 0
+      // slice, DELETE the % 10 == 5 slice — remove-then-add algebra,
+      // exercised with both legs) → load → pruned probe (nprobe=8 of 64
+      // lists as a static partition filter) → exact top-5 rerank. The
+      // oracle recomputes the post-delta index contents, the probe
+      // ranking, and the rerank from the raw parquet. Production keeps
+      // the trained quantizer (sim_ivf/sim_ivf_persisted/sim_ivf_delta,
+      // recall-pinned in IvfIndexSpec); this gate proves the machinery
+      // those share — assignment join, delta rewrite, partition-pruned
+      // probe, rerank window — against a second engine.
+      (s, d) => {
+        val e = embs(s, d)
+        val dir = scratchDir("sim_ivf_md5", d)
+        val idx = IvfIndex.buildCells(s, e.filter(col("vec_id") % 10 =!= 0),
+          "vec_id", "embedding", bits = 6)
+        IvfIndex.write(idx, dir)
+        IvfIndex.applyDelta(s, dir,
+          upserts = e.filter(col("vec_id") % 10 === 0),
+          deletes = e.filter(col("vec_id") % 10 === 5).select("vec_id"),
+          "vec_id", "embedding")
+        val loaded = IvfIndex.load(s, dir)
+        IvfIndex.topK(s, loaded, e.filter(col("vec_id") < 10),
+            "vec_id", "embedding", k = 5, nprobe = 8, pruneScan = true)
+          .withColumn("rk", col("rk").cast("long"))
+          .orderBy("qid", "rk")
+      },
+      Some(Oracles.simIvfMd5Oracle(bits = 6, nprobe = 8))),
+
+    Entry("sim_pq_rerank_md5",
+      // the PQ path's ORACLE GATE: deterministic sign-grid codebooks
+      // (Pq.gridModel — subspace centroids enumerate ±0.5 sign combos,
+      // so encode reduces to per-dim sign matching and the ADC luts are
+      // exact doubles cast through REAL identically in both engines)
+      // make the two-stage search — codegen'd PqEncode over the corpus,
+      // lut-table ADC scan, 64-candidate shortlist, exact cosine rerank
+      // of only the shortlisted ids — DuckDB-replayable end to end.
+      // Production keeps the trained codebooks (sim_pq_rerank /
+      // sim_recall_pq, recall-pinned in PqSpec); this gate proves the
+      // shared machinery: the encode kernel, the lut-score scan, the
+      // bounded-heap shortlist, the semi-join rerank.
+      (s, d) => {
+        val e = embs(s, d)
+        val dim = e.select(size(col("embedding"))).head().getInt(0)
+        val model = Pq.gridModel(dim, m = dim / 4)
+        val codes = Pq.encode(e, "vec_id", "embedding", model)
+        Pq.rerankTopK(codes, e, e.filter(col("vec_id") < 10),
+            "vec_id", "embedding", model, k = 5, shortlist = 64)
+          .orderBy("qid", "vid")
+      },
+      Some(Oracles.simPqRerankMd5Oracle(dsub = 4, shortlist = 64))),
+
     // ----- §7.5 text analysis
     Entry("text_lm_score",
       // CCNet-style LM quality filter (TextLm): smoothed bigram LM

@@ -840,6 +840,88 @@ object Oracles {
        |  AND greatest(dot.id_a % 3, dot.id_b % 3) > 0
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Oracle for `sim_ivf_md5`: the WHOLE IVF lifecycle replayed — the
+    * deterministic sign-cell quantizer ([[graft.ext.IvfIndex.buildCells]])
+    * means assignment, the post-delta index contents, the nprobe probe
+    * ranking, and the pruned exact rerank are all SQL.
+    *
+    *  - final index contents: seed (vec_id % 10 != 0) minus the deletes
+    *    (% 10 == 5) plus the upserts (% 10 == 0) = everything but % 10
+    *    == 5 — the applyDelta remove-then-add algebra flattened, valid
+    *    because the sign-cell quantizer assigns an upsert to the same
+    *    list a full rebuild would (argmin ‖v−c‖² over sign centroids =
+    *    the sign cell).
+    *  - probe ranking: cos(q, cell p) = Σ_{i<bits}(±q_i)/(|q|·√bits) —
+    *    same ORDER as the raw signed sum, so the oracle ranks by
+    *    `score` alone (the positive per-query denominator cancels);
+    *    ties break toward the lower list id, matching [[topK]].
+    *  - rerank: candidates in probed cells only, exact cosine, the
+    *    `topkOracle` discipline (round 6, ties by vid).
+    */
+  def simIvfMd5Oracle(bits: Int, nprobe: Int, k: Int = 5): String =
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 5),
+       |ce AS (SELECT vec_id, unnest(embedding) AS x,
+       |       unnest(generate_series(0, len(embedding) - 1)) AS i FROM corpus),
+       |cn AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ce GROUP BY 1),
+       |cell AS (SELECT vec_id,
+       |         sum(CASE WHEN i < $bits AND x >= 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS list
+       |         FROM ce GROUP BY 1),
+       |qe AS (SELECT vec_id AS qid, unnest(embedding) AS x,
+       |       unnest(generate_series(0, len(embedding) - 1)) AS i
+       |       FROM embeddings WHERE vec_id < 10),
+       |qn AS (SELECT qid, sqrt(sum(x * x)) AS nrm FROM qe GROUP BY 1),
+       |ls AS (SELECT unnest(generate_series(0, ${(1 << bits) - 1})) AS l),
+       |ps AS (SELECT qe.qid, ls.l,
+       |       sum(CASE WHEN ((ls.l >> qe.i) & 1) = 1 THEN qe.x ELSE -qe.x END) AS score
+       |       FROM qe CROSS JOIN ls WHERE qe.i < $bits GROUP BY 1, 2),
+       |probe AS (SELECT qid, l FROM (
+       |          SELECT qid, l, row_number() OVER (PARTITION BY qid ORDER BY score DESC, l) AS pr
+       |          FROM ps) WHERE pr <= $nprobe),
+       |dot AS (SELECT q.qid, ce.vec_id AS vid, sum(q.x * ce.x) AS dp
+       |        FROM qe q
+       |        JOIN ce ON ce.i = q.i AND ce.vec_id <> q.qid
+       |        JOIN cell ON cell.vec_id = ce.vec_id
+       |        JOIN probe ON probe.qid = q.qid AND probe.l = cell.list
+       |        GROUP BY 1, 2),
+       |c AS (SELECT dot.qid, dot.vid, dp / (qn.nrm * cn.nrm) AS cos
+       |      FROM dot JOIN qn ON qn.qid = dot.qid JOIN cn ON cn.vec_id = dot.vid),
+       |r AS (SELECT qid, vid, round(cos, 6) AS cosim,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk FROM c)
+       |SELECT qid, vid, cosim, rk FROM r WHERE rk <= $k ORDER BY qid, rk""".stripMargin
+
+  /** Oracle for `sim_pq_rerank_md5`: the two-stage PQ search replayed —
+    * [[graft.ext.Pq.gridModel]]'s sign-grid codebooks make the codes
+    * (`x >= 0 → bit 1` per dim) and the ADC luts (±half·Σ±q, exact in
+    * double, cast through REAL exactly like the driver-side lut build)
+    * both computable in SQL; the shortlist ranks by summed lut terms
+    * (ties toward the lower vid, matching TopK.perGroup), and the exact
+    * rerank over shortlisted ids is the `topkOracle` discipline.
+    */
+  def simPqRerankMd5Oracle(dsub: Int, shortlist: Int, k: Int = 5,
+                           half: Double = 0.5): String =
+    s"""WITH e AS (SELECT vec_id, unnest(embedding) AS x,
+       |       unnest(generate_series(0, len(embedding) - 1)) AS i FROM embeddings),
+       |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
+       |q AS (SELECT vec_id AS qid, x, i FROM e WHERE vec_id < 10),
+       |sub AS (SELECT q.qid, e.vec_id AS vid, CAST(e.i // $dsub AS INT) AS j,
+       |        CAST(CAST($half AS DOUBLE) *
+       |             sum(CASE WHEN e.x >= 0 THEN q.x ELSE -q.x END) AS REAL) AS s
+       |        FROM q JOIN e ON e.i = q.i AND e.vec_id <> q.qid
+       |        GROUP BY 1, 2, 3),
+       |adc AS (SELECT qid, vid, sum(CAST(s AS DOUBLE)) AS score FROM sub GROUP BY 1, 2),
+       |short AS (SELECT qid, vid FROM (
+       |          SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid) AS sr
+       |          FROM adc) WHERE sr <= $shortlist),
+       |dot AS (SELECT q.qid, e.vec_id AS vid, sum(q.x * e.x) AS dp
+       |        FROM q JOIN e ON e.i = q.i
+       |        JOIN short ON short.qid = q.qid AND short.vid = e.vec_id
+       |        GROUP BY 1, 2),
+       |c AS (SELECT dot.qid, dot.vid, dp / (nq.nrm * nv.nrm) AS cos
+       |      FROM dot JOIN n nq ON nq.vec_id = dot.qid JOIN n nv ON nv.vec_id = dot.vid),
+       |r AS (SELECT qid, vid, round(cos, 6) AS cosim,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk FROM c)
+       |SELECT qid, vid, cosim FROM r WHERE rk <= $k ORDER BY qid, vid""".stripMargin
+
   val semanticMd5Oracle: String = {
     s"""WITH RECURSIVE
        |$semPlantedCtes,

@@ -29,6 +29,41 @@ class IvfIndexSpec extends AnyFunSuite {
     part.collect().foreach(r => assert(r.getDouble(2) <= bruteBest(r.getLong(0)) + 1e-9))
   }
 
+  test("buildCells: assignment is the sign pattern; delta assignment lands in the sign cell") {
+    // the sim_ivf_md5 oracle's load-bearing claims, pinned Spark-side:
+    // (1) buildCells assigns every vector to the sign pattern of its
+    // first `bits` dims; (2) applyDelta's nearest-EXISTING-centroid
+    // assignment of an upsert lands in the SAME sign cell (argmin
+    // ||v-c||^2 over the ±1 sign centroids = sign matching), so the
+    // oracle may flatten the delta algebra to a plain set difference
+    val e = Tables.load(spark, TestSpark.Sf, "embeddings")
+    val bits = 6
+    val idx = IvfIndex.buildCells(spark, e, "vec_id", "embedding", bits)
+    assert(idx.centroids.length == (1 << bits))
+    val signList = (0 until bits).map(i =>
+      when(element_at(col("embedding"), i + 1) >= 0, lit(1 << i)).otherwise(lit(0)))
+      .reduce(_ + _)
+    val mismatched = idx.assigned.as("a")
+      .join(e.select(col("vec_id").as("vid"), signList.as("want")), Seq("vid"))
+      .filter(col("list") =!= col("want")).count()
+    assert(mismatched == 0)
+
+    // delta leg: seed excludes % 7 == 3, applyDelta upserts it back —
+    // every upsert must land in its sign cell, and the final contents
+    // must equal a from-scratch buildCells over the full corpus
+    val dir = java.nio.file.Files.createTempDirectory("ivf_cells").toString
+    val seed = e.filter(col("vec_id") % 7 =!= 3)
+    val delta = e.filter(col("vec_id") % 7 === 3)
+    IvfIndex.write(IvfIndex.buildCells(spark, seed, "vec_id", "embedding", bits), dir)
+    IvfIndex.applyDelta(spark, dir, upserts = delta,
+      deletes = delta.limit(0), "vec_id", "embedding")
+    val got = IvfIndex.load(spark, dir).assigned
+      .select("vid", "list").collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    val want = idx.assigned.select("vid", "list")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("persisted index: probe parity with in-memory, scan reads only probed partitions") {
     import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

@@ -22,6 +22,26 @@ class PqSpec extends AnyFunSuite {
     codes.unpersist()
   }
 
+  test("gridModel: encode through the kernel equals the per-dim sign rule") {
+    // the sim_pq_rerank_md5 oracle's load-bearing claim, pinned
+    // Spark-side: with sign-grid codebooks (±0.5 per dim), PqEncode's
+    // per-subspace argmin reduces to matching each dim's sign — code
+    // byte j = Σ_t (dim (j*dsub+t) >= 0 ? 1<<t : 0)
+    val grid = Pq.gridModel(dim = 64, m = 16)
+    val got = Pq.encode(embs.filter(col("vec_id") < 500), "vec_id", "embedding", grid)
+      .collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("code")).toMap
+    val raw = embs.filter(col("vec_id") < 500)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    assert(raw.nonEmpty)
+    raw.foreach { case (vid, v) =>
+      val want = Array.tabulate(16) { j =>
+        (0 until 4).map(t => if (v(j * 4 + t) >= 0) 1 << t else 0).sum.toByte
+      }
+      assert(java.util.Arrays.equals(got(vid), want), s"vec $vid code mismatch")
+    }
+  }
+
   test("ADC score approximates the true dot product within quantization error") {
     val q = embs.filter(col("vec_id") < 3)
     val codes = Pq.encode(embs, "vec_id", "embedding", model)
