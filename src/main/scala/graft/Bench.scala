@@ -157,6 +157,18 @@ object Bench {
       System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}")
     }
     println(line)
+    // the driver's round record keeps only the last ~2 KB of stdout
+    // (BENCH_r09.json captured exactly 2000 chars of tail), so the full
+    // line above — ~10 KB at 130 queries — is head-truncated in its
+    // capture and lands as `"parsed": null` (r9 verdict #3/#6). Emit a
+    // COMPACT summary as the FINAL stdout line: same {"metric":...}
+    // shape, small enough to survive the tail buffer whole, carrying
+    // the headline number, failure list, and the ten slowest medians;
+    // the complete per-query record stays in bench_full.json above.
+    val top10 = results.sortBy(-_._3).take(10)
+      .map { case (k, _, med, _) => "\"" + k + "\":" + ms(med) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec",$partial"sf":"$sfDir","wall_sec":${ms(wallSec)},"docs_scale":$docsScale,"n_queries":${results.size},"failures":$fails,"top10_medians":$top10,"full_record":"bench_full.json"}""")
     spark.stop()
   }
 }

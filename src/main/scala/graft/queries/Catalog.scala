@@ -1650,6 +1650,13 @@ object Catalog {
       // detected it. md5 mode so DuckDB replays the whole machine as one
       // winnowed-gram self-join with version = greatest(wave) — the pair
       // is detected by whichever batch first sees both sides.
+      // SCALE CAVEAT: md5 mode is ORACLE GEAR, not the scale path — its
+      // 32-byte hex gram keys are super-linear CPU at 4× data (taskCpu
+      // 8.07×, GC flat: string-keyed hash tables go DRAM-random where
+      // production's 8-byte longs stay cache-resident; PERFORMANCE.md
+      // r9 gate section). The production path is declared separately as
+      // `dedup_substring_gate_xx` below so its wall is benched per
+      // round, and its 4× scaling is probe-gated (ScaleProbe family).
       (s, d) => {
         val all = docs(s, d)
         val st = scratchDir("dedup_substring_gate", d)
@@ -1666,6 +1673,38 @@ object Catalog {
           .orderBy("id_a", "id_b")
       },
       Some(Oracles.substringGateOracle(l = 40, w = 8, minShared = 2))),
+
+    Entry("dedup_substring_gate_xx",
+      // the substring gate in PRODUCTION mode — xxhash64 winnow kernel
+      // carrying 8-byte long fingerprints where the md5 oracle gear
+      // above carries 32-byte hex strings. Declared rows-only so the
+      // production gate's WALL is pinned in every round's bench record
+      // (r9 verdict weak #1: only the md5 twin was benched, and its
+      // scale posture is root-caused super-linear CPU — string-keyed
+      // gram hash tables go DRAM-random at 4× key cardinality,
+      // PERFORMANCE.md "md5 oracle gear is not the scale path" — so its
+      // wall said nothing about the deployed path). Correctness stays
+      // with the md5 twin's DuckDB replay; the state machinery (pb-
+      // pruned probes, probe-time hub caps, versioned Overwrite layout)
+      // is mode-independent, and this mode's 4× scaling is gated by the
+      // dedup_substring_gate_xx ScaleProbe family (2.85/5.0 in r9).
+      (s, d) => {
+        val all = docs(s, d)
+        val st = scratchDir("dedup_substring_gate_xx", d)
+        val p = graft.stream.StreamSubstringGate.Params(md5Mode = false)
+        graft.stream.StreamSubstringGate.seedCorpus(
+          all.filter(col("doc_id") % 3 === 0), st, p)
+        graft.stream.StreamSubstringGate.processBatch(
+          all.filter(col("doc_id") % 3 === 1), st, 1L, p)
+        graft.stream.StreamSubstringGate.processBatch(
+          all.filter(col("doc_id") % 3 === 2), st, 2L, p)
+        graft.stream.StreamSubstringGate.pairs(s, st)
+          .select(col("id_a"), col("id_b"), col("n_shared"),
+            col("ingest_version").cast("long").as("ingest_version"))
+          .orderBy("id_a", "id_b")
+      },
+      None), // xxhash64 fingerprints — not expressible in DuckDB; the
+             // md5-mode twin above is the correctness gate
 
     Entry("dedup_simhash",
       (s, d) => Dedup.simhashTable(docs(s, d), "doc_id", "text")

@@ -98,27 +98,11 @@ object ScaleProbe {
             .otherwise(col("text")))
       graft.ext.SubstringDedup.winnowedGramPairs(planted, "doc_id", "text",
         L = 40, w = 8, minShared = 2)
-    },
-    // the PRODUCTION-mode substring gate: the declared
-    // `dedup_substring_gate` runs md5Mode (DuckDB-replayable digests —
-    // oracle gear, same situation as dedup_semantic_md5, see the
-    // not-probed note below), while the 100 TB deployment runs the
-    // xxhash winnow kernel. The state machinery under probe — pb-pruned
-    // index reads, probe-time hub caps, versioned Overwrite layout — is
-    // IDENTICAL between modes; only the fingerprint kernel differs.
-    "dedup_substring_gate_xx" -> { (s, d) =>
-      import org.apache.spark.sql.functions._
-      val all = graft.core.Tables.load(s, d, "documents")
-      val st = java.nio.file.Files.createTempDirectory("graft_ssgprobe").toString
-      val p = graft.stream.StreamSubstringGate.Params(md5Mode = false)
-      graft.stream.StreamSubstringGate.seedCorpus(
-        all.filter(col("doc_id") % 3 === 0), st, p)
-      graft.stream.StreamSubstringGate.processBatch(
-        all.filter(col("doc_id") % 3 === 1), st, 1L, p)
-      graft.stream.StreamSubstringGate.processBatch(
-        all.filter(col("doc_id") % 3 === 2), st, 2L, p)
-      graft.stream.StreamSubstringGate.pairs(s, st)
     })
+    // (dedup_substring_gate_xx graduated from ExtraProbes to a DECLARED
+    // query in r10 — the probe now measures the Catalog entry itself.
+    // The md5-mode dedup_substring_gate stays unprobed by design: see
+    // the not-probed note below.)
 
   /** Wall-ratio ceiling at 4× data. A breach fails the run. */
   private val Thresholds: Map[String, Double] = Map(

@@ -32,6 +32,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_recall_ivf",         // same quantizer, recall twin
     "sim_recall_pq",          // PQ codebook (16x256 rows)
     "sim_pq_rerank",          // PQ codebook + ADC table
+    "sim_pq_rerank_md5",      // same shape, sign-grid codebooks (oracle twin)
     "graph_pagerank",         // 1-row dangling-mass total per iteration
     "text_bpe_train",         // 1-row argmax merge per round
     "agg_distinct_hll",       // scalar lgK literal frame from Datasketches agg
@@ -51,7 +52,8 @@ class PlanAuditSpec extends AnyFunSuite {
     "dedup_ingest_gate", "dedup_vec_ingest_gate", "dedup_vec_ingest_gate_md5",
     "dedup_substring_gate", "stream_lm_gate",
     "cdc_bucketed_apply", "changelog_latest_compacted",
-    "sim_ivf_persisted", "sim_ivf_delta",
+    "sim_ivf_persisted", "sim_ivf_delta", "sim_ivf_md5",
+    "dedup_substring_gate_xx",
     "text_idf_incremental", "group_tribe_stats_incremental",
     "diff_apply_scaled",
     "stream_tumbling_counts", "stream_sliding_counts", "stream_join_attrib",
