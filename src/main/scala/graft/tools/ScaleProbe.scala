@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * vectors), same warm JVM. Linear paths should show ~4× wall; anything
   * past its family threshold is a scale bug the 500k corpus hid.
   *
-  * Output is a TRACKED artifact (default `/root/repo/SCALE_r9.json`):
+  * Output is a TRACKED artifact (default `/root/repo/SCALE_r10.json`):
   * per-query base/4× WALL seconds and PHYSICAL-WORK seconds (task CPU +
   * GC), both ratios, the threshold, and pass/fail — a family passes if
   * its wall ratio is under threshold, or if its work ratio is under
@@ -68,6 +68,7 @@ object ScaleProbe {
     "mm_image_dedup_check",
     "dedup_substring_winnowed", "dedup_substring_winnowed_hub",
     "dedup_substring_gate_xx", "text_bpe_apply",
+    "corpus_ingest_e2e_xx", "text_dup_span_stats", "changelog_compact_scaled",
     "dedup_minhash_lsh", "dedup_clusters", "dedup_embedding_cosine",
     "text_quality", "text_contamination", "pack_sequences", "sim_ivf",
     "sim_decontaminate",
@@ -98,6 +99,48 @@ object ScaleProbe {
             .otherwise(col("text")))
       graft.ext.SubstringDedup.winnowedGramPairs(planted, "doc_id", "text",
         L = 40, w = 8, minShared = 2)
+    },
+    // the composed 3-wave ingest chain in PRODUCTION (xxhash) mode — the
+    // declared corpus_ingest_e2e runs md5Mode for its DuckDB replay (the
+    // same oracle-gear split as the substring gate). The #2 bench query
+    // and the shape most likely to hide a cross-wave super-linear term
+    // (per-wave localCheckpoint lineage cuts, admitted-gram reuse,
+    // accumulating admitted state probed by each wave): per-wave cost
+    // must track wave size × admitted-match volume, never admitted².
+    "corpus_ingest_e2e_xx" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val base = graft.core.Tables.load(s, d, "documents")
+      // verbatim clones planted one wave over, exactly like the declared
+      // entry (the raw fixture has no exact duplicates; scaled replica id
+      // bands are 10M apart, so +100000 never collides with a real id)
+      val planted = base.unionByName(base.filter(col("doc_id") % 17 === 3)
+        .withColumn("doc_id", col("doc_id") + 100000L))
+      graft.ext.IngestPipeline.waveFates(planted, "doc_id", "text",
+        nWaves = 3, maxAvgNllFrac = 1.0, L = 40, w = 8, minShared = 2,
+        md5Mode = false)
+    },
+    // changelog compaction + latest-per-key at CORPUS scale: the declared
+    // changelog_latest_compacted runs over the fixed-size lineitem CDC
+    // fixture, which the scaled dirs symlink unchanged — its 4× ratio is
+    // identically ~1 and gates nothing (the cdc_bucketed_apply situation).
+    // This probe synthesizes a docs-proportional 3-version changelog
+    // (every version logs every key), runs the real crash-safe
+    // compactChangelog rewrite, and reads latest-per-key through
+    // readChangelog — compaction cost must track total logged rows.
+    "changelog_compact_scaled" -> { (s, d) =>
+      import org.apache.spark.sql.functions._
+      val docs = graft.core.Tables.load(s, d, "documents")
+        .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      val root = java.nio.file.Files.createTempDirectory("graft_clcprobe").toString
+      (1 to 3).foreach { v =>
+        docs.withColumn("len", col("len") + v)
+          .write.mode("overwrite").parquet(s"$root/changelog/v=$v")
+      }
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$root/VERSION"), "3")
+      graft.core.Pipeline.compactChangelog(s, root, Seq("doc_id"))
+      graft.core.Changelog.latest(
+        graft.core.Pipeline.readChangelog(s, root), Seq("doc_id"), "v")
     })
     // (dedup_substring_gate_xx graduated from ExtraProbes to a DECLARED
     // query in r10 — the probe now measures the Catalog entry itself.
@@ -138,6 +181,18 @@ object ScaleProbe {
     "text_bpe_apply" -> 5.0,         // merge cascade is map-side string
                                      // rewriting, zero shuffle — linear in
                                      // corpus bytes by construction
+    "corpus_ingest_e2e_xx" -> 5.5,   // composed 3-wave gate chain: LM score
+                                     // + exact sig + winnowed substring vs
+                                     // accumulating admitted state; linear
+                                     // per wave by design — super-linear
+                                     // here means a cross-wave term
+                                     // (admitted² join or lineage regrowth)
+    "text_dup_span_stats" -> 5.0,    // count-window span stats: winnow
+                                     // kernel + two window passes, linear
+                                     // in corpus bytes
+    "changelog_compact_scaled" -> 5.0, // compaction rewrite + latest window
+                                     // over a 3-version docs-keyed log:
+                                     // linear in logged rows
     "dedup_substring_gate_xx" -> 5.0) // the streaming gate's whole state
                                      // machine in PRODUCTION (xxhash)
                                      // mode: seed (⅓ of the corpus —
@@ -188,7 +243,7 @@ object ScaleProbe {
       "/root/testdata/sf0.1").split(",").toSeq
     val probes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").toSeq).getOrElse(DefaultProbes) ++ args
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALE_r9.json")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALE_r10.json")
     if (sys.env.contains("SPARK_GRAFT_SCALE_CHILD")) runFamilies(probes, dirs, outPath)
     else runParent(probes.distinct, dirs, outPath)
   }
