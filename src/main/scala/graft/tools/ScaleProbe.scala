@@ -129,8 +129,14 @@ object ScaleProbe {
     // readChangelog — compaction cost must track total logged rows.
     "changelog_compact_scaled" -> { (s, d) =>
       import org.apache.spark.sql.functions._
+      // a 256-byte text payload per logged row: with a bare (key, long)
+      // schema the per-row work was microseconds and constant JVM/job
+      // overhead dominated both legs (the first cut measured ratio 0.6 —
+      // size-blind); real changelogs carry row data, and the payload
+      // makes compaction I/O and the latest-window shuffle the cost
       val docs = graft.core.Tables.load(s, d, "documents")
-        .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+        .select(col("doc_id"), length(col("text")).cast("long").as("len"),
+          substring(col("text"), 1, 256).as("payload"))
       val root = java.nio.file.Files.createTempDirectory("graft_clcprobe").toString
       (1 to 3).foreach { v =>
         docs.withColumn("len", col("len") + v)
@@ -233,10 +239,19 @@ object ScaleProbe {
   private val DefaultThreshold = 6.0
 
   /** Untimed per-probe preparation: materialize input corpora that are
-    * fixture synthesis, not the operator under test.
+    * fixture synthesis, not the operator under test. The changelog
+    * family additionally runs its whole body once untimed: its jobs are
+    * seconds-scale, so on a fresh child JVM the FIRST leg's cost is
+    * dominated by JIT/classloading (~60-90 s of one-time work — measured
+    * by swapping leg order: base-first read 30.5 s base / 18.1 s 4×,
+    * 4×-first read 9.4 s 4× / 2.6 s base), which inverts the ratio; a
+    * warm pass makes both legs steady-state measurements.
     */
-  private def prepare(name: String, spark: SparkSession, dir: String): Unit =
+  private def prepare(name: String, spark: SparkSession, dir: String): Unit = {
     if (name.startsWith("mm_image")) graft.queries.Catalog.warmImageMedia(spark, dir)
+    if (name == "changelog_compact_scaled")
+      ExtraProbes(name)(spark, dir).write.format("noop").mode("overwrite").save()
+  }
 
   def main(args: Array[String]): Unit = {
     val dirs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIRS",
@@ -416,6 +431,18 @@ object ScaleProbe {
         // MmDiag measured the same path at 3.5× standalone, GC 2% of
         // task time)
         spark.catalog.clearCache()
+        // mirror Bench's family-scoped partition posture: scaled
+        // docs/embeddings families start shuffles at 128 partitions so
+        // the 4× leg's gram/pair volumes fit execution memory (AQE
+        // coalesces the small ones back). With the global 32 the
+        // span-stats window sorted ~60M rows per partition on the 4×
+        // leg and its spill merge passes read as a 5.4× work ratio —
+        // an artifact of a fixed posture the 100 TB deployment would
+        // never run (partition count sized by the data, exactly as
+        // Bench does for the same queries).
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          if (graft.queries.ScaledFixtures.appliesTo(name) ||
+            name == "changelog_compact_scaled") "128" else "32")
         try prepare(name, spark, scaled)
         catch { case e: Throwable =>
           System.err.println(s"[scale] prepare($name) failed: ${e.getMessage}")
