@@ -375,6 +375,30 @@ object Catalog {
         "vec_id", "embedding", k = 5, nprobe = math.min(16, idx.centroids.length))
     }
 
+  /** Memoized sign-cell IVF lifecycle (see the `sim_ivf_md5` entry for
+    * the full design note): build on the % 10 != 0 seed → write →
+    * applyDelta (% 10 == 0 upserts, % 10 == 5 deletes) → load → pruned
+    * top-5. Shared by `sim_ivf_md5` and `sim_recall_ivf_md5` so the
+    * persisted-state machinery runs once per (session, dir).
+    */
+  private val simIvfMd5Cache = new QueryCache("embeddings.parquet")
+
+  private def simIvfMd5Top5(s: SparkSession, d: String): DataFrame =
+    simIvfMd5Cache.get(s, d) { (ss, dd) =>
+      val e = embs(ss, dd)
+      val dir = scratchDir("sim_ivf_md5", dd)
+      val idx = IvfIndex.buildCells(ss, e.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", bits = 6)
+      IvfIndex.write(idx, dir)
+      IvfIndex.applyDelta(ss, dir,
+        upserts = e.filter(col("vec_id") % 10 === 0),
+        deletes = e.filter(col("vec_id") % 10 === 5).select("vec_id"),
+        "vec_id", "embedding")
+      val loaded = IvfIndex.load(ss, dir)
+      IvfIndex.topK(ss, loaded, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nprobe = 8, pruneScan = true)
+    }
+
   /** One-file parquet write (streaming file sources deliver whole files;
     * one file == one deterministic micro-batch).
     */
@@ -2443,23 +2467,24 @@ object Catalog {
       // recall-pinned in IvfIndexSpec); this gate proves the machinery
       // those share — assignment join, delta rewrite, partition-pruned
       // probe, rerank window — against a second engine.
-      (s, d) => {
-        val e = embs(s, d)
-        val dir = scratchDir("sim_ivf_md5", d)
-        val idx = IvfIndex.buildCells(s, e.filter(col("vec_id") % 10 =!= 0),
-          "vec_id", "embedding", bits = 6)
-        IvfIndex.write(idx, dir)
-        IvfIndex.applyDelta(s, dir,
-          upserts = e.filter(col("vec_id") % 10 === 0),
-          deletes = e.filter(col("vec_id") % 10 === 5).select("vec_id"),
-          "vec_id", "embedding")
-        val loaded = IvfIndex.load(s, dir)
-        IvfIndex.topK(s, loaded, e.filter(col("vec_id") < 10),
-            "vec_id", "embedding", k = 5, nprobe = 8, pruneScan = true)
-          .withColumn("rk", col("rk").cast("long"))
-          .orderBy("qid", "rk")
-      },
+      (s, d) => simIvfMd5Top5(s, d)
+        .withColumn("rk", col("rk").cast("long"))
+        .orderBy("qid", "rk"),
       Some(Oracles.simIvfMd5Oracle(bits = 6, nprobe = 8))),
+
+    Entry("sim_recall_ivf_md5",
+      // recall@5 of the sign-cell IVF path vs the exact brute-force
+      // truth, ORACLED — the only recall query both of whose sides are
+      // DuckDB-replayable, so the recall COMPOSITION itself
+      // (Similarity.recallAtK's distinct/join/divide algebra) gets a
+      // cross-engine gate; the rows-only sim_recall_{lsh,ivf,pq}
+      // recalls reuse exactly that code against non-replayable approx
+      // sides. Note the truth side searches the FULL corpus while the
+      // index excludes the deleted % 10 == 5 slice, so recall here also
+      // prices deletions — deterministically in both engines.
+      (s, d) => Similarity.recallAtK(simBrute5(s, d), simIvfMd5Top5(s, d), 5)
+        .orderBy("qid"),
+      Some(Oracles.simRecallIvfMd5Oracle(bits = 6, nprobe = 8))),
 
     Entry("sim_pq_rerank_md5",
       // the PQ path's ORACLE GATE: deterministic sign-grid codebooks

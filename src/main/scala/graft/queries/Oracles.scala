@@ -889,6 +889,61 @@ object Oracles {
        |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk FROM c)
        |SELECT qid, vid, cosim, rk FROM r WHERE rk <= $k ORDER BY qid, rk""".stripMargin
 
+  /** Oracle for `sim_recall_ivf_md5`: both sides of the recall metric
+    * replayed — the sign-cell IVF top-k (the [[simIvfMd5Oracle]] CTEs)
+    * and the exact brute-force truth over the FULL corpus (the
+    * `topkOracle` discipline) — then [[graft.ext.Similarity.recallAtK]]'s
+    * algebra: per query, |approx ∩ exact| / |exact|, rounded at 6.
+    */
+  def simRecallIvfMd5Oracle(bits: Int, nprobe: Int, k: Int = 5): String =
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 5),
+       |ce AS (SELECT vec_id, unnest(embedding) AS x,
+       |       unnest(generate_series(0, len(embedding) - 1)) AS i FROM corpus),
+       |cn AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ce GROUP BY 1),
+       |cell AS (SELECT vec_id,
+       |         sum(CASE WHEN i < $bits AND x >= 0 THEN CAST(1 AS BIGINT) << i ELSE 0 END) AS list
+       |         FROM ce GROUP BY 1),
+       |qe AS (SELECT vec_id AS qid, unnest(embedding) AS x,
+       |       unnest(generate_series(0, len(embedding) - 1)) AS i
+       |       FROM embeddings WHERE vec_id < 10),
+       |qn AS (SELECT qid, sqrt(sum(x * x)) AS nrm FROM qe GROUP BY 1),
+       |ls AS (SELECT unnest(generate_series(0, ${(1 << bits) - 1})) AS l),
+       |ps AS (SELECT qe.qid, ls.l,
+       |       sum(CASE WHEN ((ls.l >> qe.i) & 1) = 1 THEN qe.x ELSE -qe.x END) AS score
+       |       FROM qe CROSS JOIN ls WHERE qe.i < $bits GROUP BY 1, 2),
+       |probe AS (SELECT qid, l FROM (
+       |          SELECT qid, l, row_number() OVER (PARTITION BY qid ORDER BY score DESC, l) AS pr
+       |          FROM ps) WHERE pr <= $nprobe),
+       |ivd AS (SELECT q.qid, ce.vec_id AS vid, sum(q.x * ce.x) AS dp
+       |        FROM qe q
+       |        JOIN ce ON ce.i = q.i AND ce.vec_id <> q.qid
+       |        JOIN cell ON cell.vec_id = ce.vec_id
+       |        JOIN probe ON probe.qid = q.qid AND probe.l = cell.list
+       |        GROUP BY 1, 2),
+       |iv AS (SELECT qid, vid FROM (
+       |       SELECT ivd.qid, ivd.vid,
+       |       row_number() OVER (PARTITION BY ivd.qid
+       |         ORDER BY dp / (qn.nrm * cn.nrm) DESC, ivd.vid) AS rk
+       |       FROM ivd JOIN qn ON qn.qid = ivd.qid JOIN cn ON cn.vec_id = ivd.vid)
+       |       WHERE rk <= $k),
+       |be AS (SELECT vec_id, unnest(embedding) AS x,
+       |       unnest(generate_series(0, len(embedding) - 1)) AS i FROM embeddings),
+       |bn AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM be GROUP BY 1),
+       |bd AS (SELECT q.qid, be.vec_id AS vid, sum(q.x * be.x) AS dp
+       |       FROM qe q JOIN be ON be.i = q.i AND be.vec_id <> q.qid
+       |       GROUP BY 1, 2),
+       |bt AS (SELECT qid, vid FROM (
+       |       SELECT bd.qid, bd.vid,
+       |       row_number() OVER (PARTITION BY bd.qid
+       |         ORDER BY dp / (qn.nrm * bn.nrm) DESC, bd.vid) AS rk
+       |       FROM bd JOIN qn ON qn.qid = bd.qid JOIN bn ON bn.vec_id = bd.vid)
+       |       WHERE rk <= $k)
+       |SELECT bt.qid,
+       |  round(CAST(sum(CASE WHEN iv.vid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS recall_at_$k
+       |FROM bt LEFT JOIN iv ON iv.qid = bt.qid AND iv.vid = bt.vid
+       |GROUP BY 1 ORDER BY bt.qid""".stripMargin
+
   /** Oracle for `sim_pq_rerank_md5`: the two-stage PQ search replayed —
     * [[graft.ext.Pq.gridModel]]'s sign-grid codebooks make the codes
     * (`x >= 0 → bit 1` per dim) and the ADC luts (±half·Σ±q, exact in

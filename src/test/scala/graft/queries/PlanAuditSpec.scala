@@ -52,7 +52,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "dedup_ingest_gate", "dedup_vec_ingest_gate", "dedup_vec_ingest_gate_md5",
     "dedup_substring_gate", "stream_lm_gate",
     "cdc_bucketed_apply", "changelog_latest_compacted",
-    "sim_ivf_persisted", "sim_ivf_delta", "sim_ivf_md5",
+    "sim_ivf_persisted", "sim_ivf_delta", "sim_ivf_md5", "sim_recall_ivf_md5",
     "dedup_substring_gate_xx",
     "text_idf_incremental", "group_tribe_stats_incremental",
     "diff_apply_scaled",
