@@ -69,6 +69,7 @@ object ScaleProbe {
     "dedup_substring_winnowed", "dedup_substring_winnowed_hub",
     "dedup_substring_gate_xx", "text_bpe_apply",
     "corpus_ingest_e2e_xx", "text_dup_span_stats", "changelog_compact_scaled",
+    "dedup_vec_ingest_gate",
     "dedup_minhash_lsh", "dedup_clusters", "dedup_embedding_cosine",
     "text_quality", "text_contamination", "pack_sequences", "sim_ivf",
     "sim_decontaminate",
@@ -187,6 +188,27 @@ object ScaleProbe {
     "text_bpe_apply" -> 5.0,         // merge cascade is map-side string
                                      // rewriting, zero shuffle — linear in
                                      // corpus bytes by construction
+    "dedup_vec_ingest_gate" -> 5.0,  // the vector gate's PRODUCTION mode
+                                     // (auto-sized xxhash hyperplanes) as a
+                                     // round-over-round family — the declared
+                                     // query, 38 s at bench scale, previously
+                                     // measured only by the one-off
+                                     // VecGateProbe per-batch tool. Measured
+                                     // r10: wall 0.95 / work 1.04 at 4× —
+                                     // the prefix-partitioned state layout's
+                                     // fixed per-prefix costs (3 waves ×
+                                     // listing/footer/task floor) dominate
+                                     // the data term at this corpus, so the
+                                     // ratio is heavily constant-deflated
+                                     // and 5.0 is conservative; the family
+                                     // still gates the catastrophic class
+                                     // (a fixed-planes regression would put
+                                     // ~n²/2^18 ≈ 39G candidate pairs
+                                     // through the 4× leg — far past any
+                                     // constant). The delta-bounded
+                                     // per-batch READ contract is pinned
+                                     // separately (StreamVecDupSpec at unit
+                                     // scale, VecGateProbe at corpus scale).
     "corpus_ingest_e2e_xx" -> 5.5,   // composed 3-wave gate chain: LM score
                                      // + exact sig + winnowed substring vs
                                      // accumulating admitted state; linear

@@ -182,6 +182,32 @@ class IvfIndexSpec extends AnyFunSuite {
     assert(after2.assigned.count() == n0 + 1 - 1 - victimIds.size)
   }
 
+  test("applyDelta crash recovery: replaying the same delta is a no-op") {
+    // the documented crash contract (IvfIndex.applyDelta scaladoc): a
+    // crash anywhere in the sequence is recovered by REPLAYING the same
+    // applyDelta — the remove-then-add algebra is idempotent over one
+    // delta (replayed gone-ids match nothing the second time; the
+    // upserts land identically). Pin it: contents after one apply ==
+    // contents after two.
+    import java.nio.file.Files
+    import spark.implicits._
+    val e = Tables.load(spark, TestSpark.Sf, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val dir = Files.createTempDirectory("ivf_replay").toString
+    IvfIndex.write(IvfIndex.build(spark, e, "vec_id", "embedding", nlist = 8), dir)
+    val v0 = e.filter(col("vec_id") === 0).select(col("embedding")).first()
+      .getSeq[Float](0).toArray
+    val upserts = Seq((0L, v0.map(x => -x)), (900001L, v0)).toDF("vec_id", "embedding")
+    val deletes = Seq(1L, 2L).toDF("vec_id")
+    def contents(): Seq[(Long, Int)] = IvfIndex.load(spark, dir).assigned
+      .select("vid", "list").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq.sorted
+    IvfIndex.applyDelta(spark, dir, upserts, deletes, "vec_id", "embedding")
+    val once = contents()
+    IvfIndex.applyDelta(spark, dir, upserts, deletes, "vec_id", "embedding")
+    assert(contents() == once)
+  }
+
   test("rebuild policy: corpus-doubling deltas trip the trigger, maintain restores recall") {
     import spark.implicits._
     val e = Tables.load(spark, TestSpark.Sf, "embeddings")
