@@ -107,6 +107,21 @@ object SubstringDedup {
     * maps spill, no gram-volume sort, two full benches with zero
     * failures. The window shape remains right for [[dupSpanStats]],
     * whose downstream is a thin per-doc sum, not posting collection.
+    *
+    * An r10 experiment tried a df≥2 BLOOM PREFILTER: pass 1 counts df
+    * per fingerprint (8 B/key state), a broadcast Bloom of the df≥2
+    * set filters a re-scanned gram stream, and only possibly-pairing
+    * grams reach this aggregate (exactness preserved — Bloom has no
+    * false negatives; false positives die at the size≥2 filter).
+    * Measured at sf0.1: `dedup_substring_exact` 211 → 248 s (+17%),
+    * `dedup_substring_winnowed` 49 → 53 s — the count pass's full
+    * gram-volume shuffle plus the second gram scan cost MORE than the
+    * singleton agg state they save (this aggregate's per-key buffer is
+    * lazily sized and singletons stay cheap; the r9 window experiment's
+    * 15% came from eliminating the sort, not the buffers). Reverted;
+    * don't retry a two-pass shape unless the first pass can avoid
+    * shuffling the full gram volume (per-partition pre-filtering
+    * cannot — a df-2 gram may sit one copy per partition).
     */
   private[graft] def postingPairs(grams: DataFrame, minShared: Int,
                            maxDf: Int): DataFrame = {
