@@ -19,6 +19,14 @@ if os.path.exists(f"{outdir}/_PARTIAL_RUN"):
     partial = set(open(f"{outdir}/_PARTIAL_RUN").read().strip().split(","))
     print(f"*** PARTIAL RUN: checking only {sorted(partial)} ***")
 fails = []
+# a requested query whose output dir is MISSING errored inside Verify —
+# report it as a failure instead of silently skipping it (a query that
+# threw used to read as "checked" in partial mode)
+expected = partial if partial is not None else set(oracle)
+for name in sorted(expected):
+    if not os.path.isdir(os.path.join(outdir, name)):
+        fails.append(name)
+        print(f"{name:26s} MISSING OUTPUT (query errored in Verify?)")
 for name in sorted(os.listdir(outdir)):
     d = os.path.join(outdir, name)
     if not os.path.isdir(d):
