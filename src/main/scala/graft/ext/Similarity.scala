@@ -93,6 +93,21 @@ object Similarity {
   def hyperplaneBucket(vec: Column, planes: Int): Column =
     vectors.hyperplane_bucket(vec, planes)
 
+  /** Deterministic AXIS-SIGN plane family for the LSH oracle twin: band
+    * `band`, bit `p` is the sign of dimension `band*planes + p` — the
+    * `Dedup.CellBands` sign-cell discipline's third application (after
+    * the IVF coarse quantizer and the embedding near-dup cells). Same
+    * banded-LSH algebra as the xxhash planes (each axis IS a valid
+    * hyperplane), but replayable in DuckDB (`band = i/planes`,
+    * `bit = i%planes` over the unnested vector). Composed from builtin
+    * comparisons, so it stays inside whole-stage codegen map-side.
+    */
+  def axisBucketBand(vec: Column, planes: Int, band: Int): Column =
+    (0 until planes).map { p =>
+      when(element_at(vec, band * planes + p + 1) >= lit(0f), lit(1 << p))
+        .otherwise(lit(0))
+    }.reduce(_ + _)
+
   /** ANN top-k via BANDED hyperplane LSH: a corpus vector is a candidate
     * when ANY of `bands` independent `planes`-bit signatures matches the
     * query's, then exact cosine reranks. Recall = 1-(1-p^planes)^bands
@@ -101,15 +116,23 @@ object Similarity {
     * query). `bands = 1` is the classic single-table probe. The corpus
     * side stays one map-side pass (bands×planes sign tests, no shuffle of
     * vectors — candidates join against the broadcast query table).
+    *
+    * `bucketFn(vec, planes, band)` picks the plane family: the default
+    * xxhash64-derived ±1 hyperplanes (production — data-independent,
+    * works for any vector distribution), or [[axisBucketBand]] (the
+    * deterministic oracle twin — same candidate-join/dedup/rerank
+    * machinery, DuckDB-replayable buckets).
     */
   def annTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-              vecCol: String, k: Int, planes: Int = 6, bands: Int = 1): DataFrame = {
+              vecCol: String, k: Int, planes: Int = 6, bands: Int = 1,
+              bucketFn: (Column, Int, Int) => Column =
+                vectors.hyperplane_bucket_band): DataFrame = {
     def withBuckets(df: DataFrame, id: String, v: String, n: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(v),
         vectors.float_norm(col(vecCol)).as(n),
         explode(array((0 until bands).map(b =>
           struct(lit(b).as("band"),
-            vectors.hyperplane_bucket_band(col(vecCol), planes, b).as("bucket"))): _*))
+            bucketFn(col(vecCol), planes, b).as("bucket"))): _*))
           .as("bb"))
         .select(col(id), col(v), col(n), col("bb.band").as("band"),
           col("bb.bucket").as("bucket"))

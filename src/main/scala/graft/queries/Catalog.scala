@@ -289,6 +289,21 @@ object Catalog {
         k = 5, planes = 6, bands = 8)
     }
 
+  /** Memoized AXIS-PLANE LSH twin (see the `sim_ann_lsh_md5` entry):
+    * [[Similarity.annTopK]] with [[Similarity.axisBucketBand]] planes —
+    * identical banded candidate-join / dedup / cosine-rerank machinery,
+    * deterministic buckets. Shared by `sim_ann_lsh_md5` and
+    * `sim_recall_lsh_md5`.
+    */
+  private val simAnnLshMd5Cache = new QueryCache("embeddings.parquet")
+
+  private def simAnnLshMd5Top5(s: SparkSession, d: String): DataFrame =
+    simAnnLshMd5Cache.get(s, d) { (ss, dd) =>
+      val e = embs(ss, dd)
+      Similarity.annTopK(e, e.filter(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, planes = 6, bands = 8, bucketFn = Similarity.axisBucketBand)
+    }
+
   /** Memoized BUILT IVF index (not just its top-k result): the KMeans
     * quantizer train + assignment pass is the expensive part (~17 s at
     * 200k vectors), and both the in-memory probe (`sim_ivf`) and the
@@ -2387,6 +2402,38 @@ object Catalog {
         Similarity.recallAtK(simBrute5(s, d), simAnnLsh5(s, d), 5).orderBy("qid")
       },
       None), // approx side uses xxhash64 hyperplanes — not DuckDB-expressible
+
+    Entry("sim_ann_lsh_md5",
+      // the LSH ANN family's ORACLE GATE — the last twin-less rows-only
+      // cluster (r10 verdict #1), closed with the sign-cell discipline's
+      // THIRD application (after the IVF coarse quantizer and the
+      // embedding near-dup cells): deterministic AXIS-SIGN planes (band
+      // b, bit p = sign of dim b*6+p — each axis IS a valid hyperplane)
+      // make the whole banded multi-table probe DuckDB-replayable —
+      // 8 bands × 6-bit signatures computed map-side, candidate when ANY
+      // band's bucket matches, (qid,vid) dedup BEFORE the vectors would
+      // shuffle, exact cosine rerank, per-query top-5 window. Production
+      // keeps the xxhash64 plane family (`sim_ann_lsh`/`sim_recall_lsh`,
+      // recall-pinned in SimilaritySpec — data-independent planes don't
+      // collapse on axis-correlated embeddings); this gate proves the
+      // shared machinery both run: the band explode, the bucket
+      // candidate join, the distinct, the rerank ranking.
+      (s, d) => simAnnLshMd5Top5(s, d)
+        .withColumn("rk", col("rk").cast("long"))
+        .orderBy("qid", "rk"),
+      Some(Oracles.simAnnLshMd5Oracle(planes = 6, bands = 8))),
+
+    Entry("sim_recall_lsh_md5",
+      // recall@5 of the axis-plane LSH path vs the exact brute-force
+      // truth, ORACLED — the second recall query with both sides
+      // replayable (after sim_recall_ivf_md5), so the recallAtK algebra
+      // is cross-engine gated against a SECOND approximate shape: a
+      // banded any-match candidate set (which can return FEWER than k
+      // rows per query when buckets are sparse — the per-query exact
+      // denominator, not the constant k, is what this pins).
+      (s, d) => Similarity.recallAtK(simBrute5(s, d), simAnnLshMd5Top5(s, d), 5)
+        .orderBy("qid"),
+      Some(Oracles.simRecallLshMd5Oracle(planes = 6, bands = 8))),
 
     Entry("sim_recall_ivf",
       (s, d) => { // recall@5 of the IVF path (nprobe=16 of nlist=√n) vs brute

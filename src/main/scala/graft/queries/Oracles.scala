@@ -944,6 +944,82 @@ object Oracles {
        |FROM bt LEFT JOIN iv ON iv.qid = bt.qid AND iv.vid = bt.vid
        |GROUP BY 1 ORDER BY bt.qid""".stripMargin
 
+  /** Oracle for `sim_ann_lsh_md5`: the banded multi-table LSH probe
+    * replayed — [[graft.ext.Similarity.axisBucketBand]]'s deterministic
+    * axis-sign planes mean band `i / planes`'s bit `i % planes` is just
+    * `x >= 0` over the unnested vector, so bucket assignment, the
+    * any-band candidate join, the (qid,vid) dedup, and the exact cosine
+    * top-k rerank are all SQL. Ranks by raw cos (ties toward lower vid),
+    * rounds at 6 — the `topkOracle` discipline.
+    */
+  def simAnnLshMd5Oracle(planes: Int, bands: Int, k: Int = 5): String =
+    s"""WITH ee AS (SELECT vec_id, unnest(embedding) AS x,
+       |       unnest(generate_series(0, len(embedding) - 1)) AS i FROM embeddings),
+       |nm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ee GROUP BY 1),
+       |bkt AS (SELECT vec_id, i // $planes AS band,
+       |        sum(CASE WHEN x >= 0 THEN 1 << (i % $planes) ELSE 0 END) AS bucket
+       |        FROM ee WHERE i < ${bands * planes} GROUP BY 1, 2),
+       |qb AS (SELECT vec_id AS qid, band, bucket FROM bkt WHERE vec_id < 10),
+       |cand AS (SELECT DISTINCT qb.qid, bkt.vec_id AS vid
+       |         FROM qb JOIN bkt ON bkt.band = qb.band AND bkt.bucket = qb.bucket
+       |         WHERE bkt.vec_id <> qb.qid),
+       |dot AS (SELECT c.qid, c.vid, sum(q.x * e.x) AS dp
+       |        FROM cand c JOIN ee q ON q.vec_id = c.qid
+       |                    JOIN ee e ON e.vec_id = c.vid AND e.i = q.i
+       |        GROUP BY 1, 2),
+       |cs AS (SELECT dot.qid, dot.vid, dp / (nq.nrm * nv.nrm) AS cos
+       |       FROM dot JOIN nm nq ON nq.vec_id = dot.qid
+       |                JOIN nm nv ON nv.vec_id = dot.vid),
+       |r AS (SELECT qid, vid, round(cos, 6) AS cosim,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk FROM cs)
+       |SELECT qid, vid, cosim, rk FROM r WHERE rk <= $k ORDER BY qid, rk""".stripMargin
+
+  /** Oracle for `sim_recall_lsh_md5`: both sides of the recall replayed —
+    * the axis-plane LSH top-k (the [[simAnnLshMd5Oracle]] CTEs) and the
+    * exact brute-force truth — then [[graft.ext.Similarity.recallAtK]]'s
+    * per-query |approx ∩ exact| / |exact| algebra, rounded at 6. Unlike
+    * the IVF twin this approx side can return FEWER than k candidates
+    * per query (sparse buckets), pinning the per-query-denominator
+    * choice cross-engine.
+    */
+  def simRecallLshMd5Oracle(planes: Int, bands: Int, k: Int = 5): String =
+    s"""WITH ee AS (SELECT vec_id, unnest(embedding) AS x,
+       |       unnest(generate_series(0, len(embedding) - 1)) AS i FROM embeddings),
+       |nm AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ee GROUP BY 1),
+       |bkt AS (SELECT vec_id, i // $planes AS band,
+       |        sum(CASE WHEN x >= 0 THEN 1 << (i % $planes) ELSE 0 END) AS bucket
+       |        FROM ee WHERE i < ${bands * planes} GROUP BY 1, 2),
+       |qb AS (SELECT vec_id AS qid, band, bucket FROM bkt WHERE vec_id < 10),
+       |cand AS (SELECT DISTINCT qb.qid, bkt.vec_id AS vid
+       |         FROM qb JOIN bkt ON bkt.band = qb.band AND bkt.bucket = qb.bucket
+       |         WHERE bkt.vec_id <> qb.qid),
+       |dot AS (SELECT c.qid, c.vid, sum(q.x * e.x) AS dp
+       |        FROM cand c JOIN ee q ON q.vec_id = c.qid
+       |                    JOIN ee e ON e.vec_id = c.vid AND e.i = q.i
+       |        GROUP BY 1, 2),
+       |ap AS (SELECT qid, vid FROM (
+       |       SELECT dot.qid, dot.vid,
+       |       row_number() OVER (PARTITION BY dot.qid
+       |         ORDER BY dp / (nq.nrm * nv.nrm) DESC, dot.vid) AS rk
+       |       FROM dot JOIN nm nq ON nq.vec_id = dot.qid
+       |                JOIN nm nv ON nv.vec_id = dot.vid)
+       |       WHERE rk <= $k),
+       |bd AS (SELECT q.vec_id AS qid, e.vec_id AS vid, sum(q.x * e.x) AS dp
+       |       FROM ee q JOIN ee e ON e.i = q.i AND e.vec_id <> q.vec_id
+       |       WHERE q.vec_id < 10 GROUP BY 1, 2),
+       |bt AS (SELECT qid, vid FROM (
+       |       SELECT bd.qid, bd.vid,
+       |       row_number() OVER (PARTITION BY bd.qid
+       |         ORDER BY dp / (nq.nrm * nv.nrm) DESC, bd.vid) AS rk
+       |       FROM bd JOIN nm nq ON nq.vec_id = bd.qid
+       |                JOIN nm nv ON nv.vec_id = bd.vid)
+       |       WHERE rk <= $k)
+       |SELECT bt.qid,
+       |  round(CAST(sum(CASE WHEN ap.vid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS recall_at_$k
+       |FROM bt LEFT JOIN ap ON ap.qid = bt.qid AND ap.vid = bt.vid
+       |GROUP BY 1 ORDER BY bt.qid""".stripMargin
+
   /** Oracle for `sim_pq_rerank_md5`: the two-stage PQ search replayed —
     * [[graft.ext.Pq.gridModel]]'s sign-grid codebooks make the codes
     * (`x >= 0 → bit 1` per dim) and the ADC luts (±half·Σ±q, exact in

@@ -85,6 +85,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recalls.forall(_ == 1.0), recalls.mkString(","))
   }
 
+  test("axisBucketBand twin: bucket bits are dim signs; banded probe matches driver replay") {
+    val planes = 6; val bands = 8; val k = 5
+    val e = graft.core.Tables.load(spark, TestSpark.Sf, "embeddings")
+    val all = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // 1) the bucket expression IS the sign pattern of dims [b*planes, b*planes+planes)
+    val bkts = e.filter(col("vec_id") < 20)
+      .select(col("vec_id"), array((0 until bands).map(b =>
+        Similarity.axisBucketBand(col("embedding"), planes, b)): _*).as("bkts"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    def bucket(v: Array[Float], b: Int): Int =
+      (0 until planes).map(p => if (v(b * planes + p) >= 0) 1 << p else 0).sum
+    bkts.foreach { case (id, got) =>
+      (0 until bands).foreach(b => assert(got(b) == bucket(all(id), b),
+        s"vec $id band $b"))
+    }
+    // 2) the full twin path (any-band candidate join → dedup → cosine
+    //    rerank) equals an independent driver replay, row for row
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expected = (0L until 10L).flatMap { q =>
+      val cands = all.keys.filter(v => v != q &&
+        (0 until bands).exists(b => bucket(all(q), b) == bucket(all(v), b)))
+      cands.toSeq.map(v => (v, cos(all(q), all(v))))
+        .sortBy { case (v, c) => (-c, v) }.take(k).zipWithIndex
+        .map { case ((v, c), i) => (q, v, BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble, i + 1) }
+    }.toSet
+    val got = Similarity.annTopK(e, e.filter(col("vec_id") < 10), "vec_id",
+        "embedding", k, planes, bands, bucketFn = Similarity.axisBucketBand)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == expected,
+      s"twin mismatch: extra=${got -- expected}, missing=${expected -- got}")
+  }
+
   test("sim_decontaminate: nearest benchmark per doc, self-excluded, flag matches threshold") {
     val df = graft.queries.Catalog.queries("sim_decontaminate")(spark, TestSpark.Sf)
     // scale shape: the benchmark side must broadcast — never a shuffle
