@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output passes straight through to this process's
+// stdout/stderr instead of sbt's logger: the logger's "[info] " prefix
+// made the Bench summary line non-bare-JSON, which is the last suspect
+// in the driver's bench capture parsing to null four rounds running
+// (r10 verdict "what's wrong" #1). Greps keyed on content ([verify],
+// metric, [scale]) are unaffected.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

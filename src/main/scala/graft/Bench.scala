@@ -156,19 +156,28 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}")
     }
-    println(line)
-    // the driver's round record keeps only the last ~2 KB of stdout
-    // (BENCH_r09.json captured exactly 2000 chars of tail), so the full
-    // line above — ~10 KB at 130 queries — is head-truncated in its
-    // capture and lands as `"parsed": null` (r9 verdict #3/#6). Emit a
-    // COMPACT summary as the FINAL stdout line: same {"metric":...}
-    // shape, small enough to survive the tail buffer whole, carrying
-    // the headline number, failure list, and the ten slowest medians;
-    // the complete per-query record stays in bench_full.json above.
+    // The full ~10 KB record goes ONLY to the file above — never stdout.
+    // The driver's round record keeps the last ~2 KB of stdout, so when
+    // the full line was printed it was head-truncated in that capture and
+    // a parser hitting the truncated fragment landed `"parsed": null`
+    // (r7–r10, four rounds running). Stdout carries exactly ONE
+    // {"metric":...} line — the COMPACT summary, last, well under the
+    // tail buffer — so "first metric line", "last metric line", and
+    // "only metric line" parsers all read the same object (the r10
+    // ADVICE duplicate-"metric":"total" hazard is gone with the dup).
     val top10 = results.sortBy(-_._3).take(10)
       .map { case (k, _, med, _) => "\"" + k + "\":" + ms(med) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec",$partial"sf":"$sfDir","wall_sec":${ms(wallSec)},"docs_scale":$docsScale,"n_queries":${results.size},"failures":$fails,"top10_medians":$top10,"full_record":"bench_full.json"}""")
+    val summary = s"""{"metric":"total","value":${ms(total)},"unit":"sec",$partial"sf":"$sfDir","wall_sec":${ms(wallSec)},"docs_scale":$docsScale,"n_queries":${results.size},"failures":$fails,"top10_medians":$top10,"full_record":"bench_full.json"}"""
+    // ... and to a well-known file, immune to any capture limit at all
+    try {
+      val sout = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_SUMMARY", "/root/repo/bench_summary.json"))
+      java.nio.file.Files.write(sout, (summary + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_summary.json write failed: ${e.getMessage}")
+    }
+    println(summary)
     spark.stop()
   }
 }
