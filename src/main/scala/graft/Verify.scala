@@ -31,9 +31,15 @@ object Verify {
       Files.writeString(Paths.get(s"$outDir/_PARTIAL_RUN"), names.mkString(","))
     }
     if (only.isEmpty) Files.deleteIfExists(Paths.get(s"$outDir/_PARTIAL_RUN"))
-    SparkEntry.queries
+    val requested = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    // manifest of every REQUESTED query, written before any runs: the
+    // checker derives its expected set from this instead of the oracle
+    // keys, so a rows-only query that errors inside Verify is flagged as
+    // missing output rather than silently skipped (r10 ADVICE #1)
+    Files.writeString(Paths.get(s"$outDir/queries_requested.json"),
+      requested.keys.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]"))
+    requested.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

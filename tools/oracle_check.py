@@ -20,9 +20,17 @@ if os.path.exists(f"{outdir}/_PARTIAL_RUN"):
     print(f"*** PARTIAL RUN: checking only {sorted(partial)} ***")
 fails = []
 # a requested query whose output dir is MISSING errored inside Verify —
-# report it as a failure instead of silently skipping it (a query that
-# threw used to read as "checked" in partial mode)
-expected = partial if partial is not None else set(oracle)
+# report it as a failure instead of silently skipping it. Expected set
+# comes from Verify's own manifest of REQUESTED queries (covers rows-only
+# queries too, not just oracled ones); fall back to oracle keys for dumps
+# written before the manifest existed.
+manifest = os.path.join(outdir, "queries_requested.json")
+if partial is not None:
+    expected = partial
+elif os.path.exists(manifest):
+    expected = set(json.load(open(manifest)))
+else:
+    expected = set(oracle)
 for name in sorted(expected):
     if not os.path.isdir(os.path.join(outdir, name)):
         fails.append(name)
