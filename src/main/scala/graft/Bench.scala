@@ -53,6 +53,18 @@ object Bench {
         System.err.println(s"[bench] fixture scaling failed, using raw: ${e.getMessage}")
         sfDir
       }
+    // untimed corpus warm pass (r10 verdict #3: same-HEAD cuts spread up
+    // to 1.66× on median sum, worst on the first heavy documents
+    // queries): one full scan of the scaled docs + embeddings pulls both
+    // corpora through the page cache and compiles the parquet scan
+    // paths, so the first timed family measures the operator, not disk
+    // state left by whatever ran before the cut
+    try {
+      graft.core.Tables.load(spark, scaledDir, "documents")
+        .selectExpr("sum(length(text))").write.format("noop").mode("overwrite").save()
+      graft.core.Tables.load(spark, scaledDir, "embeddings")
+        .selectExpr("sum(size(embedding))").write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     val failures = scala.collection.mutable.ListBuffer.empty[String]
     // optional comma-separated subset for targeted re-measurement of a
     // single query (the re-pin workflow); the driver never sets this, and
@@ -168,7 +180,7 @@ object Bench {
     val top10 = results.sortBy(-_._3).take(10)
       .map { case (k, _, med, _) => "\"" + k + "\":" + ms(med) }
       .mkString("{", ",", "}")
-    val summary = s"""{"metric":"total","value":${ms(total)},"unit":"sec",$partial"sf":"$sfDir","wall_sec":${ms(wallSec)},"docs_scale":$docsScale,"n_queries":${results.size},"failures":$fails,"top10_medians":$top10,"full_record":"bench_full.json"}"""
+    val summary = s"""{"metric":"total","value":${ms(total)},"unit":"sec",$partial"sf":"$sfDir","wall_sec":${ms(wallSec)},"docs_scale":$docsScale,"n_queries":${results.size},"loadavg_start":$load0,"loadavg_end":${loadavg()},"failures":$fails,"top10_medians":$top10,"full_record":"bench_full.json"}"""
     // ... and to a well-known file, immune to any capture limit at all
     try {
       val sout = java.nio.file.Paths.get(sys.env.getOrElse(

@@ -2093,13 +2093,19 @@ object Catalog {
       // decode the WAV back, emit stream format + signal stats (RMS,
       // zero-crossing rate — for a pure tone zcr ≈ 2f/rate, so the
       // decoded signal is verifiable, not a hash of bytes)
+      // ORACLED since r11 without a twin: the tone is closed-form from
+      // doc_id and encode16→parse16 is byte-faithful, so DuckDB
+      // regenerates every PCM sample arithmetically and aggregates the
+      // same RMS/zcr the Spark side computed from the DECODED bytes —
+      // the planted-variant discipline of mm_image_dedup_check applied
+      // to the audio codec (see Oracles.mmAudioFeaturesOracle).
       (s, d) => Multimodal.audioFeatures(s,
           Multimodal.renderAudioMedia(s, docs(s, d), "doc_id")).toDF()
         .select(col("media_id"), col("decode_ok"), col("sample_rate"),
           col("channels"), col("n_frames"), round(col("duration_ms"), 2).as("duration_ms"),
           round(col("rms"), 2).as("rms"), round(col("zcr"), 4).as("zcr"))
         .orderBy("media_id"),
-      None), // PCM decode — not expressible in DuckDB
+      Some(Oracles.mmAudioFeaturesOracle)),
 
     Entry("dedup_embedding_cosine",
       // near-dup detection needs near-dups, and the fixture has none (max

@@ -260,6 +260,49 @@ object Oracles {
        |FROM jn JOIN kb ON kb.cluster_id = jn.cluster_id
        |ORDER BY jn.id""".stripMargin
 
+  /** Oracle for `mm_audio_features`: the REAL WAV decode path gated by
+    * recomputing every PCM SAMPLE in SQL. The synthetic tone is closed
+    * form from doc_id (`Multimodal.renderSyntheticWav`: two harmonics of
+    * f0 = 220 + (doc_id%50%16)·55 Hz at 8 kHz, truncated to int16, a
+    * 48-bit doc_id/50 watermark in the first 48 samples' LSBs), and
+    * `Wav.encode16`→`parse16` is byte-faithful — so DuckDB regenerating
+    * the samples and aggregating RMS = √(Σs²/n) and zcr =
+    * crossings/(frames−1) must equal what Spark DECODED from the bytes.
+    * Expression order mirrors the Scala arithmetic token for token
+    * (((2π)·f0)·t etc.) so both engines round identically at every step;
+    * the sample values are small integers and Σs² < 2^53, so the
+    * aggregates are exact in double and the round(2)/round(4) compare is
+    * deterministic. This converts the audio family's last rows-only
+    * feature query (r10 verdict missing #2) without a twin: the DECLARED
+    * query itself is the gate.
+    */
+  val mmAudioFeaturesOracle: String = {
+    val f0 = "(220.0 + ((d.doc_id % 50) % 16) * 55.0)"
+    s"""WITH g AS (SELECT unnest(generate_series(0, 1999)) AS i),
+       |s AS (SELECT d.doc_id, g.i,
+       |      CAST(trunc(sin(((2 * pi()) * $f0) * (g.i / 8000.0)) * 10000
+       |               + sin((((2 * pi()) * $f0) * 2) * (g.i / 8000.0)) * 3000)
+       |           AS BIGINT) AS s0
+       |      FROM documents d CROSS JOIN g),
+       |w AS (SELECT doc_id, i,
+       |      CASE WHEN i < 48
+       |           THEN (s0 & -2) | ((doc_id // 50 >> i) & 1)
+       |           ELSE s0 END AS smp
+       |      FROM s),
+       |lg AS (SELECT doc_id, i, smp,
+       |       lag(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM w),
+       |f AS (SELECT doc_id,
+       |      sqrt(sum(smp * smp) / 2000.0) AS rms,
+       |      sum(CASE WHEN i > 0 AND ((smp >= 0) <> (prev >= 0))
+       |          THEN 1 ELSE 0 END) / 1999.0 AS zcr
+       |      FROM lg GROUP BY doc_id)
+       |SELECT doc_id AS media_id, TRUE AS decode_ok,
+       |  CAST(8000 AS INTEGER) AS sample_rate, CAST(1 AS INTEGER) AS channels,
+       |  CAST(2000 AS BIGINT) AS n_frames, CAST(250.0 AS DOUBLE) AS duration_ms,
+       |  round(rms, 2) AS rms, round(zcr, 4) AS zcr
+       |FROM f ORDER BY media_id""".stripMargin
+  }
+
   /** The cleaned-corpus export: documents surviving keep-best-per-LSH-
     * cluster, with full payload columns.
     */

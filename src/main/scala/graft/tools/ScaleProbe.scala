@@ -124,31 +124,53 @@ object ScaleProbe {
     // changelog_latest_compacted runs over the fixed-size lineitem CDC
     // fixture, which the scaled dirs symlink unchanged — its 4× ratio is
     // identically ~1 and gates nothing (the cdc_bucketed_apply situation).
-    // This probe synthesizes a docs-proportional 3-version changelog
-    // (every version logs every key), runs the real crash-safe
-    // compactChangelog rewrite, and reads latest-per-key through
-    // readChangelog — compaction cost must track total logged rows.
+    // This probe reads the docs-proportional changelog [[prepare]]
+    // synthesized UNTIMED (every version logs every key, 256-byte
+    // payload), runs the real crash-safe compactChangelog rewrite, and
+    // reads latest-per-key through readChangelog — the timed body is
+    // compaction + latest ONLY, so the ratio measures the operator, not
+    // fixture writes (the pre-r11 shape synthesized the changelog inside
+    // the clock, diluting the signal the family claims to gate).
     "changelog_compact_scaled" -> { (s, d) =>
-      import org.apache.spark.sql.functions._
-      // a 256-byte text payload per logged row: with a bare (key, long)
-      // schema the per-row work was microseconds and constant JVM/job
-      // overhead dominated both legs (the first cut measured ratio 0.6 —
-      // size-blind); real changelogs carry row data, and the payload
-      // makes compaction I/O and the latest-window shuffle the cost
-      val docs = graft.core.Tables.load(s, d, "documents")
-        .select(col("doc_id"), length(col("text")).cast("long").as("len"),
-          substring(col("text"), 1, 256).as("payload"))
-      val root = java.nio.file.Files.createTempDirectory("graft_clcprobe").toString
-      (1 to 3).foreach { v =>
-        docs.withColumn("len", col("len") + v)
-          .write.mode("overwrite").parquet(s"$root/changelog/v=$v")
-      }
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$root/VERSION"), "3")
+      val root = preparedRoots(("changelog_compact_scaled", d))
       graft.core.Pipeline.compactChangelog(s, root, Seq("doc_id"))
       graft.core.Changelog.latest(
         graft.core.Pipeline.readChangelog(s, root), Seq("doc_id"), "v")
     })
+
+  /** Per-(family, leg-dir) fixture roots: created untimed in [[prepare]],
+    * consumed by the family's timed body, deleted by [[cleanupProbe]]
+    * after the leg's clock stops — the pre-r11 shape leaked one
+    * full-corpus `graft_clcprobe` temp dir per warm pass and per leg
+    * (r10 ADVICE; stale probe dirs have filled /tmp before).
+    */
+  private val preparedRoots =
+    scala.collection.mutable.Map.empty[(String, String), String]
+
+  /** Docs-proportional synthetic changelog: `versions` full snapshots of
+    * the documents keys (the no-compaction worst case the reference's
+    * append-only `{t}_changelog` table converges to), each row carrying a
+    * 256-byte text payload — with a bare (key, long) schema the per-row
+    * work was microseconds and constant JVM/job overhead dominated both
+    * legs (the first cut measured ratio 0.6 — size-blind). `every`
+    * thins the keys for the JIT warm pass.
+    */
+  private def synthChangelog(s: SparkSession, d: String,
+                             versions: Int, keyStride: Int = 1): String = {
+    import org.apache.spark.sql.functions._
+    val root = java.nio.file.Files.createTempDirectory("graft_clcprobe").toString
+    val docs = graft.core.Tables.load(s, d, "documents")
+      .filter(col("doc_id") % keyStride === 0)
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"),
+        substring(col("text"), 1, 256).as("payload"))
+    (1 to versions).foreach { v =>
+      docs.withColumn("len", col("len") + v)
+        .write.mode("overwrite").parquet(s"$root/changelog/v=$v")
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/VERSION"), versions.toString)
+    root
+  }
     // (dedup_substring_gate_xx graduated from ExtraProbes to a DECLARED
     // query in r10 — the probe now measures the Catalog entry itself.
     // The md5-mode dedup_substring_gate stays unprobed by design: see
@@ -218,9 +240,24 @@ object ScaleProbe {
     "text_dup_span_stats" -> 5.0,    // count-window span stats: winnow
                                      // kernel + two window passes, linear
                                      // in corpus bytes
-    "changelog_compact_scaled" -> 5.0, // compaction rewrite + latest window
-                                     // over a 3-version docs-keyed log:
-                                     // linear in logged rows
+    "changelog_compact_scaled" -> 4.0, // compaction rewrite + latest window
+                                     // over a 20-version docs-keyed log
+                                     // (10M logged rows base, 40M at 4x).
+                                     // r11 recalibration: with synthesis
+                                     // moved out of the clock the timed
+                                     // legs are seconds-scale, and a
+                                     // ~25-50 s per-leg constant (first-
+                                     // leg G1 heap expansion + JIT; file-
+                                     // count and warm-pass-size changes
+                                     // measured and ruled out) bounds the
+                                     // honest ratio at ~2.1 (wall 2.13 /
+                                     // work 2.15, reproduced twice). 4.0
+                                     // = 1.9x headroom over measured, yet
+                                     // bites: any super-linear term at 4x
+                                     // data (a quadratic reads ~16x)
+                                     // clears it by an order of magnitude
+                                     // where the old unreachable 5.0-over-
+                                     // ~1.0 gated only the catastrophic
     "dedup_substring_gate_xx" -> 5.0) // the streaming gate's whole state
                                      // machine in PRODUCTION (xxhash)
                                      // mode: seed (⅓ of the corpus —
@@ -262,18 +299,49 @@ object ScaleProbe {
 
   /** Untimed per-probe preparation: materialize input corpora that are
     * fixture synthesis, not the operator under test. The changelog
-    * family additionally runs its whole body once untimed: its jobs are
-    * seconds-scale, so on a fresh child JVM the FIRST leg's cost is
-    * dominated by JIT/classloading (~60-90 s of one-time work — measured
-    * by swapping leg order: base-first read 30.5 s base / 18.1 s 4×,
-    * 4×-first read 9.4 s 4× / 2.6 s base), which inverts the ratio; a
-    * warm pass makes both legs steady-state measurements.
+    * family additionally runs a compaction+latest warm pass over a 5%
+    * key slice: its jobs are seconds-scale, so on a fresh child JVM the
+    * FIRST leg's cost is dominated by JIT/classloading (~60-90 s of
+    * one-time work — measured by swapping leg order: base-first read
+    * 30.5 s base / 18.1 s 4×, 4×-first read 9.4 s 4× / 2.6 s base),
+    * which inverts the ratio; the warm pass makes both legs steady-state
+    * measurements. Its real per-leg fixture lands in [[preparedRoots]]
+    * for the timed body; [[cleanupProbe]] deletes it after the leg.
     */
   private def prepare(name: String, spark: SparkSession, dir: String): Unit = {
     if (name.startsWith("mm_image")) graft.queries.Catalog.warmImageMedia(spark, dir)
-    if (name == "changelog_compact_scaled")
-      ExtraProbes(name)(spark, dir).write.format("noop").mode("overwrite").save()
+    if (name == "changelog_compact_scaled") {
+      // full-shape warm: SAME version count and plan as the timed body
+      // over 10% of the keys (~1M logged rows at base) — a 3-version 5%
+      // warm left the base leg running interpreted/C1 code (its 4.4 s
+      // finished before C2 landed; per-row task CPU measured 2× the 4×
+      // leg's, deflating the work ratio to 2.0)
+      val warm = synthChangelog(spark, dir, versions = 20, keyStride = 10)
+      try {
+        graft.core.Pipeline.compactChangelog(spark, warm, Seq("doc_id"))
+        graft.core.Changelog.latest(
+            graft.core.Pipeline.readChangelog(spark, warm), Seq("doc_id"), "v")
+          .write.format("noop").mode("overwrite").save()
+      } finally graft.core.Pipeline.deleteRecursively(
+        java.nio.file.Paths.get(warm))
+      // 20 versions × every key: ~10M logged rows at base, ~40M at 4× —
+      // sized so the timed compact+latest data term (~1 s per 1.5M rows
+      // measured warm) dominates the ~0.5 s of fixed job/scan constants
+      // that deflated the 3-version ratio to ~1.6× (r10 verdict #4: the
+      // 5.0 threshold was unreachable and the family gated nothing).
+      // This is also the shape compaction EXISTS for: a long-accumulated
+      // append-only log collapsing to key-cardinality output.
+      preparedRoots((name, dir)) = synthChangelog(spark, dir, versions = 20)
+    }
   }
+
+  /** Post-leg cleanup: delete the leg's prepared fixture root (outside
+    * the clock — deletion of a corpus-sized temp tree is not part of the
+    * operator either).
+    */
+  private def cleanupProbe(name: String, dir: String): Unit =
+    preparedRoots.remove((name, dir)).foreach(r =>
+      graft.core.Pipeline.deleteRecursively(java.nio.file.Paths.get(r)))
 
   def main(args: Array[String]): Unit = {
     val dirs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIRS",
@@ -469,6 +537,13 @@ object ScaleProbe {
         catch { case e: Throwable =>
           System.err.println(s"[scale] prepare($name) failed: ${e.getMessage}")
         }
+        // settle the listener bus before the baseline snapshot too: a
+        // heavy prepare (the changelog synthesis writes tens of millions
+        // of rows) drains task-end events for ~a second after its last
+        // job, and events landing after cpu0 would be billed to the
+        // timed body (this is how the r10 probe read work 28 s against
+        // wall 2.1 s)
+        Thread.sleep(1000)
         val (cpu0, gc0) = (cpuNs.get(), gcMs.get())
         val t0 = System.nanoTime()
         // materialize through the noop sink exactly like Bench: count()
@@ -477,6 +552,7 @@ object ScaleProbe {
         ExtraProbes.getOrElse(name, graft.SparkEntry.queries(name))(spark, scaled)
           .write.format("noop").mode("overwrite").save()
         val t = (System.nanoTime() - t0) / 1e9
+        cleanupProbe(name, scaled)
         // listener events drain asynchronously; settle before
         // snapshotting (1 s: the bus can drop or lag events under load,
         // and an under-counted 4× leg deflates the work ratio)
