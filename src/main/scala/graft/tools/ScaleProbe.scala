@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * vectors), same warm JVM. Linear paths should show ~4× wall; anything
   * past its family threshold is a scale bug the 500k corpus hid.
   *
-  * Output is a TRACKED artifact (default `/root/repo/SCALE_r10.json`):
+  * Output is a TRACKED artifact (default `/root/repo/SCALE_r11.json`):
   * per-query base/4× WALL seconds and PHYSICAL-WORK seconds (task CPU +
   * GC), both ratios, the threshold, and pass/fail — a family passes if
   * its wall ratio is under threshold, or if its work ratio is under
@@ -282,6 +282,15 @@ object ScaleProbe {
   //    correctness gate is the oracle; its scale machinery
   //    (clusterDupPairs' census-sized sub-split) is probed through
   //    dedup_semantic, which shares the exact code path.
+  //  - dedup_substring_exact: measured ONCE at 4× in r11 (idle box,
+  //    fresh JVM): wall 171.0 → 1017.3 s (5.95×), work 4783 → 27649 s
+  //    (5.78×) — mildly super-linear by the same quantified md5-hex-key
+  //    mechanism as the gate's md5 mode below, far from the ~16× a
+  //    pair-volume blow-up would read (the capped postings hold). Audit
+  //    gear by design; its ~28 min 4× leg per round would re-measure a
+  //    root-caused mechanism already gated through the production-side
+  //    families (gate_xx, winnowed), and its bench median (~210 s) is
+  //    tracked per round. Full table in PERFORMANCE.md r11.
   //  - dedup_substring_gate (md5Mode): same oracle-gear situation as
   //    dedup_semantic_md5 — the declared query hardwires md5Mode so
   //    DuckDB can replay the state machine, and md5 mode carries every
@@ -348,7 +357,7 @@ object ScaleProbe {
       "/root/testdata/sf0.1").split(",").toSeq
     val probes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").toSeq).getOrElse(DefaultProbes) ++ args
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALE_r10.json")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALE_r11.json")
     if (sys.env.contains("SPARK_GRAFT_SCALE_CHILD")) runFamilies(probes, dirs, outPath)
     else runParent(probes.distinct, dirs, outPath)
   }
