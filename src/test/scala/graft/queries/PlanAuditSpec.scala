@@ -44,8 +44,10 @@ class PlanAuditSpec extends AnyFunSuite {
                               // (Similarity.bruteTopK requires it small)
     "sim_topk_int8",          // same baseline, int8-quantized scoring
     "sim_topk_native",        // same baseline through TopKPerGroup
-    "sim_recall_lsh")         // recall pin: LSH results vs the same
+    "sim_recall_lsh",         // recall pin: LSH results vs the same
                               // bounded brute-force ground truth
+    "sim_recall_lsh_md5")     // axis-plane twin's recall: same bounded
+                              // brute-force truth side (r11)
 
   private val harnessStateMachines = Set(
     "corpus_ingest_e2e", "corpus_prep_e2e",
