@@ -2023,7 +2023,14 @@ object Catalog {
           round(col("mean_g"), 2).as("mean_g"),
           round(col("mean_b"), 2).as("mean_b"), col("ahash"))
         .orderBy("media_id"),
-      None), // pixel decode — not expressible in DuckDB
+      // ORACLED since r11: renderPattern is closed-form integer
+      // arithmetic of (variant, x, y) and PNG is lossless, so DuckDB
+      // regenerates every pixel (only the seed's low 24 bits are ever
+      // consumed - no 64-bit overflow), the watermark LSBs included,
+      // and recomputes the decoded means and the 64-bit aHash exactly
+      // (see Oracles.imagePixelCtes) - the audio-oracle discipline
+      // applied to the image codec.
+      Some(Oracles.mmImageFeaturesOracle)),
 
     Entry("mm_image_neardup",
       // perceptual image dedup over the decoded aHash: byte-distinct
@@ -2047,7 +2054,11 @@ object Catalog {
               .otherwise(0).as("is_dup"))
           .orderBy("media_id")
       },
-      None), // pixel decode — not expressible in DuckDB
+      // ORACLED since r11: the aHash VALUES are recomputed per pixel in
+      // DuckDB (mm_image_dedup_check gates only the GROUPING); every
+      // payload in this corpus decodes, so the oracle's ungated
+      // min-per-ahash matches the decode_ok-gated flag.
+      Some(Oracles.mmImageNeardupOracle)),
 
     Entry("mm_image_dedup_check",
       // the REAL-decode dedup path, ORACLED: is_dup derived from the

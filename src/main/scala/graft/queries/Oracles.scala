@@ -303,6 +303,81 @@ object Oracles {
        |FROM f ORDER BY media_id""".stripMargin
   }
 
+  /** Shared CTE body for the image-decode oracles: regenerates every
+    * PIXEL of the synthetic PNG corpus in SQL. `renderPattern` is pure
+    * integer arithmetic of (variant, x, y) — and only the LOW 24 BITS of
+    * `seed = variant * 0x9E3779B97F4A7C15L` are ever consumed (block
+    * uses bits 0-7 additively, g bits 8-15, b bits 16-23), so DuckDB
+    * computes `seed24 = (variant * 0x4A7C15) & 0xFFFFFF` without 64-bit
+    * overflow. The watermark LSB lands on pixel indices n·stride
+    * (stride = w·h/48), PNG INT_RGB is lossless, so the decoded pixels
+    * ARE these values. aHash: integer gray sums per 8×8 cell, cell
+    * means as exact double divisions, the global mean summed in CELL
+    * ORDER (matching the Scala index-order fold), bit 63 mapped to the
+    * sign bit. Produces CTEs up to `ah(doc_id, ahash)` and
+    * `mn(doc_id, w, h, sr, sg, sb, n)`.
+    */
+  private val imagePixelCtes: String =
+    s"""d AS (SELECT doc_id, doc_id // 50 AS wm,
+       |     48 + ((doc_id % 50) % 4) * 8 AS w, 32 + ((doc_id % 50) % 3) * 8 AS h,
+       |     ((doc_id % 50) * 4881429) & 16777215 AS seed24 FROM documents),
+       |px AS (SELECT doc_id, w, h, wm, seed24, (w * h) // 48 AS stride,
+       |       unnest(generate_series(0, w * h - 1)) AS idx FROM d),
+       |p3 AS (SELECT doc_id, w, h, idx % w AS x, idx // w AS y,
+       |       (((idx % w) // 4) * 31 + ((idx // w) // 4) * 17 + seed24) & 255 AS block,
+       |       (seed24 >> 8) & 255 AS gseed, (seed24 >> 16) & 255 AS b0,
+       |       stride, wm, idx FROM px),
+       |p4 AS (SELECT doc_id, w, h, x, y,
+       |       (((x * 255) // (w - 1)) + block) & 255 AS r,
+       |       xor((y * 255) // (h - 1), gseed) AS g,
+       |       CASE WHEN idx % stride = 0 AND idx // stride < 48
+       |            THEN (b0 & -2) | ((wm >> (idx // stride)) & 1) ELSE b0 END AS b
+       |       FROM p3),
+       |mn AS (SELECT doc_id, any_value(w) AS w, any_value(h) AS h,
+       |       sum(r) AS sr, sum(g) AS sg, sum(b) AS sb, count(*) AS n FROM p4 GROUP BY 1),
+       |cl AS (SELECT doc_id, least(y * 8 // h, 7) * 8 + least(x * 8 // w, 7) AS cell,
+       |       sum((r * 299 + g * 587 + b * 114) // 1000) AS s, count(*) AS c
+       |       FROM p4 GROUP BY 1, 2),
+       |cm AS (SELECT doc_id, cell, CAST(s AS DOUBLE) / c AS cmean FROM cl),
+       |gm AS (SELECT doc_id, sum(cmean ORDER BY cell) / 64.0 AS gmean FROM cm GROUP BY 1),
+       |ah AS (SELECT cm.doc_id, CAST(
+       |       sum(CASE WHEN cmean >= gmean AND cell < 63 THEN CAST(1 AS BIGINT) << cell ELSE 0 END)
+       |       + sum(CASE WHEN cmean >= gmean AND cell = 63 THEN -9223372036854775807 - 1 ELSE 0 END)
+       |       AS BIGINT) AS ahash
+       |       FROM cm JOIN gm ON gm.doc_id = cm.doc_id GROUP BY 1)""".stripMargin
+
+  /** Oracle for `mm_image_features`: the REAL ImageIO decode path gated
+    * by per-pixel recomputation ([[imagePixelCtes]] — the audio oracle's
+    * discipline applied to the image codec). Channel means are rounded
+    * by INTEGER-EXACT half-up, `((sr·200 + n) // (2n)) / 100`, which
+    * provably equals Spark's `round(double, 2)` here: the doubles'
+    * shortest decimal representation preserves the exact rational's
+    * 2-decimal half-up for denominators ≤ 3456 (a plain DuckDB
+    * `round()` diverged on exact .xx5 boundaries — 10 of 500 rows at
+    * sf0.001).
+    */
+  val mmImageFeaturesOracle: String =
+    s"""WITH $imagePixelCtes
+       |SELECT mn.doc_id AS media_id, TRUE AS decode_ok,
+       |  CAST(mn.w AS INTEGER) AS width, CAST(mn.h AS INTEGER) AS height,
+       |  ((CAST(sr AS BIGINT) * 200 + n) // (2 * n)) / 100.0 AS mean_r,
+       |  ((CAST(sg AS BIGINT) * 200 + n) // (2 * n)) / 100.0 AS mean_g,
+       |  ((CAST(sb AS BIGINT) * 200 + n) // (2 * n)) / 100.0 AS mean_b,
+       |  ah.ahash
+       |FROM mn JOIN ah ON ah.doc_id = mn.doc_id ORDER BY media_id""".stripMargin
+
+  /** Oracle for `mm_image_neardup`: the decoded-aHash VALUE (not just
+    * its grouping — `mm_image_dedup_check` already gates that via
+    * variant arithmetic) recomputed per pixel, then the same
+    * min-per-(decode_ok, ahash) dup flag.
+    */
+  val mmImageNeardupOracle: String =
+    s"""WITH $imagePixelCtes
+       |SELECT doc_id AS media_id, ahash,
+       |  CASE WHEN doc_id <> min(doc_id) OVER (PARTITION BY ahash)
+       |       THEN 1 ELSE 0 END AS is_dup
+       |FROM ah ORDER BY media_id""".stripMargin
+
   /** The cleaned-corpus export: documents surviving keep-best-per-LSH-
     * cluster, with full payload columns.
     */
