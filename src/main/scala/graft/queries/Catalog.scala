@@ -1913,6 +1913,28 @@ object Catalog {
       Some(Oracles.ingestPipelineOracle(nWaves = 3, frac = 1.0, l = 40,
         w = 8, minShared = 2))),
 
+    Entry("corpus_ingest_e2e_xx",
+      // the SAME composed 3-wave gate chain in PRODUCTION (xxhash) mode
+      // — declared (r11) so its wall is pinned in every bench, exactly
+      // the r10 graduation that moved dedup_substring_gate_xx out of
+      // probe-only shadow: the md5 entry above is the oracle gate (its
+      // 32-byte hex gram keys are deliberate oracle gear), this is what
+      // a deployment runs. Rows-only by the same twin discipline
+      // (xxhash64 fingerprints aren't DuckDB-expressible); the wave
+      // fates' STRUCTURE is cross-engine gated through the md5 twin,
+      // and the 4x family probe (corpus_ingest_e2e_xx in ScaleProbe)
+      // rides this same Catalog entry.
+      (s, d) => {
+        val base = docs(s, d)
+        val planted = base.unionByName(base.filter(col("doc_id") % 17 === 3)
+          .withColumn("doc_id", col("doc_id") + 100000L))
+        IngestPipeline.waveFates(planted, "doc_id", "text",
+            nWaves = 3, maxAvgNllFrac = 1.0, L = 40, w = 8, minShared = 2,
+            md5Mode = false)
+          .orderBy("doc_id")
+      },
+      None), // xxhash64 gram fingerprints — md5 twin above is the oracle
+
     Entry("corpus_prep_e2e",
       // THE product shape a training-data user actually runs: the four
       // individually-oracled stages COMPOSED as one pipeline — C4-style

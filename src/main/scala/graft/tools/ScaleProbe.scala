@@ -101,25 +101,11 @@ object ScaleProbe {
       graft.ext.SubstringDedup.winnowedGramPairs(planted, "doc_id", "text",
         L = 40, w = 8, minShared = 2)
     },
-    // the composed 3-wave ingest chain in PRODUCTION (xxhash) mode — the
-    // declared corpus_ingest_e2e runs md5Mode for its DuckDB replay (the
-    // same oracle-gear split as the substring gate). The #2 bench query
-    // and the shape most likely to hide a cross-wave super-linear term
-    // (per-wave localCheckpoint lineage cuts, admitted-gram reuse,
-    // accumulating admitted state probed by each wave): per-wave cost
-    // must track wave size × admitted-match volume, never admitted².
-    "corpus_ingest_e2e_xx" -> { (s, d) =>
-      import org.apache.spark.sql.functions._
-      val base = graft.core.Tables.load(s, d, "documents")
-      // verbatim clones planted one wave over, exactly like the declared
-      // entry (the raw fixture has no exact duplicates; scaled replica id
-      // bands are 10M apart, so +100000 never collides with a real id)
-      val planted = base.unionByName(base.filter(col("doc_id") % 17 === 3)
-        .withColumn("doc_id", col("doc_id") + 100000L))
-      graft.ext.IngestPipeline.waveFates(planted, "doc_id", "text",
-        nWaves = 3, maxAvgNllFrac = 1.0, L = 40, w = 8, minShared = 2,
-        md5Mode = false)
-    },
+    // (corpus_ingest_e2e_xx graduated from ExtraProbes to a DECLARED
+    // query in r11, exactly like dedup_substring_gate_xx in r10 — the
+    // probe now measures the Catalog entry itself: the composed 3-wave
+    // chain in production xxhash mode, the shape most likely to hide a
+    // cross-wave super-linear term.)
     // changelog compaction + latest-per-key at CORPUS scale: the declared
     // changelog_latest_compacted runs over the fixed-size lineitem CDC
     // fixture, which the scaled dirs symlink unchanged — its 4× ratio is

@@ -50,7 +50,7 @@ class PlanAuditSpec extends AnyFunSuite {
                               // brute-force truth side (r11)
 
   private val harnessStateMachines = Set(
-    "corpus_ingest_e2e", "corpus_prep_e2e",
+    "corpus_ingest_e2e", "corpus_ingest_e2e_xx", "corpus_prep_e2e",
     "dedup_ingest_gate", "dedup_vec_ingest_gate", "dedup_vec_ingest_gate_md5",
     "dedup_substring_gate", "stream_lm_gate",
     "cdc_bucketed_apply", "changelog_latest_compacted",
