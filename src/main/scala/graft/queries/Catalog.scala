@@ -3341,7 +3341,132 @@ object Catalog {
              |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
              |   / least(row_number() OVER
              |       (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 3), 6) AS avg3
-             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin))
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // ── cross-format source fidelity (sources/Formats.scala) ─────────
+    // Each entry writes a table to a text/columnar format, reads it BACK
+    // with the writer's schema, and aggregates what came back; the oracle
+    // aggregates the ORIGINAL parquet in DuckDB. A hash match proves the
+    // whole codec path — quoting, null sentinels, timestamp formats,
+    // type coercion — is lossless, not just that the write succeeded.
+
+    Entry("source_csv_roundtrip",
+      // CSV is the adversarial format: schema-less, text-typed, and
+      // ambiguous about NULL vs ''. The frame carries three derived
+      // columns built to break naive codecs — `tricky` embeds the
+      // delimiter, the quote char, and a newline; `maybe_null` is NULL on
+      // a key rule; `maybe_empty` is '' on another — and the aggregate
+      // reads all three after the round trip. The \N null sentinel +
+      // RFC 4180 quoting + multiLine read are the production posture
+      // (Formats.scala scaladoc).
+      (s, d) => {
+        val aug = docs(s, d).select(
+          col("doc_id"), col("lang"), col("source"), col("text"), col("n_chars"),
+          concat(col("lang"), lit(",\""), substring(col("text"), 1, 20),
+            lit("\n"), col("source")).as("tricky"),
+          when(col("doc_id") % 7 === 0, lit(null).cast("string"))
+            .otherwise(col("lang")).as("maybe_null"),
+          when(col("doc_id") % 11 === 0, lit("")).otherwise(col("source")).as("maybe_empty"))
+        val rt = graft.sources.Formats.roundTrip(
+          aug, "csv", scratchDir("source_csv_roundtrip", d) + "/rt")
+        rt.groupBy("lang").agg(
+            count(lit(1)).as("n_docs"),
+            sum(length(col("text"))).as("sum_len"),
+            countDistinct(md5(col("tricky"))).as("n_tricky"),
+            sum(when(col("maybe_null").isNull, 1L).otherwise(0L)).as("n_nulls"),
+            sum(when(col("maybe_empty") === "", 1L).otherwise(0L)).as("n_empty"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n_docs,
+             | CAST(sum(length(text)) AS BIGINT) AS sum_len,
+             | count(DISTINCT md5(lang || ',"' || substr(text, 1, 20) || chr(10) || source)) AS n_tricky,
+             | CAST(sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             | CAST(sum(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+             | CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Entry("source_json_roundtrip",
+      // JSON lines: numbers ride Jackson's shortest-round-trip doubles,
+      // timestamps the ISO-8601 default (session TZ pinned UTC in both
+      // Verify and Bench). The grouped aggregate reads a count, an exact
+      // DECIMAL sum, timestamp min/max, and a distinct count back out.
+      (s, d) => {
+        val rt = graft.sources.Formats.roundTrip(
+          Tables.load(s, d, "orders"), "json",
+          scratchDir("source_json_roundtrip", d) + "/rt")
+        rt.groupBy("o_orderstatus").agg(
+            count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double"), 6).as("total"),
+            min(col("o_orderdate")).cast("timestamp_ntz").as("first_date"),
+            max(col("o_orderdate")).cast("timestamp_ntz").as("last_date"),
+            countDistinct(col("o_custkey")).as("n_cust"))
+          .orderBy("o_orderstatus")
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n_orders,
+             | round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS total,
+             | min(o_orderdate) AS first_date, max(o_orderdate) AS last_date,
+             | count(DISTINCT o_custkey) AS n_cust
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    Entry("source_orc_roundtrip",
+      // ORC: the other columnar format a lake actually contains. Binary
+      // round trip of the biggest fixture table, then the classic
+      // returnflag/linestatus rollup with exact DECIMAL sums and
+      // timestamp bounds over what came back.
+      (s, d) => {
+        val rt = graft.sources.Formats.roundTrip(
+          li(s, d), "orc", scratchDir("source_orc_roundtrip", d) + "/rt")
+        rt.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+            count(lit(1)).as("n"),
+            round(sum(col("l_quantity").cast("decimal(18,2)")).cast("double"), 6).as("sum_qty"),
+            round(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 6).as("sum_price"),
+            min(col("l_shipdate")).cast("timestamp_ntz").as("first_ship"),
+            max(col("l_shipdate")).cast("timestamp_ntz").as("last_ship"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("""SELECT l_returnflag, l_linestatus, count(*) AS n,
+             | round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_qty,
+             | round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 6) AS sum_price,
+             | min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
+             |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // ── entity-resolution (fuzzy) join (ext/FuzzyJoin.scala) ─────────
+
+    Entry("join_fuzzy_md5",
+      // blocking-then-verify record linkage, fully replayable: a dirty
+      // side derived by deleting one char at a doc_id-keyed position is
+      // matched back to the clean titles through 3-gram salted-md5
+      // MinHash bands, a clean-side block cap, a levenshtein(≤2) verify,
+      // and a best-(dist, clean_id) window select. Every hash crosses
+      // engines, so the oracle compares blocking RECALL too, not just
+      // verified survivors.
+      (s, d) => {
+        val clean = docs(s, d).select(col("doc_id"), substring(col("text"), 1, 48).as("s"))
+        val dirty = clean.select(col("doc_id"),
+          expr("concat(substring(s, 1, CAST(doc_id % 31 + 4 AS INT)), " +
+               "substring(s, CAST(doc_id % 31 + 6 AS INT), 64))").as("s"))
+        FuzzyJoin.resolve(dirty, clean, "doc_id", "s", FuzzyJoin.md5Buckets,
+          maxDist = 2, maxBucket = 64).orderBy("dirty_id")
+      },
+      Some(Oracles.fuzzyJoinMd5Oracle(maxDist = 2, maxBucket = 64))),
+
+    Entry("join_fuzzy",
+      // the production path: same blocking/verify/select machinery with
+      // salted-xxhash64 minima and 8-byte long band buckets (key width is
+      // the shuffle bill — the substring-gate lesson). Rows-only: the
+      // xxhash plane family is engine-internal; the md5 twin above gates
+      // the machinery, FuzzyJoinSpec pins this path against a brute-force
+      // levenshtein join on planted fixtures.
+      (s, d) => {
+        val clean = docs(s, d).select(col("doc_id"), substring(col("text"), 1, 48).as("s"))
+        val dirty = clean.select(col("doc_id"),
+          expr("concat(substring(s, 1, CAST(doc_id % 31 + 4 AS INT)), " +
+               "substring(s, CAST(doc_id % 31 + 6 AS INT), 64))").as("s"))
+        FuzzyJoin.resolve(dirty, clean, "doc_id", "s", FuzzyJoin.xxBuckets,
+          maxDist = 2, maxBucket = 64).orderBy("dirty_id")
+      },
+      None)
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.q).toMap

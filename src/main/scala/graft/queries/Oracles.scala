@@ -1302,4 +1302,45 @@ object Oracles {
        |FROM ef JOIN em USING (l_returnflag) JOIN exact USING (l_returnflag)
        |ORDER BY l_returnflag""".stripMargin
   }
+
+  /** Oracle for `join_fuzzy_md5`: the whole entity-resolution chain —
+    * deterministic dirty-side derivation (one char deleted at a
+    * doc_id-keyed position), 3-gram salted-md5 MinHash banding (the
+    * dedup_minhash_lsh recipe, cross-table), clean-side block-size cap,
+    * levenshtein verify, best-match window select — replayed verbatim.
+    * Both engines share every hash value, so blocking recall (which
+    * dirty rows surface a candidate at all) is part of the compared
+    * result, not a tolerance.
+    */
+  def fuzzyJoinMd5Oracle(maxDist: Int, maxBucket: Int): String = {
+    def minima(src: String): String =
+      s"""SELECT doc_id, min(md5('0|' || gram)) AS m0, min(md5('1|' || gram)) AS m1,
+         |        min(md5('2|' || gram)) AS m2, min(md5('3|' || gram)) AS m3
+         | FROM (SELECT doc_id, substr(s, i, 3) AS gram FROM
+         |        (SELECT doc_id, s, unnest(generate_series(1, greatest(len(s) - 2, 1))) AS i
+         |         FROM $src)) GROUP BY 1""".stripMargin
+    s"""WITH clean AS (SELECT doc_id, substr(text, 1, 48) AS s FROM documents),
+       |dirty AS (SELECT doc_id, substr(s, 1, CAST(doc_id % 31 + 4 AS INT)) ||
+       |                 substr(s, CAST(doc_id % 31 + 6 AS INT), 64) AS s FROM clean),
+       |cm AS (${minima("clean")}),
+       |dm AS (${minima("dirty")}),
+       |cb AS (SELECT DISTINCT clean_id, bucket FROM
+       |       (SELECT doc_id AS clean_id,
+       |               unnest([md5(m0 || '|' || m1), md5(m2 || '|' || m3)]) AS bucket FROM cm)),
+       |db AS (SELECT DISTINCT dirty_id, bucket FROM
+       |       (SELECT doc_id AS dirty_id,
+       |               unnest([md5(m0 || '|' || m1), md5(m2 || '|' || m3)]) AS bucket FROM dm)),
+       |keep AS (SELECT bucket FROM cb GROUP BY bucket HAVING count(*) <= $maxBucket),
+       |cand AS (SELECT DISTINCT db.dirty_id, cb.clean_id
+       |         FROM db JOIN keep ON keep.bucket = db.bucket
+       |                 JOIN cb ON cb.bucket = db.bucket),
+       |v AS (SELECT c.dirty_id, c.clean_id, CAST(levenshtein(d.s, cl.s) AS INT) AS dist
+       |      FROM cand c JOIN dirty d ON d.doc_id = c.dirty_id
+       |                  JOIN clean cl ON cl.doc_id = c.clean_id
+       |      WHERE levenshtein(d.s, cl.s) <= $maxDist),
+       |r AS (SELECT dirty_id, clean_id, dist,
+       |             row_number() OVER (PARTITION BY dirty_id ORDER BY dist, clean_id) AS rk
+       |      FROM v)
+       |SELECT dirty_id, clean_id, dist FROM r WHERE rk = 1 ORDER BY dirty_id""".stripMargin
+  }
 }

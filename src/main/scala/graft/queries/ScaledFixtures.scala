@@ -165,7 +165,7 @@ object ScaledFixtures {
     * are exclusively `documents`/`embeddings`.
     */
   def appliesTo(name: String): Boolean =
-    Seq("dedup_", "text_", "sim_", "emb_", "mm_", "pack_", "corpus_")
+    Seq("dedup_", "text_", "sim_", "emb_", "mm_", "pack_", "corpus_", "join_fuzzy")
       .exists(name.startsWith) ||
       name == "sample_hash" || name == "sample_stratified"
 }

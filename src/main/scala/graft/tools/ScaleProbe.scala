@@ -74,7 +74,7 @@ object ScaleProbe {
     "text_quality", "text_contamination", "pack_sequences", "sim_ivf",
     "sim_decontaminate",
     "graph_pagerank", "text_bm25_search", "dedup_semantic", "sim_pq_rerank",
-    "text_lm_score")
+    "text_lm_score", "join_fuzzy")
 
   /** Probe-only queries (not part of the declared surface): stress shapes
     * the bijective scaled corpus cannot produce. The scaled replicas'
@@ -244,6 +244,16 @@ object ScaleProbe {
                                      // clears it by an order of magnitude
                                      // where the old unreachable 5.0-over-
                                      // ~1.0 gated only the catastrophic
+    "join_fuzzy" -> 5.0,             // entity-resolution join, PRODUCTION
+                                     // (xxhash) mode: gram explode and
+                                     // minima are map-side linear; the
+                                     // block-cap bounds candidates at
+                                     // O(rows·bands·cap) so the verify
+                                     // join must scale with the corpus,
+                                     // never corpus² — super-linear here
+                                     // means blocks outgrew the cap's
+                                     // protection (e.g. a cap applied
+                                     // after the join instead of before)
     "dedup_substring_gate_xx" -> 5.0) // the streaming gate's whole state
                                      // machine in PRODUCTION (xxhash)
                                      // mode: seed (⅓ of the corpus —
