@@ -81,21 +81,30 @@ object FuzzyJoin {
               idCol: String, strCol: String,
               bucketer: (DataFrame, String, String) => DataFrame,
               maxDist: Int = 3, maxBucket: Int = 64): DataFrame = {
+    // The strings ride WITH the bucket rows (corpus-sized joins, before
+    // blocking), so the candidate join emits verifiable pairs directly
+    // and levenshtein runs INSIDE the bucket join's output stage. The
+    // first cut fetched strings by re-joining the candidate set back to
+    // both corpora — two sort-merge joins over the candidate volume
+    // (O(rows·bands·cap), 64M rows at the 500k-doc bench corpus), which
+    // the 4× probe measured as ~2000 task-CPU-s of pure sorting. A pair
+    // that matches in both bands costs one extra levenshtein here; the
+    // distinct happens after the ≤maxDist filter, on the tiny verified
+    // set, instead of on the full candidate volume.
     val db = bucketer(dirty, idCol, strCol)
       .withColumnRenamed("id", "dirty_id").distinct()
+      .join(dirty.select(col(idCol).as("dirty_id"), col(strCol).as("d_str")), "dirty_id")
     val cbAll = bucketer(clean, idCol, strCol)
       .withColumnRenamed("id", "clean_id").distinct()
     // clean-side hub cap: compute block sizes once, keep small blocks
     val keep = cbAll.groupBy("bucket").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= maxBucket).select("bucket")
     val cb = cbAll.join(keep, "bucket")
-    val cand = db.join(cb, "bucket")
-      .select("dirty_id", "clean_id").distinct()
-    val verified = cand
-      .join(dirty.select(col(idCol).as("dirty_id"), col(strCol).as("d_str")), "dirty_id")
       .join(clean.select(col(idCol).as("clean_id"), col(strCol).as("c_str")), "clean_id")
+    val verified = db.join(cb, "bucket")
       .withColumn("dist", levenshtein(col("d_str"), col("c_str")))
       .filter(col("dist") <= maxDist)
+      .select("dirty_id", "clean_id", "dist").distinct()
     val w = Window.partitionBy("dirty_id").orderBy(col("dist"), col("clean_id"))
     verified.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .select(col("dirty_id"), col("clean_id"), col("dist").cast("int").as("dist"))

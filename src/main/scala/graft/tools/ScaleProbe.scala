@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * vectors), same warm JVM. Linear paths should show ~4× wall; anything
   * past its family threshold is a scale bug the 500k corpus hid.
   *
-  * Output is a TRACKED artifact (default `/root/repo/SCALE_r11.json`):
+  * Output is a TRACKED artifact (default `/root/repo/SCALE_r12.json`):
   * per-query base/4× WALL seconds and PHYSICAL-WORK seconds (task CPU +
   * GC), both ratios, the threshold, and pass/fail — a family passes if
   * its wall ratio is under threshold, or if its work ratio is under
@@ -353,7 +353,7 @@ object ScaleProbe {
       "/root/testdata/sf0.1").split(",").toSeq
     val probes = sys.env.get("SPARK_GRAFT_SCALE_PROBES")
       .map(_.split(",").toSeq).getOrElse(DefaultProbes) ++ args
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALE_r11.json")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "/root/repo/SCALE_r12.json")
     if (sys.env.contains("SPARK_GRAFT_SCALE_CHILD")) runFamilies(probes, dirs, outPath)
     else runParent(probes.distinct, dirs, outPath)
   }
