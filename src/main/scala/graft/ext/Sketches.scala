@@ -256,6 +256,75 @@ object Sketches {
     }
   }
 
+  // ---- md5 count-min sketch: mergeable per-key frequency estimates ----
+  //
+  // The frequency sibling of the two sketch families above (Cormode &
+  // Muthukrishnan 2005): a d×w counter grid where every occurrence of a
+  // key increments one cell per row (cell = hash_r(key) mod w), and a
+  // key's frequency estimate is the MIN over its d cells — one-sided
+  // (never an undercount), error ≤ εN with probability 1−(1/e)^d for
+  // w = ⌈e/ε⌉. Counts are ADDITIVE, so the sketch-table maintenance
+  // step is a plain per-cell SUM: merge-then-estimate ≡ estimate-of-full
+  // EXACTLY, the same value-equality pinning as the md5-HLL registers
+  // (max) and the log-histogram (sum).
+  //
+  // Why this matters at 100 TB: the exact per-key frequency table
+  // (`profile_heavy_hitters`) is key-cardinality-sized and needs a full
+  // (key) shuffle per refresh; the CMS state is d·w rows — CONSTANT in
+  // both corpus size and key cardinality — maintained by sketching only
+  // the delta and summing. Probing k keys touches k·d cells of a
+  // broadcast-sized table.
+  //
+  // Cross-engine determinism: the row hash is md5 of "r:" + the key's
+  // decimal string (identical hex both sides); the cell is the first 3
+  // hex digits as an integer (w = 4096, the md5-HLL bucket geometry), so
+  // the ENTIRE sketch — cell assignment, counter sums, per-cell merge,
+  // min-query — replays in DuckDB and estimates cross bit-for-bit.
+
+  val CmsDepth = 4      // rows: P[overshoot > εN] ≤ e^-4 ≈ 1.8%
+  val CmsWidth = 4096   // 3 hex digits; ε = e/4096 ≈ 0.066%
+
+  /** Cell index of `value` under hash row `row`: first 3 hex digits of
+    * md5("row:value"). The (constant) row prefix makes the d hashes
+    * independent without needing d hash families.
+    */
+  private def cmsCell(value: Column, row: Int): Column =
+    conv(substring(md5(concat(lit(s"$row:"), value.cast("string")).cast("binary")),
+      1, 3), 16, 10).cast("long")
+
+  /** Build the (r, cell, cnt) counter table for the stream of `valueCol`
+    * occurrences. One explode (d rows per input) feeding a partial
+    * aggregation — the exchange carries at most d·w rows per partition.
+    */
+  def cmsTable(df: DataFrame, valueCol: String): DataFrame =
+    df.select(explode(array((0 until CmsDepth).map { r =>
+        struct(lit(r).as("r"), cmsCell(col(valueCol), r).as("cell"))
+      }: _*)).as("p"))
+      .groupBy(col("p.r").as("r"), col("p.cell").as("cell"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge counter tables (the maintenance step): union, per-cell SUM.
+    * Exact and associative — merged ≡ from-scratch bit-for-bit.
+    */
+  def cmsMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("r", "cell").agg(sum("cnt").as("cnt"))
+
+  /** Point-query `keys` (a frame with `keyCol`) against a counter table:
+    * estimate = min over the key's d cells, absent cells counting 0
+    * (unreachable for keys that occur in the sketched stream — their own
+    * occurrences populate all d cells). The counter table is d·w rows,
+    * so it broadcasts; the probe never shuffles the corpus.
+    */
+  def cmsEstimate(cms: DataFrame, keys: DataFrame, keyCol: String,
+                  outCol: String): DataFrame =
+    keys.select(col(keyCol), explode(array((0 until CmsDepth).map { r =>
+        struct(lit(r).as("r"), cmsCell(col(keyCol), r).as("cell"))
+      }: _*)).as("p"))
+      .select(col(keyCol), col("p.r").as("r"), col("p.cell").as("cell"))
+      .join(broadcast(cms), Seq("r", "cell"), "left_outer")
+      .groupBy(keyCol)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as(outCol))
+
   /** Full-outer merge of two (groupCols, sketch) tables under `union`:
     * groups new in either side pass through, both present → union. The
     * rename-prefix (fresh exprIds) matters — the two sketch tables often

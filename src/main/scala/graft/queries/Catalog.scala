@@ -744,6 +744,54 @@ object Catalog {
           .mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
       }),
 
+    Entry("profile_constraints",
+      // Deequ-style declarative constraint suite (Checks.run): six
+      // constraints over lineitem — completeness, two numeric ranges,
+      // an accepted-value set, compound-key uniqueness, and referential
+      // containment in orders — ALL evaluated in one aggregation pass
+      // (the RefIn left join folds into the same scan's lineage; the
+      // countDistinct shares it via Expand). The admission gate a
+      // 100 TB ingest runs per batch before committing: adding a
+      // constraint adds an aggregate column, never a table pass.
+      // Metrics are round(sum(indicator)/count, 6) — identical integer
+      // divisions on both engines — and `passed` compares the ROUNDED
+      // metric, so the flags cross engines too. The uniqueness row is
+      // the suite's deliberate RED row: the CDC fixture generator
+      // reuses (l_orderkey, l_linenumber) across versions, so the
+      // failure-reporting path is exercised (and oracled) on real data.
+      (s, d) => Checks.run(li(s, d), Seq(
+        Checks.NotNull("l_returnflag"),
+        Checks.Between("l_quantity", 1.0, 50.0),
+        Checks.Between("l_discount", 0.0, 0.1),
+        Checks.InSet("l_returnflag", Seq("A", "N", "R")),
+        Checks.Unique(Seq("l_orderkey", "l_linenumber")),
+        Checks.RefIn("l_orderkey", Tables.load(s, d, "orders"), "o_orderkey"))),
+      Some("""WITH refd AS (SELECT DISTINCT o_orderkey FROM orders),
+             |j AS (SELECT l.*, CASE WHEN r.o_orderkey IS NOT NULL THEN 1 ELSE 0 END AS refok
+             |      FROM lineitem l LEFT JOIN refd r ON l.l_orderkey = r.o_orderkey),
+             |a AS (SELECT count(*) AS n,
+             |        sum(CASE WHEN l_returnflag IS NOT NULL THEN 1 ELSE 0 END) AS m_nn,
+             |        sum(CASE WHEN CAST(l_quantity AS DOUBLE) BETWEEN 1.0 AND 50.0 THEN 1 ELSE 0 END) AS m_q,
+             |        sum(CASE WHEN CAST(l_discount AS DOUBLE) BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) AS m_d,
+             |        sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END) AS m_set,
+             |        count(DISTINCT (l_orderkey, l_linenumber)) AS m_u,
+             |        sum(refok) AS m_ref
+             |      FROM j)
+             |SELECT chk, metric, CAST(metric >= thr AS INT) AS passed FROM (
+             |  SELECT 'not_null(l_returnflag)' AS chk,
+             |    round(CAST(m_nn AS DOUBLE) / CAST(n AS DOUBLE), 6) AS metric, 1.0 AS thr FROM a
+             |  UNION ALL SELECT 'between(l_quantity,1.0,50.0)',
+             |    round(CAST(m_q AS DOUBLE) / CAST(n AS DOUBLE), 6), 1.0 FROM a
+             |  UNION ALL SELECT 'between(l_discount,0.0,0.1)',
+             |    round(CAST(m_d AS DOUBLE) / CAST(n AS DOUBLE), 6), 1.0 FROM a
+             |  UNION ALL SELECT 'in_set(l_returnflag)',
+             |    round(CAST(m_set AS DOUBLE) / CAST(n AS DOUBLE), 6), 1.0 FROM a
+             |  UNION ALL SELECT 'unique(l_orderkey,l_linenumber)',
+             |    round(CAST(m_u AS DOUBLE) / CAST(n AS DOUBLE), 6), 1.0 FROM a
+             |  UNION ALL SELECT 'ref_in(l_orderkey)',
+             |    round(CAST(m_ref AS DOUBLE) / CAST(n AS DOUBLE), 6), 1.0 FROM a
+             |) ORDER BY chk""".stripMargin)),
+
     // ----- §2.3/2.4 the CDC diff algebra
     Entry("hash_diff",
       (s, d) => Fixture.kinds(s, d).orderBy(keyCols: _*),
@@ -1172,6 +1220,44 @@ object Catalog {
           .orderBy("l_returnflag")
       },
       None),
+
+    Entry("agg_cms_freq",
+      // mergeable per-key FREQUENCY sketch (count-min, Cormode &
+      // Muthukrishnan 2005) — the frequency sibling of the HLL
+      // (distinct) and log-histogram (quantile) sketch tables, and the
+      // sketch answer to `profile_heavy_hitters`' exact key-cardinality
+      // table: d=4 × w=4096 counters (md5 row-salted cells, the
+      // md5-HLL hex geometry), CONSTANT state in both corpus size and
+      // key cardinality, maintained by sketching only the delta and
+      // per-cell SUM. Self-evidencing shape: exact top-10 l_suppkey
+      // frequencies vs the full sketch's min-query estimates vs the
+      // 90%-committed ∪ 10%-delta merged sketch's — counts are
+      // additive, so merge ≡ full is pinned by exact equality
+      // (`merge_exact`), and `overcount = est − exact ≥ 0` exposes the
+      // one-sided error for the oracle to cross-check bit-for-bit. The
+      // probe side broadcasts the 16k-row counter table; the corpus is
+      // touched exactly once.
+      (s, d) => {
+        val l = li(s, d)
+        val exact = l.groupBy(col("l_suppkey")).agg(count(lit(1)).as("exact_n"))
+        val probes = exact.orderBy(col("exact_n").desc, col("l_suppkey"))
+          .limit(10).select("l_suppkey")
+        val full = Sketches.cmsTable(l, "l_suppkey")
+        val merged = Sketches.cmsMerge(
+          Sketches.cmsTable(l.filter(col("l_orderkey") % 10 =!= 0), "l_suppkey"),
+          Sketches.cmsTable(l.filter(col("l_orderkey") % 10 === 0), "l_suppkey"))
+        Sketches.cmsEstimate(full, probes, "l_suppkey", "est_full")
+          .join(Sketches.cmsEstimate(merged, probes, "l_suppkey", "est_merged"),
+            Seq("l_suppkey"))
+          .join(exact, Seq("l_suppkey"))
+          .withColumn("merge_exact",
+            (col("est_full") === col("est_merged")).cast("int"))
+          .withColumn("overcount", col("est_full") - col("exact_n"))
+          .select(col("l_suppkey"), col("exact_n"), col("est_full"),
+            col("est_merged"), col("merge_exact"), col("overcount"))
+          .orderBy("l_suppkey")
+      },
+      Some(graft.queries.Oracles.cmsFreqOracle)),
 
     Entry("sql_group_agg",
       (s, d) => { // the spark.sql text surface over registered views
@@ -2609,6 +2695,33 @@ object Catalog {
         .withColumn("n_bigrams", col("n_bigrams").cast("long"))
         .orderBy("doc_id"),
       Some(Oracles.lmScoreOracle)),
+
+    Entry("text_nb_classifier",
+      // closed-form quality/language CLASSIFIER (TextClassifier): the
+      // linear bag-of-words filter stage of the public LLM-data recipes
+      // (GPT-3's quality classifier, CCNet's fastText), as multinomial
+      // Naive Bayes so the trained model is two aggregations instead of
+      // SGD. Weak labels come from langId over the doc_id % 5 training
+      // slice (is-English); every other doc is scored by the
+      // vocabulary-sized DECIMAL(28,9) weight table through a
+      // shuffle_hash join and decided at log-odds > 0. `actual_en` and
+      // `correct` expose the held-out confusion so the oracle gates the
+      // MODEL VALUES and the decisions, not just the plumbing.
+      (s, d) => {
+        val all = docs(s, d)
+        val nb = TextClassifier.train(all.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", TextStats.langId(col("text")) === "en")
+        TextClassifier.score(nb, all.filter(col("doc_id") % 5 =!= 0), "doc_id", "text")
+          .join(all.select(col("doc_id"),
+            (TextStats.langId(col("text")) === "en").cast("int").as("actual_en")),
+            Seq("doc_id"))
+          .withColumn("pred_en", (col("log_odds") > 0).cast("int"))
+          .withColumn("correct", (col("pred_en") === col("actual_en")).cast("int"))
+          .select(col("doc_id"), col("n_vocab_tokens"), col("log_odds"),
+            col("pred_en"), col("actual_en"), col("correct"))
+          .orderBy("doc_id")
+      },
+      Some(Oracles.nbClassifierOracle)),
 
     Entry("stream_lm_gate",
       // the streaming QUALITY gate's batch contract, oracled: the real

@@ -53,7 +53,10 @@ object Oracles {
     s"len(list_filter(string_split(text, ' '), w -> w IN ${inList(words)}))"
 
   /** Language-ID: same argmax CASE chain as [[TextStats.langId]]. */
-  val langIdSql: String = {
+  /** [[langIdSql]] without the trailing ORDER BY — embeddable as a CTE
+    * (the NB-classifier oracle derives its labels from it).
+    */
+  val langIdBody: String = {
     val scores = TextStats.LangStopwords.map { case (l, sw) => l -> s"s_$l" }
     val scoreDefs = TextStats.LangStopwords
       .map { case (l, sw) => s"${hits(sw)} AS s_$l" }.mkString(", ")
@@ -65,9 +68,10 @@ object Oracles {
     }.mkString(" ")
     s"""SELECT doc_id,
        | CASE WHEN ${names.mkString(" + ")} = 0 THEN 'und' $branches ELSE 'und' END AS lang_pred
-       |FROM (SELECT doc_id, $scoreDefs FROM documents)
-       |ORDER BY doc_id""".stripMargin
+       |FROM (SELECT doc_id, $scoreDefs FROM documents)""".stripMargin
   }
+
+  val langIdSql: String = s"$langIdBody\nORDER BY doc_id"
 
   /** Quality metrics: mirrors [[TextStats.tokensWs]]/[[TextStats.tokensBpeish]]/
     * [[TextStats.qualityScore]]. DuckDB regexp_replace needs the 'g' flag to
@@ -1301,6 +1305,83 @@ object Oracles {
        |          / CAST(exact_distinct AS DOUBLE), 6) AS rel_err
        |FROM ef JOIN em USING (l_returnflag) JOIN exact USING (l_returnflag)
        |ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** Oracle for `text_nb_classifier`: the whole closed-form NB pipeline
+    * replayed — langId labels over the % 5 training slice (the
+    * [[langIdBody]] CASE verbatim), per-class word counts, totals /
+    * vocabulary / priors, the 9-dp-rounded DECIMAL(28,9) weight table,
+    * the per-token scoring join, the exact decimal sum + prior bias,
+    * and the > 0 decision — so the model VALUES and the predictions
+    * cross engines bit-for-bit (the text_lm_score discipline applied to
+    * classification).
+    */
+  val nbClassifierOracle: String =
+    s"""WITH lid AS ($langIdBody),
+       |lab AS (SELECT doc_id, (lang_pred = 'en') AS pos FROM lid WHERE doc_id % 5 = 0),
+       |dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |tok AS (SELECT doc_id, unnest(ws) AS w FROM dd),
+       |tt AS (SELECT t.w, l.pos FROM tok t JOIN lab l USING (doc_id)),
+       |cw AS (SELECT w, sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cp,
+       |         sum(CASE WHEN pos THEN 0 ELSE 1 END) AS cn FROM tt GROUP BY 1),
+       |tot AS (SELECT sum(cp) AS tp, sum(cn) AS tn, count(*) AS v FROM cw),
+       |pri AS (SELECT sum(CASE WHEN pos THEN 1 ELSE 0 END) AS np,
+       |          sum(CASE WHEN pos THEN 0 ELSE 1 END) AS nn FROM lab),
+       |wt AS (SELECT w, CAST(round(ln((cp + 1.0) / CAST(tp + v AS DOUBLE))
+       |         - ln((cn + 1.0) / CAST(tn + v AS DOUBLE)), 9) AS DECIMAL(28,9)) AS wgt
+       |       FROM cw, tot),
+       |bias AS (SELECT CAST(round(ln(CAST(np AS DOUBLE)) - ln(CAST(nn AS DOUBLE)), 9)
+       |           AS DECIMAL(28,9)) AS b FROM pri),
+       |sc AS (SELECT t.doc_id, count(*) AS n_vocab_tokens,
+       |         CAST(round(sum(wt.wgt) + (SELECT b FROM bias), 6) AS DOUBLE) AS log_odds
+       |       FROM tok t JOIN wt ON wt.w = t.w
+       |       WHERE t.doc_id % 5 <> 0 GROUP BY 1)
+       |SELECT sc.doc_id, n_vocab_tokens, log_odds,
+       |  CAST(log_odds > 0 AS INT) AS pred_en,
+       |  CAST(lid.lang_pred = 'en' AS INT) AS actual_en,
+       |  CAST((log_odds > 0) = (lid.lang_pred = 'en') AS INT) AS correct
+       |FROM sc JOIN lid USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Oracle for `agg_cms_freq`: the md5 count-min sketch replayed — the
+    * d=4 × w=4096 counter grid (cell = first 3 md5 hex digits of
+    * "r:key"), per-cell counts, the committed ∪ delta per-cell SUM
+    * merge, and the min-over-rows point query for the top-10 probe keys.
+    * Counts are additive, so merged ≡ full is exact value equality in
+    * both engines (the same pinning as the md5-HLL max-merge).
+    */
+  val cmsFreqOracle: String = {
+    def hv(i: Int) = s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
+    val cell = s"${hv(1)} * 256 + ${hv(2)} * 16 + ${hv(3)}"
+    s"""WITH rows_r AS (SELECT unnest(generate_series(0, 3)) AS r),
+       |cc AS (SELECT l_orderkey, l_suppkey, r, $cell AS cell
+       |       FROM (SELECT l.l_orderkey, l.l_suppkey, rows_r.r,
+       |               md5(CAST(rows_r.r AS VARCHAR) || ':' ||
+       |                   CAST(l.l_suppkey AS VARCHAR)) AS m
+       |             FROM lineitem l CROSS JOIN rows_r)),
+       |cms_full AS (SELECT r, cell, count(*) AS cnt FROM cc GROUP BY 1, 2),
+       |cms_merged AS (SELECT r, cell, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+       |    SELECT r, cell, count(*) AS cnt FROM cc
+       |    WHERE l_orderkey % 10 <> 0 GROUP BY 1, 2
+       |  UNION ALL
+       |    SELECT r, cell, count(*) AS cnt FROM cc
+       |    WHERE l_orderkey % 10 = 0 GROUP BY 1, 2) GROUP BY 1, 2),
+       |exact AS (SELECT l_suppkey, count(*) AS exact_n FROM lineitem GROUP BY 1),
+       |probes AS (SELECT l_suppkey FROM exact
+       |           ORDER BY exact_n DESC, l_suppkey LIMIT 10),
+       |pc AS (SELECT l_suppkey, r, $cell AS cell
+       |       FROM (SELECT p.l_suppkey, rows_r.r,
+       |               md5(CAST(rows_r.r AS VARCHAR) || ':' ||
+       |                   CAST(p.l_suppkey AS VARCHAR)) AS m
+       |             FROM probes p CROSS JOIN rows_r)),
+       |ef AS (SELECT l_suppkey, min(coalesce(f.cnt, 0)) AS est_full
+       |       FROM pc LEFT JOIN cms_full f USING (r, cell) GROUP BY 1),
+       |em AS (SELECT l_suppkey, min(coalesce(g.cnt, 0)) AS est_merged
+       |       FROM pc LEFT JOIN cms_merged g USING (r, cell) GROUP BY 1)
+       |SELECT e.l_suppkey, exact_n, est_full, est_merged,
+       |  CAST(est_full = est_merged AS INT) AS merge_exact,
+       |  est_full - exact_n AS overcount
+       |FROM ef JOIN em USING (l_suppkey) JOIN exact e USING (l_suppkey)
+       |ORDER BY l_suppkey""".stripMargin
   }
 
   /** Oracle for `join_fuzzy_md5`: the whole entity-resolution chain —

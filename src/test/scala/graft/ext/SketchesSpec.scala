@@ -284,4 +284,59 @@ class SketchesSpec extends AnyFunSuite {
       assert(math.abs(r - 0.5) < 0.03, s"group $g: p50=$q true rank=$r")
     }
   }
+
+  // ---- count-min sketch (the frequency sibling) ----
+
+  test("CMS estimates are one-sided and inside the εN error bound on the real lineitem table") {
+    val l = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
+    val n = l.count()
+    val exact = l.groupBy("l_suppkey").agg(count(lit(1)).as("exact_n"))
+    val cms = Sketches.cmsTable(l, "l_suppkey")
+    // cell geometry: every cell id in [0, w), every row id in [0, d)
+    val cells = cms.collect()
+    assert(cells.forall { r =>
+      r.getInt(0) >= 0 && r.getInt(0) < Sketches.CmsDepth &&
+        r.getLong(1) >= 0L && r.getLong(1) < Sketches.CmsWidth
+    })
+    val est = Sketches.cmsEstimate(cms, exact, "l_suppkey", "est")
+      .join(exact, "l_suppkey").collect()
+      .map(r => (r.getLong(r.fieldIndex("est")), r.getLong(r.fieldIndex("exact_n"))))
+    // one-sided: the key's own occurrences are in all d of its cells
+    est.foreach { case (e, ex) => assert(e >= ex, s"undercount: $e < $ex") }
+    // CM bound: P[overshoot > (e/w)·N] ≤ e^-d per key; allow 3× headroom
+    // (deterministic on the fixed fixture — this pins the geometry works)
+    val bound = 3.0 * math.E / Sketches.CmsWidth * n
+    est.foreach { case (e, ex) =>
+      assert(e - ex <= bound, s"overshoot ${e - ex} > bound $bound (n=$n)")
+    }
+  }
+
+  test("CMS merge is the exact per-cell sum: merged table ≡ from-scratch table, estimates equal") {
+    val df = (1 to 9000).map(i => ((i * 37L) % 613L, i.toLong)).toDF("k", "seq")
+    val a = df.filter(col("seq") % 10 =!= 0)
+    val b = df.filter(col("seq") % 10 === 0)
+    val full = Sketches.cmsTable(df, "k")
+    val merged = Sketches.cmsMerge(Sketches.cmsTable(a, "k"), Sketches.cmsTable(b, "k"))
+    def cellsOf(t: org.apache.spark.sql.DataFrame) =
+      t.collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(cellsOf(merged) == cellsOf(full),
+      "additive counters: committed ∪ delta must equal from-scratch bit-for-bit")
+    // merge is commutative but NOT idempotent (counts add — unlike the
+    // HLL max-merge): replaying an absorbed delta double-counts it, so
+    // CDC replay safety must come from versioning, never from re-merge.
+    assert(cellsOf(Sketches.cmsMerge(Sketches.cmsTable(b, "k"), Sketches.cmsTable(a, "k")))
+      == cellsOf(full))
+    val remerged = cellsOf(Sketches.cmsMerge(merged, Sketches.cmsTable(b, "k")))
+    assert(remerged != cellsOf(full), "re-merging an absorbed delta must overcount")
+  }
+
+  test("CMS state is constant-size: d·w cells bound the table at any key cardinality") {
+    val wide = (1 to 20000).map(i => (i.toLong * 1000003L % 999999937L, i)).toDF("k", "i")
+    val cms = Sketches.cmsTable(wide, "k")
+    assert(cms.count() <= Sketches.CmsDepth.toLong * Sketches.CmsWidth)
+    // absent key: estimate is pure collision mass — small, never negative
+    val absent = Seq(-1L).toDF("k")
+    val e = Sketches.cmsEstimate(cms, absent, "k", "est").head().getLong(1)
+    assert(e >= 0L)
+  }
 }
