@@ -65,14 +65,77 @@ object Checks {
     def name = s"ref_in($column)"
   }
 
+  /** Additive constraint STATE for one batch: long-format
+    * (chk STRING, s BIGINT, n BIGINT) — the satisfied-row count and the
+    * row count per constraint. Counts are additive, so a committed
+    * state table is maintained by [[mergeStates]] over each delta's
+    * state — the sketch-table discipline ([[Sketches]]) applied to data
+    * quality: per-batch admission metrics at 100 TB without ever
+    * re-scanning the corpus. [[Unique]] is NOT additive (distinctness
+    * doesn't sum) and is rejected here — maintain it approximately with
+    * an HLL register table instead (`profile_constraints_incremental`
+    * composes [[Sketches.md5HllRegisters]] for exactly that).
+    * [[RefIn]] indicators are evaluated against the parent AS OF the
+    * batch — the honest CDC semantics (a parent key added later does
+    * not retroactively bless an old orphan).
+    */
+  def state(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    require(!checks.exists(_.isInstanceOf[Unique]),
+      "Unique is not additive — use an HLL register table for incremental uniqueness")
+    val one = aggRow(df, checks)
+    val rows = checks.zipWithIndex.map { case (chk, i) =>
+      struct(lit(chk.name).as("chk"), col(s"__m_$i").cast("long").as("s"),
+        col("__n").as("n"))
+    }
+    one.select(explode(array(rows: _*)).as("c"))
+      .select(col("c.chk").as("chk"), col("c.s").as("s"), col("c.n").as("n"))
+  }
+
+  /** The maintenance step: committed ∪ delta, per-constraint SUM.
+    * Exact and associative — merged ≡ from-scratch bit-for-bit.
+    */
+  def mergeStates(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("chk").agg(sum("s").as("s"), sum("n").as("n"))
+
+  /** Metrics from a (possibly merged) state table: the same
+    * (chk, metric, passed) contract as [[run]]. Thresholds join from the
+    * check list by constraint id.
+    */
+  def metricsFromState(st: DataFrame, checks: Seq[Check]): DataFrame = {
+    val thr = checks.foldRight(lit(null).cast("double")) { (c, acc) =>
+      when(col("chk") === c.name, lit(c.threshold)).otherwise(acc)
+    }
+    val metric = round(col("s").cast("double") / col("n").cast("double"), 6)
+    st.select(col("chk"), metric.as("metric"),
+        (metric >= thr).cast("int").as("passed"))
+      .orderBy("chk")
+  }
+
   /** Evaluate `checks` over `df` in one pass: a long-format frame
     * (chk STRING, metric DOUBLE, passed INT), one row per constraint,
     * ordered by constraint id.
     */
   def run(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val one = aggRow(df, checks)
+    // explode the 1-row aggregate into long format
+    val rows = checks.zipWithIndex.map { case (chk, i) =>
+      val metric = round(col(s"__m_$i").cast("double") / col("__n").cast("double"), 6)
+      struct(lit(chk.name).as("chk"), metric.as("metric"),
+        (metric >= lit(chk.threshold)).cast("int").as("passed"))
+    }
+    one.select(explode(array(rows: _*)).as("c"))
+      .select(col("c.chk").as("chk"), col("c.metric").as("metric"),
+        col("c.passed").as("passed"))
+      .orderBy("chk")
+  }
+
+  /** The shared single-pass aggregate: one row with `__n` (row count)
+    * and `__m_i` (constraint i's numerator). RefIn joins fold into the
+    * scanned frame first — each adds one found-flag column via a left
+    * join against the DISTINCT ref keys.
+    */
+  private def aggRow(df: DataFrame, checks: Seq[Check]): DataFrame = {
     require(checks.nonEmpty, "empty constraint suite")
-    // fold the RefIn joins into the scanned frame first: each adds one
-    // found-flag column via a left join against the DISTINCT ref keys
     val (joined, refFlags) = checks.zipWithIndex.foldLeft((df, Map.empty[String, String])) {
       case ((acc, flags), (RefIn(c, ref, rc, _), i)) =>
         val flag = s"__ref_$i"
@@ -94,16 +157,6 @@ object Checks {
         countDistinct(struct(cols.map(col): _*)).as(s"__m_$i")
       case (RefIn(_, _, _, _), i)    => sum(col(refFlags(s"ref_$i"))).as(s"__m_$i")
     }
-    val one = joined.agg(aggs.head, aggs.tail: _*)
-    // explode the 1-row aggregate into long format
-    val rows = checks.zipWithIndex.map { case (chk, i) =>
-      val metric = round(col(s"__m_$i").cast("double") / col("__n").cast("double"), 6)
-      struct(lit(chk.name).as("chk"), metric.as("metric"),
-        (metric >= lit(chk.threshold)).cast("int").as("passed"))
-    }
-    one.select(explode(array(rows: _*)).as("c"))
-      .select(col("c.chk").as("chk"), col("c.metric").as("metric"),
-        col("c.passed").as("passed"))
-      .orderBy("chk")
+    joined.agg(aggs.head, aggs.tail: _*)
   }
 }

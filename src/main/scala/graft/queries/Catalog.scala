@@ -651,6 +651,21 @@ object Catalog {
              |      < CAST(floor(r.rate * 65536) AS BIGINT)
              |ORDER BY d.doc_id""".stripMargin)),
 
+    Entry("corpus_mix_schedule",
+      // deterministic training-mixture SCHEDULE (Mix.schedule): the T5/
+      // Pile "mixture weights × token budget" step sample_temperature's
+      // per-row Bernoulli cannot express (admission there never sees
+      // the running total, so it cannot hit a token BUDGET). α = 0.5
+      // temperature weights in INTEGER arithmetic (floor∘sqrt is
+      // correctly rounded IEEE — reproducible anywhere, unlike ln),
+      // target_s = (budget·sw_s) div Σsw; each source admits docs in
+      // md5 order while cum_before < target; step interleaves sources
+      // round-robin. The per-source cumsum is two-phase (16-way hex
+      // shards + broadcast offsets — the packSequences prefix-scan
+      // discipline), never a one-task-per-source window.
+      (s, d) => Mix.schedule(docs(s, d), "doc_id", "source", "text", 0.4),
+      Some(graft.queries.Oracles.mixScheduleOracle)),
+
     Entry("corpus_shuffle_shard",
       // training-order shuffle + shard assignment: a deterministic
       // pseudo-random permutation (rank by md5 of the id — reproducible
@@ -791,6 +806,65 @@ object Catalog {
              |  UNION ALL SELECT 'ref_in(l_orderkey)',
              |    round(CAST(m_ref AS DOUBLE) / CAST(n AS DOUBLE), 6), 1.0 FROM a
              |) ORDER BY chk""".stripMargin)),
+
+    Entry("profile_constraints_incremental",
+      // the constraint suite under MAINTENANCE: per-batch additive
+      // constraint STATES (Checks.state — satisfied-count + row-count
+      // per constraint) merged by exact SUM (Checks.mergeStates), so a
+      // 100 TB table's admission metrics update per delta without ever
+      // re-scanning the corpus — the sketch-table discipline applied to
+      // data quality, pinned in-query by merge_exact against the
+      // from-scratch Checks.run. Uniqueness is NOT additive, so it
+      // rides the SAME maintenance shape approximately: md5-HLL
+      // register tables over the compound key (Sketches.md5HllRegisters
+      // composed ungrouped), committed ∪ delta max-merged — register
+      // merge is exactly idempotent, so its merge_exact pin is value
+      // equality too. RefIn indicators price each batch against the
+      // parent AS OF that batch (the honest CDC semantics).
+      (s, d) => {
+        val l = li(s, d)
+        val checks = Seq(
+          Checks.NotNull("l_returnflag"),
+          Checks.Between("l_quantity", 1.0, 50.0),
+          Checks.Between("l_discount", 0.0, 0.1),
+          Checks.InSet("l_returnflag", Seq("A", "N", "R")),
+          Checks.RefIn("l_orderkey", Tables.load(s, d, "orders"), "o_orderkey"))
+        val committed = l.filter(col("l_orderkey") % 10 =!= 0)
+        val delta = l.filter(col("l_orderkey") % 10 === 0)
+        val inc = Checks.metricsFromState(
+          Checks.mergeStates(Checks.state(committed, checks),
+            Checks.state(delta, checks)), checks)
+        val full = Checks.run(l, checks)
+          .withColumnRenamed("metric", "metric_full").drop("passed")
+        val base = inc.join(full, Seq("chk"))
+          .withColumn("merge_exact",
+            (col("metric") === col("metric_full")).cast("int"))
+          .select(col("chk"), col("metric"), col("passed"),
+            col("metric_full"), col("merge_exact"))
+        // approximate uniqueness under the same maintenance shape; the
+        // three scalars below are 1-row aggregates (driver-sized)
+        val key = concat_ws(":", col("l_orderkey"), col("l_linenumber"))
+        def regs(df: org.apache.spark.sql.DataFrame) =
+          Sketches.md5HllRegisters(df.withColumn("__k", key), Nil, "__k")
+        val n = l.count()
+        val estFull = Sketches.md5HllEstimate(regs(l), Nil, "est")
+          .head().getDouble(0)
+        val estMerged = Sketches.md5HllEstimate(
+          Sketches.md5HllMerge(regs(committed), regs(delta), Nil), Nil, "est")
+          .head().getDouble(0)
+        val ratio = BigDecimal(estMerged / n).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble
+        val ratioFull = BigDecimal(estFull / n).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble
+        val uniq = s.range(1).select(
+          lit("unique_approx(l_orderkey,l_linenumber)").as("chk"),
+          lit(ratio).as("metric"),
+          lit(if (ratio >= 0.7) 1 else 0).as("passed"),
+          lit(ratioFull).as("metric_full"),
+          lit(if (estFull == estMerged) 1 else 0).as("merge_exact"))
+        base.unionByName(uniq).orderBy("chk")
+      },
+      Some(graft.queries.Oracles.constraintsIncrementalOracle)),
 
     // ----- §2.3/2.4 the CDC diff algebra
     Entry("hash_diff",

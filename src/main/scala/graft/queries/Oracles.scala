@@ -1307,6 +1307,115 @@ object Oracles {
        |ORDER BY l_returnflag""".stripMargin
   }
 
+  /** Oracle for `profile_constraints_incremental`: the additive
+    * constraint states replayed slice by slice (committed = l_orderkey
+    * % 10 ≠ 0, delta = the rest), the per-constraint SUM merge, metrics
+    * from the merged sums vs the from-scratch pass, and the md5-HLL
+    * approximate-uniqueness registers (ungrouped [[md5HllOracle]]
+    * construction over the compound key) with their committed ∪ delta
+    * max-merge — every merge_exact pin recomputed independently.
+    */
+  val constraintsIncrementalOracle: String = {
+    def hv(i: Int) = s"(strpos('0123456789abcdef', substr(m, $i, 1)) - 1)"
+    val bucket = s"${hv(1)} * 256 + ${hv(2)} * 16 + ${hv(3)}"
+    val rest = (4 to 15).map(i => s"${hv(i)} * ${1L << (4 * (15 - i))}").mkString(" + ")
+    val rho = "CASE " + (1 to 48).map(k =>
+      s"WHEN rest >= ${1L << (48 - k)} THEN $k").mkString(" ") + " ELSE 49 END"
+    def est(regs: String) =
+      s"""SELECT round(CASE WHEN raw <= 10240.0::DOUBLE AND v > 0
+         |    THEN 4096.0::DOUBLE * ln(4096.0::DOUBLE / CAST(v AS DOUBLE))
+         |    ELSE raw END, 6) AS est
+         |  FROM (SELECT 0.7211100396160289::DOUBLE * 16777216.0::DOUBLE
+         |            * 562949953421312.0::DOUBLE / CAST(s AS DOUBLE) AS raw, v
+         |        FROM (SELECT sum(1::BIGINT << (49 - r))
+         |                + (4096 - count(*)) * 562949953421312::BIGINT AS s,
+         |                4096 - count(*) AS v
+         |              FROM $regs))""".stripMargin
+    val sums = """count(*) AS n,
+      |        sum(CASE WHEN l_returnflag IS NOT NULL THEN 1 ELSE 0 END) AS m_nn,
+      |        sum(CASE WHEN CAST(l_quantity AS DOUBLE) BETWEEN 1.0 AND 50.0 THEN 1 ELSE 0 END) AS m_q,
+      |        sum(CASE WHEN CAST(l_discount AS DOUBLE) BETWEEN 0.0 AND 0.1 THEN 1 ELSE 0 END) AS m_d,
+      |        sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END) AS m_set,
+      |        sum(refok) AS m_ref""".stripMargin
+    val checkRows = Seq(
+      ("not_null(l_returnflag)", "m_nn"),
+      ("between(l_quantity,1.0,50.0)", "m_q"),
+      ("between(l_discount,0.0,0.1)", "m_d"),
+      ("in_set(l_returnflag)", "m_set"),
+      ("ref_in(l_orderkey)", "m_ref")).map { case (name, c) =>
+      s"""SELECT '$name' AS chk,
+         |    round(CAST(mg.$c AS DOUBLE) / CAST(mg.n AS DOUBLE), 6) AS metric,
+         |    CAST(round(CAST(mg.$c AS DOUBLE) / CAST(mg.n AS DOUBLE), 6) >= 1.0 AS INT) AS passed,
+         |    round(CAST(f.$c AS DOUBLE) / CAST(f.n AS DOUBLE), 6) AS metric_full,
+         |    CAST(round(CAST(mg.$c AS DOUBLE) / CAST(mg.n AS DOUBLE), 6)
+         |       = round(CAST(f.$c AS DOUBLE) / CAST(f.n AS DOUBLE), 6) AS INT) AS merge_exact
+         |  FROM mg, f""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH refd AS (SELECT DISTINCT o_orderkey FROM orders),
+       |j AS (SELECT l.*, CASE WHEN r.o_orderkey IS NOT NULL THEN 1 ELSE 0 END AS refok
+       |      FROM lineitem l LEFT JOIN refd r ON l.l_orderkey = r.o_orderkey),
+       |a AS (SELECT (l_orderkey % 10 = 0) AS slice, $sums
+       |      FROM j GROUP BY 1),
+       |mg AS (SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(m_nn) AS BIGINT) AS m_nn,
+       |         CAST(sum(m_q) AS BIGINT) AS m_q, CAST(sum(m_d) AS BIGINT) AS m_d,
+       |         CAST(sum(m_set) AS BIGINT) AS m_set, CAST(sum(m_ref) AS BIGINT) AS m_ref
+       |       FROM a),
+       |f AS (SELECT $sums FROM j),
+       |h AS (SELECT l_orderkey % 10 AS sl,
+       |        md5(CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)) AS m
+       |      FROM lineitem),
+       |rr AS (SELECT sl, bucket, $rho AS rho
+       |       FROM (SELECT sl, $bucket AS bucket, $rest AS rest FROM h)),
+       |regs_full AS (SELECT bucket, max(rho) AS r FROM rr GROUP BY 1),
+       |regs_merged AS (SELECT bucket, max(r) AS r FROM (
+       |    SELECT bucket, max(rho) AS r FROM rr WHERE sl <> 0 GROUP BY 1
+       |  UNION ALL
+       |    SELECT bucket, max(rho) AS r FROM rr WHERE sl = 0 GROUP BY 1) GROUP BY 1),
+       |ef AS (${est("regs_full")}),
+       |em AS (${est("regs_merged")})
+       |SELECT * FROM (
+       |$checkRows
+       |  UNION ALL
+       |  SELECT 'unique_approx(l_orderkey,l_linenumber)' AS chk,
+       |    round(em.est / CAST(f.n AS DOUBLE), 6) AS metric,
+       |    CAST(round(em.est / CAST(f.n AS DOUBLE), 6) >= 0.7 AS INT) AS passed,
+       |    round(ef.est / CAST(f.n AS DOUBLE), 6) AS metric_full,
+       |    CAST(ef.est = em.est AS INT) AS merge_exact
+       |  FROM ef, em, f
+       |) ORDER BY chk""".stripMargin
+  }
+
+  /** Oracle for `corpus_mix_schedule`: the whole budgeted-mixture
+    * schedule replayed — per-source token mass, the 40% global budget,
+    * integer α=0.5 temperature targets (floor∘sqrt, integer division),
+    * the per-source md5-order running sum, prefix admission, and the
+    * round-robin interleave step. The two-phase sharded prefix scan on
+    * the Spark side must equal this single-window form exactly; every
+    * intermediate is integer arithmetic or correctly-rounded IEEE ops,
+    * so the schedule crosses engines bit-for-bit.
+    */
+  val mixScheduleOracle: String =
+    """WITH d AS (SELECT doc_id, source AS src,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |             md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+      |t AS (SELECT src, sum(n_tokens) AS tot FROM d GROUP BY 1),
+      |g AS (SELECT CAST(floor(0.4 * CAST(sum(tot) AS DOUBLE)) AS BIGINT) AS budget FROM t),
+      |w AS (SELECT src, CAST(floor(sqrt(CAST(tot AS DOUBLE))) AS BIGINT) AS sw FROM t),
+      |tg AS (SELECT src,
+      |         CAST(((SELECT budget FROM g) * sw) // (SELECT sum(sw) FROM w) AS BIGINT) AS target,
+      |         CAST(row_number() OVER (ORDER BY src) - 1 AS BIGINT) AS src_idx FROM w),
+      |sc AS (SELECT d.*, CAST(coalesce(sum(n_tokens) OVER (
+      |         PARTITION BY src ORDER BY hx, doc_id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+      |       FROM d),
+      |sel AS (SELECT sc.*, tg.target, tg.src_idx FROM sc JOIN tg USING (src)
+      |        WHERE cum_before < target),
+      |rk AS (SELECT sel.*, row_number() OVER (PARTITION BY src ORDER BY hx, doc_id) AS k
+      |       FROM sel)
+      |SELECT doc_id, src AS source, n_tokens, cum_before,
+      |  (k - 1) * (SELECT count(*) FROM tg) + src_idx AS step
+      |FROM rk ORDER BY step""".stripMargin
+
   /** Oracle for `text_nb_classifier`: the whole closed-form NB pipeline
     * replayed — langId labels over the % 5 training slice (the
     * [[langIdBody]] CASE verbatim), per-class word counts, totals /

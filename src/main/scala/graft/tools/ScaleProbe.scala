@@ -74,7 +74,7 @@ object ScaleProbe {
     "text_quality", "text_contamination", "pack_sequences", "sim_ivf",
     "sim_decontaminate",
     "graph_pagerank", "text_bm25_search", "dedup_semantic", "sim_pq_rerank",
-    "text_lm_score", "join_fuzzy")
+    "text_lm_score", "join_fuzzy", "text_nb_classifier", "corpus_mix_schedule")
 
   /** Probe-only queries (not part of the declared surface): stress shapes
     * the bijective scaled corpus cannot produce. The scaled replicas'
@@ -254,6 +254,22 @@ object ScaleProbe {
                                      // means blocks outgrew the cap's
                                      // protection (e.g. a cap applied
                                      // after the join instead of before)
+    "text_nb_classifier" -> 5.0,     // closed-form NB: train is one explode
+                                     // + vocab-sized aggregates over the
+                                     // 20% slice, scoring a shuffle_hash
+                                     // join of corpus tokens against the
+                                     // (constant) vocab table — linear in
+                                     // corpus tokens by construction;
+                                     // super-linear here means the weight
+                                     // table stopped being vocab-bounded
+    "corpus_mix_schedule" -> 5.0,    // budgeted mixture schedule: two
+                                     // passes of per-cell windows over
+                                     // 16·n_sources hex-shard cells plus
+                                     // two driver-sized collects — linear;
+                                     // super-linear means the prefix scan
+                                     // degenerated to one-task-per-source
+                                     // sorts (the shape the sharding
+                                     // exists to prevent)
     "dedup_substring_gate_xx" -> 5.0) // the streaming gate's whole state
                                      // machine in PRODUCTION (xxhash)
                                      // mode: seed (⅓ of the corpus —

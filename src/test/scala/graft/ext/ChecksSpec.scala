@@ -76,6 +76,34 @@ class ChecksSpec extends AnyFunSuite {
     assert(m("not_null(k)") == 1.0, "child cardinality changed by the ref join")
   }
 
+  test("constraint states merge by exact SUM: merged metrics equal the from-scratch pass") {
+    val checks = Seq(
+      Checks.NotNull("name"),
+      Checks.Between("qty", 0.0, 100.0),
+      Checks.InSet("flag", Seq("A", "N", "R")),
+      Checks.RefIn("k", parent, "pk"))
+    val a = fixture.filter(col("k") <= 3)
+    val b = fixture.filter(col("k") > 3)
+    val merged = Checks.metricsFromState(
+      Checks.mergeStates(Checks.state(a, checks), Checks.state(b, checks)), checks)
+      .collect().map(_.toSeq).toSeq
+    val full = Checks.run(fixture, checks).collect().map(_.toSeq).toSeq
+    assert(merged == full, "committed ∪ delta state must reproduce the full pass exactly")
+    // three-way split too (associativity over real batches)
+    val c3 = Seq(fixture.filter(col("k") <= 2), fixture.filter(col("k") === 3 || col("k") === 4),
+      fixture.filter(col("k") > 4)).map(Checks.state(_, checks))
+    val merged3 = Checks.metricsFromState(c3.reduce(Checks.mergeStates), checks)
+      .collect().map(_.toSeq).toSeq
+    assert(merged3 == full)
+  }
+
+  test("state rejects the non-additive Unique constraint") {
+    val e = intercept[IllegalArgumentException] {
+      Checks.state(fixture, Seq(Checks.Unique(Seq("k", "ln"))))
+    }
+    assert(e.getMessage.contains("not additive"))
+  }
+
   test("the declared profile_constraints suite on the real tables: five green, uniqueness red") {
     val l = spark.read.parquet(s"${TestSpark.Sf}/lineitem.parquet")
     val o = spark.read.parquet(s"${TestSpark.Sf}/orders.parquet")
