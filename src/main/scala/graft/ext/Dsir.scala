@@ -1,0 +1,128 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data Selection via Importance Resampling (extension beyond reference
+  * parity, SURVEY.md §7.5) — the published DSIR recipe (Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling"): fit
+  * two bag-of-hashed-n-gram models, one on a small TARGET domain corpus
+  * and one on the RAW pool, weight every raw document by its
+  * log importance ratio log p_target(x) − log p_raw(x), and resample a
+  * fixed budget without replacement by Gumbel-top-k. This is the data-
+  * selection step modern pretraining pipelines run between crawling and
+  * training; `text_nb_classifier` is its discriminative cousin (there
+  * the model separates two labeled slices; here it reweights toward an
+  * unlabeled target DISTRIBUTION).
+  *
+  * Closed-form and cross-engine deterministic by construction:
+  *  - features are unigrams ∪ bigrams of the whitespace token stream,
+  *    hashed into m = 4096 buckets via the first 3 hex digits of
+  *    md5("b:" + feature) — the [[Sketches]] count-min cell discipline,
+  *    so bucketing replays in any engine with md5.
+  *  - both multinomials are add-1 smoothed bucket-count tables; the
+  *    per-bucket log-ratio rounds to 9 dp and lands in DECIMAL(28,9)
+  *    (the [[TextClassifier]] weight discipline: ln arguments are IEEE
+  *    divisions of exact integers, the round absorbs last-ulp libm
+  *    differences, and the per-doc SUM is exact decimal arithmetic —
+  *    order-independent, so any partitioning reproduces it).
+  *  - Gumbel noise is derandomized the way every sampler in this repo
+  *    is: u = (first 6 md5 hex digits of "g:" + id + 0.5) / 16^6 is an
+  *    exact dyadic rational, g = round(−ln(−ln u), 9) is a fixed IEEE
+  *    function of it. Gumbel-top-k on (log_w + g) IS importance
+  *    resampling without replacement (the paper's Appendix A sampler) —
+  *    with the seed fixed, both engines rank the identical keys.
+  *
+  * Scale shape:
+  *  - the model is ≤ m = 4096 rows — BROADCAST to the scoring join, so
+  *    scoring a 100 TB pool is one map-side explode + one (id) partial
+  *    aggregation; nothing vocabulary-sized ever shuffles (unlike the
+  *    NB/LM scorers, whose open vocabularies force shuffle_hash).
+  *  - selection never runs a one-task global window: ranking the keys
+  *    is [[Packing.distributedRank]]'s two-phase prefix scan (range
+  *    partition → per-partition counts → broadcast offsets → parallel
+  *    per-partition row_number). Output rank is partition-independent.
+  *  - driver state: two scalar totals and the budget — O(1).
+  */
+object Dsir {
+  /** Hash buckets for the n-gram feature space (3 md5 hex digits). */
+  val Buckets = 4096
+
+  /** A fitted importance model: (b, wgt DECIMAL(28,9)) over every bucket
+    * observed in the RAW pool — any document drawn from that pool only
+    * probes buckets it populated itself, so the scoring join is total.
+    */
+  final case class Model(weights: DataFrame)
+
+  /** md5 bucket of one feature string (the count-min cell rule). */
+  private def bucket(f: Column): Column =
+    conv(substring(md5(concat(lit("b:"), f).cast("binary")), 1, 3), 16, 10)
+      .cast("long")
+
+  /** (id, b) hashed-feature stream: unigrams ∪ bigrams, built map-side
+    * from the token array (slice + zip_with — no self-join, no shuffle).
+    */
+  def featureBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val n1 = greatest(size(ws) - 1, lit(0))
+    val bigrams = zip_with(
+      slice(ws, lit(1), n1), slice(ws, lit(2), n1),
+      (a, b) => concat_ws(" ", a, b))
+    docs.select(col(idCol).as("id"), explode(concat(ws, bigrams)).as("f"))
+      .select(col("id"), bucket(col("f")).as("b"))
+  }
+
+  /** Fit the importance model: one feature pass over each corpus, two
+    * bucket-count aggregates (each ≤ m rows), a driver fold for the two
+    * totals, and the 9-dp log-ratio
+    *   wgt_b = ln((cp_b + 1)/(Tp + m)) − ln((cq_b + 1)/(Tq + m)).
+    */
+  def fit(target: DataFrame, raw: DataFrame, idCol: String, textCol: String): Model = {
+    val tb = featureBuckets(target, idCol, textCol)
+      .groupBy("b").agg(count(lit(1)).as("cp"))
+    val rb = featureBuckets(raw, idCol, textCol)
+      .groupBy("b").agg(count(lit(1)).as("cq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tp = tb.agg(sum("cp")).head().getLong(0)
+    val tq = rb.agg(sum("cq")).head().getLong(0)
+    Model(rb.join(tb, Seq("b"), "left_outer").select(col("b"),
+      round(log((coalesce(col("cp"), lit(0L)) + lit(1.0)) / lit((tp + Buckets).toDouble))
+          - log((col("cq") + lit(1.0)) / lit((tq + Buckets).toDouble)), 9)
+        .cast("decimal(28,9)").as("wgt")))
+  }
+
+  /** Score `docs` under a fitted model: (id, n_feats, log_w) with log_w
+    * still in DECIMAL(28,9) (callers add the Gumbel key in decimal space
+    * before any double cast). The model broadcasts; the only exchange is
+    * the per-id partial aggregation.
+    */
+  def logWeights(model: Model, docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    featureBuckets(docs, idCol, textCol)
+      .join(broadcast(model.weights), Seq("b"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_feats"),
+        // narrow the (38,9) sum back to (28,9) BEFORE later adds — the
+        // TextClassifier overflow-tie lesson
+        sum("wgt").cast("decimal(28,9)").as("log_w"))
+
+  /** Gumbel-top-k resampling of `scored` (the [[logWeights]] output):
+    * key = log_w + g(id), ranked by [[Packing.distributedRank]] on
+    * (key DESC, id). Returns (id, n_feats, log_w, sel_rank, picked) with
+    * picked = rank ≤ budget; log_w is surfaced as a 6-dp double, ranking
+    * happened on the exact decimals.
+    */
+  def select(scored: DataFrame, idCol: String, budget: Long): DataFrame = {
+    val u = (conv(substring(md5(concat(lit("g:"), col("id").cast("string"))
+        .cast("binary")), 1, 6), 16, 10).cast("double") + lit(0.5)) / lit(16777216.0)
+    val keyed = scored.withColumn("__g",
+        round(-log(-log(u)), 9).cast("decimal(28,9)"))
+      .withColumn("__key", (col("log_w") + col("__g")).cast("decimal(29,9)"))
+    Packing.distributedRank(keyed, Seq(col("__key").desc, col("id").asc))
+      .select(col("id").as(idCol), col("n_feats"),
+        // round in DECIMAL space, cast after (the TextClassifier
+        // near-tie lesson: rounding through a double diverges engines)
+        round(col("log_w"), 6).cast("double").as("log_w"),
+        col("rank").as("sel_rank"),
+        (col("rank") <= budget).cast("int").as("picked"))
+  }
+}

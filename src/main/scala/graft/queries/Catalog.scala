@@ -3653,7 +3653,43 @@ object Catalog {
         FuzzyJoin.resolve(dirty, clean, "doc_id", "s", FuzzyJoin.xxBuckets,
           maxDist = 2, maxBucket = 64).orderBy("dirty_id")
       },
-      None)
+      None),
+
+    // ── DSIR importance resampling (ext/Dsir.scala) ──────────────────
+
+    Entry("corpus_dsir_select",
+      // the published DSIR data-selection recipe (Xie et al. 2023) end
+      // to end: hashed-n-gram importance model fit on the doc_id % 11
+      // target slice vs the raw pool, every raw doc weighted by its
+      // 9-dp DECIMAL log importance ratio, and a quarter-of-the-pool
+      // budget resampled without replacement by DERANDOMIZED
+      // Gumbel-top-k (md5-dyadic uniforms). The model broadcasts
+      // (≤4096 rows); ranking is the two-phase distributedRank prefix
+      // scan, never a one-task window. The oracle replays the whole
+      // chain — buckets, both multinomials, log-ratios, decimal sums,
+      // Gumbel keys, the full selection permutation — in DuckDB.
+      (s, d) => {
+        val all = docs(s, d)
+        val target = all.filter(col("doc_id") % 11 === 0)
+        val raw = all.filter(col("doc_id") % 11 =!= 0)
+        val scored = Dsir.logWeights(Dsir.fit(target, raw, "doc_id", "text"),
+            raw, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        Dsir.select(scored, "doc_id", scored.count() / 4).orderBy("doc_id")
+      },
+      Some(Oracles.dsirSelectOracle)),
+
+    // ── JL sign random projection (ext/RandomProjection.scala) ───────
+
+    Entry("emb_project_rp",
+      // Achlioptas ±1 Johnson–Lindenstrauss projection 64 → 16 dims in
+      // EXACT integer arithmetic (inputs floor-quantized to 1e-6 first,
+      // the sign matrix an md5-derived plan literal) — one map-side
+      // zip_with/aggregate pass, zero joins, zero shuffles before the
+      // output sort. DuckDB recomputes every sign and every projection
+      // value bit-for-bit.
+      (s, d) => RandomProjection.project(embs(s, d), "vec_id", "embedding"),
+      Some(Oracles.embProjectRpOracle))
   )
 
   val queries: Map[String, Q] = entries.map(e => e.name -> e.q).toMap

@@ -1533,4 +1533,68 @@ object Oracles {
        |      FROM v)
        |SELECT dirty_id, clean_id, dist FROM r WHERE rk = 1 ORDER BY dirty_id""".stripMargin
   }
+
+  /** Oracle for `corpus_dsir_select`: the whole DSIR chain replayed —
+    * unigram∪bigram features, md5 3-hex-digit buckets (the count-min
+    * cell rule), add-1 smoothed target/raw multinomials, 9-dp
+    * DECIMAL(28,9) log-ratios summed exactly per doc, derandomized
+    * Gumbel keys from md5-dyadic uniforms, and the full
+    * selection permutation (row_number over the exact decimal keys).
+    * The budget is pool_size // 4, computed from the same scored set.
+    */
+  val dsirSelectOracle: String = {
+    def hv(m: String, i: Int) = s"(strpos('0123456789abcdef', substr($m, $i, 1)) - 1)"
+    def cell(m: String) = s"(${hv(m, 1)} * 256 + ${hv(m, 2)} * 16 + ${hv(m, 3)})"
+    val hex6 = (1 to 6).map(i => s"${hv("m", i)} * ${math.pow(16, 6 - i).toLong}")
+      .mkString(" + ")
+    s"""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |uni AS (SELECT doc_id, unnest(ws) AS f FROM dd),
+       |x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+       |      FROM dd WHERE len(ws) >= 2),
+       |bi AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS f FROM x),
+       |fb AS (SELECT doc_id, ${cell("md5('b:' || f)")} AS b
+       |       FROM (SELECT doc_id, f FROM uni UNION ALL SELECT doc_id, f FROM bi)),
+       |tb AS (SELECT b, count(*) AS cp FROM fb WHERE doc_id % 11 = 0 GROUP BY 1),
+       |rb AS (SELECT b, count(*) AS cq FROM fb WHERE doc_id % 11 <> 0 GROUP BY 1),
+       |tt AS (SELECT coalesce(sum(cp), 0) AS tp FROM tb),
+       |rt AS (SELECT coalesce(sum(cq), 0) AS tq FROM rb),
+       |w AS (SELECT rb.b, CAST(round(
+       |        ln((coalesce(tb.cp, 0) + 1) / ((SELECT tp FROM tt) + 4096.0))
+       |        - ln((rb.cq + 1) / ((SELECT tq FROM rt) + 4096.0)), 9)
+       |        AS DECIMAL(28,9)) AS wgt
+       |      FROM rb LEFT JOIN tb USING (b)),
+       |s AS (SELECT fb.doc_id, count(*) AS n_feats,
+       |        CAST(sum(w.wgt) AS DECIMAL(28,9)) AS lw
+       |      FROM fb JOIN w USING (b) WHERE fb.doc_id % 11 <> 0 GROUP BY 1),
+       |g AS (SELECT doc_id, n_feats, lw,
+       |        CAST(round(-ln(-ln(($hex6 + 0.5) / 16777216.0)), 9)
+       |             AS DECIMAL(28,9)) AS gn
+       |      FROM (SELECT doc_id, n_feats, lw,
+       |              md5('g:' || CAST(doc_id AS VARCHAR)) AS m FROM s)),
+       |r AS (SELECT doc_id, n_feats, lw,
+       |        row_number() OVER (ORDER BY (lw + gn) DESC, doc_id) AS rnk FROM g)
+       |SELECT doc_id, n_feats, CAST(round(lw, 6) AS DOUBLE) AS log_w,
+       |  rnk AS sel_rank,
+       |  CAST(rnk <= (SELECT count(*) // 4 FROM s) AS INT) AS picked
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  /** Oracle for `emb_project_rp`: every ±1 sign recomputed from
+    * md5("rp:j:i"), every input floor-quantized to 1e-6, every
+    * projection the exact BIGINT dot product.
+    */
+  val embProjectRpOracle: String =
+    """WITH sgn AS (
+      |  SELECT j, i, CASE WHEN strpos('01234567', substr(
+      |      md5('rp:' || CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 1)) > 0
+      |    THEN 1 ELSE -1 END AS s
+      |  FROM (SELECT unnest(generate_series(0, 15)) AS j)
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)),
+      |q AS (SELECT vec_id, i - 1 AS i,
+      |        CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+      |      FROM (SELECT vec_id, embedding,
+      |              unnest(generate_series(1, len(embedding))) AS i FROM embeddings))
+      |SELECT q.vec_id, sgn.j, CAST(sum(sgn.s * q.q) AS BIGINT) AS proj
+      |FROM q JOIN sgn ON sgn.i = q.i
+      |GROUP BY 1, 2 ORDER BY vec_id, j""".stripMargin
 }

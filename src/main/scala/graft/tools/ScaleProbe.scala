@@ -74,7 +74,8 @@ object ScaleProbe {
     "text_quality", "text_contamination", "pack_sequences", "sim_ivf",
     "sim_decontaminate",
     "graph_pagerank", "text_bm25_search", "dedup_semantic", "sim_pq_rerank",
-    "text_lm_score", "join_fuzzy", "text_nb_classifier", "corpus_mix_schedule")
+    "text_lm_score", "join_fuzzy", "text_nb_classifier", "corpus_mix_schedule",
+    "corpus_dsir_select")
 
   /** Probe-only queries (not part of the declared surface): stress shapes
     * the bijective scaled corpus cannot produce. The scaled replicas'
