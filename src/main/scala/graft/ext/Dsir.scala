@@ -72,24 +72,43 @@ object Dsir {
       .select(col("id"), bucket(col("f")).as("b"))
   }
 
-  /** Fit the importance model: one feature pass over each corpus, two
-    * bucket-count aggregates (each ≤ m rows), a driver fold for the two
-    * totals, and the 9-dp log-ratio
-    *   wgt_b = ln((cp_b + 1)/(Tp + m)) − ln((cq_b + 1)/(Tq + m)).
+  /** Per-bucket feature counts of one corpus — the model's STATE. At
+    * most m rows, and ADDITIVE: counts from disjoint corpus slices merge
+    * by per-bucket SUM ([[mergeCounts]]), so the model maintains per
+    * delta without re-scanning the pool (the [[Sketches.cmsMerge]] /
+    * [[Checks.mergeStates]] discipline — merged ≡ from-scratch exactly).
     */
-  def fit(target: DataFrame, raw: DataFrame, idCol: String, textCol: String): Model = {
-    val tb = featureBuckets(target, idCol, textCol)
-      .groupBy("b").agg(count(lit(1)).as("cp"))
-    val rb = featureBuckets(raw, idCol, textCol)
-      .groupBy("b").agg(count(lit(1)).as("cq"))
+  def bucketCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    featureBuckets(docs, idCol, textCol)
+      .groupBy("b").agg(count(lit(1)).cast("long").as("cnt"))
+
+  /** Maintenance step: union + per-bucket SUM. Exact and associative. */
+  def mergeCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("b").agg(sum("cnt").as("cnt"))
+
+  /** Fit the importance model from the two count states: a driver fold
+    * for the totals and the 9-dp log-ratio
+    *   wgt_b = ln((cp_b + 1)/(Tp + m)) − ln((cq_b + 1)/(Tq + m))
+    * over every bucket the RAW pool populates.
+    */
+  def fitFromCounts(targetCounts: DataFrame, rawCounts: DataFrame): Model = {
+    val tb = targetCounts.select(col("b"), col("cnt").as("cp"))
+    val rb = rawCounts.select(col("b"), col("cnt").as("cq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tp = tb.agg(sum("cp")).head().getLong(0)
-    val tq = rb.agg(sum("cq")).head().getLong(0)
+    val tp = tb.agg(coalesce(sum("cp"), lit(0L))).head().getLong(0)
+    val tq = rb.agg(coalesce(sum("cq"), lit(0L))).head().getLong(0)
     Model(rb.join(tb, Seq("b"), "left_outer").select(col("b"),
       round(log((coalesce(col("cp"), lit(0L)) + lit(1.0)) / lit((tp + Buckets).toDouble))
           - log((col("cq") + lit(1.0)) / lit((tq + Buckets).toDouble)), 9)
         .cast("decimal(28,9)").as("wgt")))
   }
+
+  /** Fit from the corpora directly: one feature pass over each, then
+    * [[fitFromCounts]].
+    */
+  def fit(target: DataFrame, raw: DataFrame, idCol: String, textCol: String): Model =
+    fitFromCounts(bucketCounts(target, idCol, textCol),
+      bucketCounts(raw, idCol, textCol))
 
   /** Score `docs` under a fitted model: (id, n_feats, log_w) with log_w
     * still in DECIMAL(28,9) (callers add the Gumbel key in decimal space

@@ -182,7 +182,20 @@ object SubstringDedup {
       .select(col("id"),
         explode(graft.functions.text.gram_fingerprint_counts(col("__t"), L)).as("g"))
       .select(col("id"), col("g.h").as("h"), col("g.cnt").as("cnt"))
-    val dup = grams
+    // The window's exchange is EXPLICITLY partitioned, count sized by
+    // the corpus (~7.8k docs' gram rows ≈ one 64 MB sort partition), so
+    // bytes-per-partition — and with them the window sorter's working
+    // set per task — stay CONSTANT as the corpus grows. Leaving the
+    // count to the session posture let the sorter cross its spill cliff
+    // super-linearly: the r12 probe read the 4× leg at 7.4× warm task
+    // CPU (96 GB spilled vs 10.7 at base) because AQE's 64 MB advisory
+    // target normalizes COMPRESSED shuffle bytes, and these rows (two
+    // longs and an int of near-random bits) decompress to ~4× that in
+    // sorter memory. Re-measured with the explicit rule: 3.0× CPU /
+    // 3.7× wall at 4× data — linear. At 100 TB the same rule sizes
+    // ~1.5M partitions, exactly how a deployment would run it.
+    val nParts = math.max(32, math.ceil(docs.count() / 7800.0).toInt)
+    val dup = grams.repartition(nParts, col("h"))
       .withColumn("nd", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("h")))
       .filter(col("nd") >= 2)

@@ -3679,6 +3679,37 @@ object Catalog {
       },
       Some(Oracles.dsirSelectOracle)),
 
+    Entry("corpus_dsir_incremental",
+      // DSIR model MAINTENANCE: the model state is two additive
+      // bucket-count tables (≤4096 rows each), so a delta updates it by
+      // per-bucket SUM without re-scanning the pool — the sketch-table
+      // discipline applied to data selection. The query rebuilds the
+      // raw-side state from a doc_id % 2 split of the pool, merges,
+      // fits from the merged state, and compares per-bucket weights
+      // against the from-scratch fit: `merge_exact` crosses engines as
+      // a column, the weight VALUES as 6-dp doubles.
+      (s, d) => {
+        val all = docs(s, d)
+        val raw = all.filter(col("doc_id") % 11 =!= 0)
+        val tc = Dsir.bucketCounts(all.filter(col("doc_id") % 11 === 0),
+          "doc_id", "text")
+        val full = Dsir.bucketCounts(raw, "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val merged = Dsir.mergeCounts(
+          Dsir.bucketCounts(raw.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
+          Dsir.bucketCounts(raw.filter(col("doc_id") % 2 =!= 0), "doc_id", "text"))
+        val wFull = Dsir.fitFromCounts(tc, full).weights
+        val wMerged = Dsir.fitFromCounts(tc, merged).weights
+          .withColumnRenamed("wgt", "wgt_m")
+        wFull.join(wMerged, Seq("b"))
+          .join(full.select(col("b"), col("cnt").as("cq")), Seq("b"))
+          .select(col("b"), col("cq"),
+            round(col("wgt"), 6).cast("double").as("wgt"),
+            (col("wgt") === col("wgt_m")).cast("int").as("merge_exact"))
+          .orderBy("b")
+      },
+      Some(Oracles.dsirIncrementalOracle)),
+
     // ── JL sign random projection (ext/RandomProjection.scala) ───────
 
     Entry("emb_project_rp",

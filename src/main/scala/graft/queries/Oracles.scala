@@ -1579,6 +1579,46 @@ object Oracles {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** Oracle for `corpus_dsir_incremental`: both fits replayed — the
+    * from-scratch raw-side bucket counts and the two-batch merged state
+    * (per-bucket SUM over the % 2 split), the identical log-ratio
+    * formula over each, per-bucket weight values as 6-dp doubles, and
+    * the merged ≡ full pin as an integer column.
+    */
+  val dsirIncrementalOracle: String = {
+    def hv(m: String, i: Int) = s"(strpos('0123456789abcdef', substr($m, $i, 1)) - 1)"
+    def cell(m: String) = s"(${hv(m, 1)} * 256 + ${hv(m, 2)} * 16 + ${hv(m, 3)})"
+    def wgt(src: String) =
+      s"""CAST(round(ln((coalesce(tb.cp, 0) + 1) / ((SELECT tp FROM tt) + 4096.0))
+         |     - ln(($src.cq + 1) / ((SELECT tq FROM rt) + 4096.0)), 9)
+         |     AS DECIMAL(28,9))""".stripMargin
+    s"""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+       |uni AS (SELECT doc_id, unnest(ws) AS f FROM dd),
+       |x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+       |      FROM dd WHERE len(ws) >= 2),
+       |bi AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] AS f FROM x),
+       |fb AS (SELECT doc_id, ${cell("md5('b:' || f)")} AS b
+       |       FROM (SELECT doc_id, f FROM uni UNION ALL SELECT doc_id, f FROM bi)),
+       |tb AS (SELECT b, count(*) AS cp FROM fb WHERE doc_id % 11 = 0 GROUP BY 1),
+       |rb AS (SELECT b, count(*) AS cq FROM fb WHERE doc_id % 11 <> 0 GROUP BY 1),
+       |rm AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS cq FROM (
+       |    SELECT b, count(*) AS cnt FROM fb
+       |    WHERE doc_id % 11 <> 0 AND doc_id % 2 = 0 GROUP BY 1
+       |  UNION ALL
+       |    SELECT b, count(*) AS cnt FROM fb
+       |    WHERE doc_id % 11 <> 0 AND doc_id % 2 <> 0 GROUP BY 1) GROUP BY 1),
+       |tt AS (SELECT coalesce(sum(cp), 0) AS tp FROM tb),
+       |rt AS (SELECT coalesce(sum(cq), 0) AS tq FROM rb),
+       |wf AS (SELECT rb.b, rb.cq, ${wgt("rb")} AS wgt
+       |       FROM rb LEFT JOIN tb USING (b)),
+       |wm AS (SELECT rm.b, ${wgt("rm")} AS wgt
+       |       FROM rm LEFT JOIN tb USING (b))
+       |SELECT wf.b, wf.cq, CAST(round(wf.wgt, 6) AS DOUBLE) AS wgt,
+       |  CAST(wf.wgt = wm.wgt AS INT) AS merge_exact
+       |FROM wf JOIN wm ON wm.b = wf.b
+       |ORDER BY wf.b""".stripMargin
+  }
+
   /** Oracle for `emb_project_rp`: every ±1 sign recomputed from
     * md5("rp:j:i"), every input floor-quantized to 1e-6, every
     * projection the exact BIGINT dot product.

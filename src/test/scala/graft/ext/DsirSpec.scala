@@ -106,6 +106,31 @@ class DsirSpec extends AnyFunSuite {
     assert(out.map(_.getLong(3)).sorted.toSeq == (1L to n).toSeq)
   }
 
+  test("bucket-count state is additive: 3-way merge ≡ from-scratch exactly") {
+    val df = fixture.toDF("doc_id", "text")
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = asMap(Dsir.bucketCounts(df, "doc_id", "text"))
+    val merged = asMap(Seq(0, 1, 2)
+      .map(k => Dsir.bucketCounts(df.filter(col("doc_id") % 3 === k), "doc_id", "text"))
+      .reduce(Dsir.mergeCounts))
+    assert(merged == full)
+  }
+
+  test("fitting from a merged state yields bit-identical weights to from-scratch") {
+    val df = fixture.toDF("doc_id", "text")
+    val tc = Dsir.bucketCounts(df.filter(col("doc_id") % 11 === 0), "doc_id", "text")
+    val raw = df.filter(col("doc_id") % 11 =!= 0)
+    def weights(rc: org.apache.spark.sql.DataFrame) =
+      Dsir.fitFromCounts(tc, rc).weights.collect()
+        .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val full = weights(Dsir.bucketCounts(raw, "doc_id", "text"))
+    val merged = weights(Dsir.mergeCounts(
+      Dsir.bucketCounts(raw.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
+      Dsir.bucketCounts(raw.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")))
+    assert(full == merged)
+  }
+
   test("real documents: model broadcasts and the budget holds") {
     val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
     val target = docs.filter(col("doc_id") % 11 === 0)
