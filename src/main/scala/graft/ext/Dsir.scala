@@ -97,10 +97,21 @@ object Dsir {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tp = tb.agg(coalesce(sum("cp"), lit(0L))).head().getLong(0)
     val tq = rb.agg(coalesce(sum("cq"), lit(0L))).head().getLong(0)
-    Model(rb.join(tb, Seq("b"), "left_outer").select(col("b"),
+    val w = rb.join(tb, Seq("b"), "left_outer").select(col("b"),
       round(log((coalesce(col("cp"), lit(0L)) + lit(1.0)) / lit((tp + Buckets).toDouble))
           - log((col("cq") + lit(1.0)) / lit((tq + Buckets).toDouble)), 9)
-        .cast("decimal(28,9)").as("wgt")))
+        .cast("decimal(28,9)").as("wgt"))
+    // the model is ≤ Buckets = 4096 rows by construction: materialize it
+    // to the driver, UNPERSIST the raw-count cache (ADVICE r11 — fit used
+    // to leak a cached plan per call, against the Dedup/Bpe/Graph
+    // discipline), and rebuild as a local frame. This also severs the
+    // model's lineage from the pool scan, so the scoring broadcast ships
+    // 4096 literal rows instead of re-deriving them from the corpus.
+    val rows = w.collect()
+    rb.unpersist()
+    val spark = rawCounts.sparkSession
+    Model(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toIndexedSeq, 1), w.schema))
   }
 
   /** Fit from the corpora directly: one feature pass over each, then
@@ -110,10 +121,13 @@ object Dsir {
     fitFromCounts(bucketCounts(target, idCol, textCol),
       bucketCounts(raw, idCol, textCol))
 
-  /** Score `docs` under a fitted model: (id, n_feats, log_w) with log_w
-    * still in DECIMAL(28,9) (callers add the Gumbel key in decimal space
-    * before any double cast). The model broadcasts; the only exchange is
-    * the per-id partial aggregation.
+  /** Score `docs` under a fitted model: (idCol, n_feats, log_w) with
+    * log_w still in DECIMAL(28,9) (callers add the Gumbel key in decimal
+    * space before any double cast). The model broadcasts; the only
+    * exchange is the per-id partial aggregation. The caller's id column
+    * NAME is preserved so [[select]] resolves it by `idCol` (ADVICE r11:
+    * the old (id, …) schema made select's idCol parameter a rename-only
+    * fiction that blew up on any frame actually keyed by idCol).
     */
   def logWeights(model: Model, docs: DataFrame, idCol: String, textCol: String): DataFrame =
     featureBuckets(docs, idCol, textCol)
@@ -123,6 +137,7 @@ object Dsir {
         // narrow the (38,9) sum back to (28,9) BEFORE later adds — the
         // TextClassifier overflow-tie lesson
         sum("wgt").cast("decimal(28,9)").as("log_w"))
+      .withColumnRenamed("id", idCol)
 
   /** Gumbel-top-k resampling of `scored` (the [[logWeights]] output):
     * key = log_w + g(id), ranked by [[Packing.distributedRank]] on
@@ -131,13 +146,14 @@ object Dsir {
     * happened on the exact decimals.
     */
   def select(scored: DataFrame, idCol: String, budget: Long): DataFrame = {
-    val u = (conv(substring(md5(concat(lit("g:"), col("id").cast("string"))
+    val id = col(idCol)
+    val u = (conv(substring(md5(concat(lit("g:"), id.cast("string"))
         .cast("binary")), 1, 6), 16, 10).cast("double") + lit(0.5)) / lit(16777216.0)
     val keyed = scored.withColumn("__g",
         round(-log(-log(u)), 9).cast("decimal(28,9)"))
       .withColumn("__key", (col("log_w") + col("__g")).cast("decimal(29,9)"))
-    Packing.distributedRank(keyed, Seq(col("__key").desc, col("id").asc))
-      .select(col("id").as(idCol), col("n_feats"),
+    Packing.distributedRank(keyed, Seq(col("__key").desc, id.asc))
+      .select(id, col("n_feats"),
         // round in DECIMAL space, cast after (the TextClassifier
         // near-tie lesson: rounding through a double diverges engines)
         round(col("log_w"), 6).cast("double").as("log_w"),

@@ -53,8 +53,16 @@ object RandomProjection {
   def project(embs: DataFrame, idCol: String, vecCol: String,
               outDim: Int = OutDims, inDim: Int = 64): DataFrame = {
     val sg = signs(outDim, inDim)
+    // fail LOUDLY on a dimension mismatch: zip_with null-pads the shorter
+    // side, so a wrong-width vector would otherwise yield a silent NULL
+    // projection while the DuckDB oracle computes partial sums over the
+    // overlapping dims — a quiet cross-engine divergence (ADVICE r11).
+    val vec = when(size(col(vecCol)) === inDim, col(vecCol)).otherwise(
+      raise_error(concat(
+        lit(s"RandomProjection.project: expected $inDim-dim vector, got "),
+        size(col(vecCol)).cast("string"))))
     def projExpr(j: Int): Column = aggregate(
-      zip_with(col(vecCol), lit(sg(j)),
+      zip_with(vec, lit(sg(j)),
         (v, s) => s * floor(v.cast("double") * lit(1000000.0))),
       lit(0L), (acc, x) => acc + x)
     embs.select(col(idCol),

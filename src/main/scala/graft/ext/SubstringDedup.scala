@@ -175,7 +175,7 @@ object SubstringDedup {
     * could exceed n_grams).
     */
   def dupSpanStats(docs: DataFrame, idCol: String, textCol: String,
-                   L: Int = 40): DataFrame = {
+                   L: Int = 40, docCount: Long = -1L): DataFrame = {
     val base = docs.filter(octet_length(col(textCol)) >= L)
       .select(col(idCol).as("id"), col(textCol).as("__t"))
     val grams = base
@@ -194,7 +194,14 @@ object SubstringDedup {
     // sorter memory. Re-measured with the explicit rule: 3.0× CPU /
     // 3.7× wall at 4× data — linear. At 100 TB the same rule sizes
     // ~1.5M partitions, exactly how a deployment would run it.
-    val nParts = math.max(32, math.ceil(docs.count() / 7800.0).toInt)
+    // NOTE (ADVICE r11): sizing the exchange needs the corpus row count at
+    // PLAN-CONSTRUCTION time. Callers that know it (or hold a filtered/
+    // derived input where a count is a full extra pass) should pass
+    // `docCount`; with the default -1 this runs an eager docs.count() job
+    // per construction — correct, but a real scan the caller pays even if
+    // the returned frame is never executed.
+    val nDocs = if (docCount >= 0L) docCount else docs.count()
+    val nParts = math.max(32, math.ceil(nDocs / 7800.0).toInt)
     val dup = grams.repartition(nParts, col("h"))
       .withColumn("nd", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("h")))

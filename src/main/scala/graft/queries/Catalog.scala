@@ -3675,7 +3675,14 @@ object Catalog {
         val scored = Dsir.logWeights(Dsir.fit(target, raw, "doc_id", "text"),
             raw, "doc_id", "text")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        Dsir.select(scored, "doc_id", scored.count() / 4).orderBy("doc_id")
+        // two consumers (the budget count + the selection), then RELEASE
+        // the cache: the result is eagerly checkpointed so the unpersist
+        // can't force a recompute (ADVICE r11 — this entry used to leak
+        // the scored cache for the session lifetime)
+        val out = Dsir.select(scored, "doc_id", scored.count() / 4)
+          .orderBy("doc_id").localCheckpoint(true)
+        scored.unpersist()
+        out
       },
       Some(Oracles.dsirSelectOracle)),
 
@@ -3701,12 +3708,14 @@ object Catalog {
         val wFull = Dsir.fitFromCounts(tc, full).weights
         val wMerged = Dsir.fitFromCounts(tc, merged).weights
           .withColumnRenamed("wgt", "wgt_m")
-        wFull.join(wMerged, Seq("b"))
+        val out = wFull.join(wMerged, Seq("b"))
           .join(full.select(col("b"), col("cnt").as("cq")), Seq("b"))
           .select(col("b"), col("cq"),
             round(col("wgt"), 6).cast("double").as("wgt"),
             (col("wgt") === col("wgt_m")).cast("int").as("merge_exact"))
-          .orderBy("b")
+          .orderBy("b").localCheckpoint(true)
+        full.unpersist()   // ≤4096-row compare is checkpointed; release
+        out
       },
       Some(Oracles.dsirIncrementalOracle)),
 

@@ -224,7 +224,7 @@ object ScaleProbe {
                                      // per wave by design — super-linear
                                      // here means a cross-wave term
                                      // (admitted² join or lineage regrowth)
-    "text_dup_span_stats" -> 7.0,    // count-window span stats: gram
+    "text_dup_span_stats" -> 5.0,    // count-window span stats: gram
                                      // kernel linear (3.93× CPU at 4×,
                                      // isolated r12), window exchange
                                      // explicitly data-proportional
@@ -233,17 +233,18 @@ object ScaleProbe {
                                      // shuffle spill linear (10.7 →
                                      // 53 GB). Best-controlled warm
                                      // pair measured 3.0× CPU; COLD
-                                     // probe-shape ratios flapped
-                                     // 3.4-6.8 across r10-r12 with the
-                                     // same unchanged family reading
-                                     // 1.5× different work in
-                                     // back-to-back r12 cuts — CPU
-                                     // accounting weather, not plan
-                                     // growth (PERFORMANCE.md r12).
-                                     // 7.0 = the 2× calibration
-                                     // headroom over the controlled
-                                     // 3.0-3.5× measurement; a real
-                                     // quadratic still trips it.
+                                     // single-leg ratios flapped
+                                     // 3.4-6.8 across r10-r12 from CPU
+                                     // accounting weather, which r12
+                                     // briefly headroomed at 7.0. r13
+                                     // (ADVICE r11): the family now
+                                     // runs MEDIAN-OF-3 warm legs per
+                                     // side ([[MedianLegs]]) so the
+                                     // noise is averaged out instead
+                                     // of widening the gate — back to
+                                     // 5.0 over the controlled 3.0-
+                                     // 3.5×; a real 4-6× super-linear
+                                     // regression trips it again.
     "changelog_compact_scaled" -> 4.0, // compaction rewrite + latest window
                                      // over a 20-version docs-keyed log
                                      // (10M logged rows base, 40M at 4x).
@@ -342,6 +343,17 @@ object ScaleProbe {
   //    caps, versioned layout) is probed through
   //    dedup_substring_gate_xx above.
   private val DefaultThreshold = 6.0
+
+  /** Families whose single-leg ratios are dominated by spill-cliff /
+    * CPU-accounting noise run each side this many times and gate on the
+    * MEDIAN (wall, work) pair — averaging the weather out instead of
+    * widening the threshold (ADVICE r11 on the span-stats 5.0 → 7.0
+    * loosening, now reverted). Repeats after the first are warm legs of
+    * the identical plan; the median discards the one-off JIT/spill
+    * outlier either direction.
+    */
+  private val MedianLegs: Map[String, Int] = Map(
+    "text_dup_span_stats" -> 3)
 
   /** Untimed per-probe preparation: materialize input corpora that are
     * fixture synthesis, not the operator under test. The changelog
@@ -590,27 +602,38 @@ object ScaleProbe {
         catch { case e: Throwable =>
           System.err.println(s"[scale] prepare($name) failed: ${e.getMessage}")
         }
-        // settle the listener bus before the baseline snapshot too: a
-        // heavy prepare (the changelog synthesis writes tens of millions
-        // of rows) drains task-end events for ~a second after its last
-        // job, and events landing after cpu0 would be billed to the
-        // timed body (this is how the r10 probe read work 28 s against
-        // wall 2.1 s)
-        Thread.sleep(1000)
-        val (cpu0, gc0) = (cpuNs.get(), gcMs.get())
-        val t0 = System.nanoTime()
-        // materialize through the noop sink exactly like Bench: count()
-        // lets Catalyst PRUNE projected expressions, so a pure-projection
-        // probe (e.g. text_quality) would time only the parquet scan
-        ExtraProbes.getOrElse(name, graft.SparkEntry.queries(name))(spark, scaled)
-          .write.format("noop").mode("overwrite").save()
-        val t = (System.nanoTime() - t0) / 1e9
+        def timedLeg(): (Double, Double) = {
+          // settle the listener bus before the baseline snapshot too: a
+          // heavy prepare (the changelog synthesis writes tens of millions
+          // of rows) drains task-end events for ~a second after its last
+          // job, and events landing after cpu0 would be billed to the
+          // timed body (this is how the r10 probe read work 28 s against
+          // wall 2.1 s)
+          Thread.sleep(1000)
+          val (cpu0, gc0) = (cpuNs.get(), gcMs.get())
+          val t0 = System.nanoTime()
+          // materialize through the noop sink exactly like Bench: count()
+          // lets Catalyst PRUNE projected expressions, so a pure-projection
+          // probe (e.g. text_quality) would time only the parquet scan
+          ExtraProbes.getOrElse(name, graft.SparkEntry.queries(name))(spark, scaled)
+            .write.format("noop").mode("overwrite").save()
+          val t = (System.nanoTime() - t0) / 1e9
+          // listener events drain asynchronously; settle before
+          // snapshotting (1 s: the bus can drop or lag events under load,
+          // and an under-counted 4× leg deflates the work ratio)
+          Thread.sleep(1000)
+          val work = (cpuNs.get() - cpu0) / 1e9 + (gcMs.get() - gc0) / 1e3
+          (t, work)
+        }
+        // noisy families run several legs and gate on the MEDIAN pair
+        // (sorted by wall; the work of the median-wall leg stays paired
+        // with it so the dual-ratio gate sees one coherent measurement)
+        val samples = (1 to MedianLegs.getOrElse(name, 1)).map(_ => timedLeg())
         cleanupProbe(name, scaled)
-        // listener events drain asynchronously; settle before
-        // snapshotting (1 s: the bus can drop or lag events under load,
-        // and an under-counted 4× leg deflates the work ratio)
-        Thread.sleep(1000)
-        val work = (cpuNs.get() - cpu0) / 1e9 + (gcMs.get() - gc0) / 1e3
+        val (t, work) = samples.sortBy(_._1).apply((samples.size - 1) / 2)
+        if (samples.size > 1) samples.zipWithIndex.foreach { case ((lt, lw), i) =>
+          println(f"[scale]   leg ${i + 1}/${samples.size} $name%-24s $lt%8.1f s  (work $lw%8.1f s)")
+        }
         println(f"[scale] ${new java.io.File(dir).getName}%-8s $name%-24s $t%8.1f s  (work $work%8.1f s)")
         dir -> (t, work)
       }.toMap

@@ -78,6 +78,25 @@ class DsirSpec extends AnyFunSuite {
     assert(got == reference(fixture, 11L))
   }
 
+  test("select resolves the caller's idCol end to end (ADVICE r11)") {
+    // same data keyed by a different id column name: identical selection
+    // values, schema keyed by the caller's name — the old code hardcoded
+    // col("id") for the Gumbel uniform and blew up on any real idCol
+    val df = fixture.toDF("doc_id", "text")
+    val renamed = fixture.toDF("my_key", "text")
+    def go(d: org.apache.spark.sql.DataFrame, idCol: String) = {
+      val target = d.filter(col(idCol) % 11 === 0)
+      val raw = d.filter(col(idCol) % 11 =!= 0)
+      val scored = Dsir.logWeights(Dsir.fit(target, raw, idCol, "text"),
+        raw, idCol, "text")
+      Dsir.select(scored, idCol, scored.count() / 4).orderBy(idCol)
+    }
+    val a = go(df, "doc_id")
+    val b = go(renamed, "my_key")
+    assert(b.columns.head == "my_key")
+    assert(a.collect().map(_.toSeq).toSeq == b.collect().map(_.toSeq).toSeq)
+  }
+
   test("selection is partition-order independent") {
     val df = fixture.toDF("doc_id", "text")
     def go(d: org.apache.spark.sql.DataFrame) = run(d).collect().map(_.toSeq).toSeq

@@ -60,6 +60,21 @@ class RandomProjectionSpec extends AnyFunSuite {
     assert(math.abs(cos(out(1L), out(4L))) < 0.75)
   }
 
+  test("a dimension mismatch fails LOUDLY, never a silent NULL projection") {
+    // zip_with null-pads the shorter side, so without the guard a 3-dim
+    // vector against inDim=64 signs would yield NULL proj rows while the
+    // DuckDB oracle computed partial sums (ADVICE r11)
+    import spark.implicits._
+    val bad = Seq((1L, Array(1.0f, 2.0f, 3.0f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      RandomProjection.project(bad, "vec_id", "embedding").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("expected 64-dim vector, got 3")),
+      s"want the loud dimension error, got: ${msgs(e).mkString(" | ")}")
+  }
+
   test("the plan is map-side: no joins, no aggregate exchange") {
     val embs = spark.read.parquet(s"${TestSpark.Sf}/embeddings.parquet")
     val plan = RandomProjection.project(embs, "vec_id", "embedding")
