@@ -414,6 +414,65 @@ object Catalog {
         "vec_id", "embedding", k = 5, nprobe = 8, pruneScan = true)
     }
 
+  /** Memoized PERSISTED-leg sign-cell probe (`sim_ivf_persisted_md5`):
+    * build on the FULL corpus → write the list-partitioned layout →
+    * re-load → pruned top-5. Isolates the storage path the production
+    * `sim_ivf_persisted` runs, under the DuckDB-replayable quantizer.
+    */
+  private val simIvfPersistedMd5Cache = new QueryCache("embeddings.parquet")
+
+  private def simIvfPersistedMd5Top5(s: SparkSession, d: String): DataFrame =
+    simIvfPersistedMd5Cache.get(s, d) { (ss, dd) =>
+      val e = embs(ss, dd)
+      val dir = scratchDir("sim_ivf_persisted_md5", dd)
+      IvfIndex.write(IvfIndex.buildCells(ss, e, "vec_id", "embedding", bits = 6), dir)
+      val loaded = IvfIndex.load(ss, dir)
+      IvfIndex.topK(ss, loaded, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nprobe = 8, pruneScan = true)
+    }
+
+  /** Memoized DELTA-maintenance-leg sign-cell probe (`sim_ivf_delta_md5`),
+    * mirroring the production `sim_ivf_delta` shape: seed on
+    * vec_id % 10 != 0 → write → applyDelta the held-out 10% (upserts
+    * only) → maintenance health check (a +11% delta correctly DECLINES a
+    * rebuild) → probe the maintained layout. Post-delta contents are the
+    * full corpus, so the oracle replays that flattened state.
+    */
+  private val simIvfDeltaMd5Cache = new QueryCache("embeddings.parquet")
+
+  private def simIvfDeltaMd5Top5(s: SparkSession, d: String): DataFrame =
+    simIvfDeltaMd5Cache.get(s, d) { (ss, dd) =>
+      val e = embs(ss, dd)
+      val dir = scratchDir("sim_ivf_delta_md5", dd)
+      IvfIndex.write(IvfIndex.buildCells(ss, e.filter(col("vec_id") % 10 =!= 0),
+        "vec_id", "embedding", bits = 6), dir)
+      IvfIndex.applyDelta(ss, dir,
+        upserts = e.filter(col("vec_id") % 10 === 0),
+        deletes = e.limit(0).select("vec_id"),
+        "vec_id", "embedding")
+      val h = IvfIndex.maintain(ss, dir)
+      require(!h.needsRebuild, s"unexpected rebuild after +11% delta: ${h.reason}")
+      val maintained = IvfIndex.load(ss, dir)
+      IvfIndex.topK(ss, maintained, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nprobe = 8, pruneScan = true)
+    }
+
+  /** Memoized sign-grid PQ two-stage search, shared by `sim_pq_rerank_md5`
+    * and `sim_recall_pq_md5` so the encode + ADC scan runs once per
+    * (session, dir).
+    */
+  private val pqRerankMd5Cache = new QueryCache("embeddings.parquet")
+
+  private def pqRerankMd5Top5(s: SparkSession, d: String): DataFrame =
+    pqRerankMd5Cache.get(s, d) { (ss, dd) =>
+      val e = embs(ss, dd)
+      val dim = e.select(size(col("embedding"))).head().getInt(0)
+      val model = Pq.gridModel(dim, m = dim / 4)
+      val codes = Pq.encode(e, "vec_id", "embedding", model)
+      Pq.rerankTopK(codes, e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", model, k = 5, shortlist = 64)
+    }
+
   /** One-file parquet write (streaming file sources deliver whole files;
     * one file == one deterministic micro-batch).
     */
@@ -2744,16 +2803,44 @@ object Catalog {
       // sim_recall_pq, recall-pinned in PqSpec); this gate proves the
       // shared machinery: the encode kernel, the lut-score scan, the
       // bounded-heap shortlist, the semi-join rerank.
-      (s, d) => {
-        val e = embs(s, d)
-        val dim = e.select(size(col("embedding"))).head().getInt(0)
-        val model = Pq.gridModel(dim, m = dim / 4)
-        val codes = Pq.encode(e, "vec_id", "embedding", model)
-        Pq.rerankTopK(codes, e, e.filter(col("vec_id") < 10),
-            "vec_id", "embedding", model, k = 5, shortlist = 64)
-          .orderBy("qid", "vid")
-      },
+      (s, d) => pqRerankMd5Top5(s, d).orderBy("qid", "vid"),
       Some(Oracles.simPqRerankMd5Oracle(dsub = 4, shortlist = 64))),
+
+    Entry("sim_recall_pq_md5",
+      // recall@5 of the sign-grid PQ path vs the exact brute-force
+      // truth, ORACLED — the THIRD recall composition gate (after the
+      // IVF and LSH twins), pinning the shortlist-then-rerank approx
+      // shape: unlike sparse LSH buckets it always returns exactly k
+      // rows per query. The rows-only sim_recall_pq reuses exactly this
+      // recallAtK code against the trained-codebook side.
+      (s, d) => Similarity.recallAtK(simBrute5(s, d), pqRerankMd5Top5(s, d), 5)
+        .orderBy("qid"),
+      Some(Oracles.simRecallPqMd5Oracle(dsub = 4, shortlist = 64))),
+
+    Entry("sim_ivf_persisted_md5",
+      // the PERSISTED-layout leg of the sign-cell lifecycle as its own
+      // oracle gate (r11 verdict #4): build on the FULL corpus → write
+      // the list-partitioned layout → load → partition-pruned probe →
+      // exact rerank. Twin of the rows-only sim_ivf_persisted — same
+      // write/load/prune machinery, replayable quantizer.
+      (s, d) => simIvfPersistedMd5Top5(s, d)
+        .withColumn("rk", col("rk").cast("long"))
+        .orderBy("qid", "rk"),
+      Some(Oracles.simIvfPersistedMd5Oracle(bits = 6, nprobe = 8))),
+
+    Entry("sim_ivf_delta_md5",
+      // the DELTA-maintenance leg as its own oracle gate (r11 verdict
+      // #4), mirroring the production sim_ivf_delta: seed 90% → upsert
+      // the held-out 10% via applyDelta (only touched lists rewritten)
+      // → maintenance health check (declines the rebuild at +11%) →
+      // probe the maintained layout. The oracle replays the flattened
+      // post-delta state — the full corpus — so a delta that landed in
+      // the wrong posting list, or a maintain() that corrupted state,
+      // hash-mismatches.
+      (s, d) => simIvfDeltaMd5Top5(s, d)
+        .withColumn("rk", col("rk").cast("long"))
+        .orderBy("qid", "rk"),
+      Some(Oracles.simIvfDeltaMd5Oracle(bits = 6, nprobe = 8))),
 
     // ----- §7.5 text analysis
     Entry("text_lm_score",

@@ -981,7 +981,32 @@ object Oracles {
     *    `topkOracle` discipline (round 6, ties by vid).
     */
   def simIvfMd5Oracle(bits: Int, nprobe: Int, k: Int = 5): String =
-    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 5),
+    simIvfCellsProbeOracle(bits, nprobe, k, " WHERE vec_id % 10 <> 5")
+
+  /** Oracle for `sim_ivf_persisted_md5`: the PERSISTED-layout leg of the
+    * sign-cell lifecycle isolated (r11 verdict #4) — build on the FULL
+    * corpus, write the list-partitioned layout, re-load, pruned probe.
+    * No delta, so the index contents are exactly the corpus; everything
+    * else is the [[simIvfCellsProbeOracle]] algebra.
+    */
+  def simIvfPersistedMd5Oracle(bits: Int, nprobe: Int, k: Int = 5): String =
+    simIvfCellsProbeOracle(bits, nprobe, k, "")
+
+  /** Oracle for `sim_ivf_delta_md5`: the DELTA-maintenance leg isolated
+    * (r11 verdict #4), mirroring the production `sim_ivf_delta` shape —
+    * seed on vec_id % 10 != 0, applyDelta the held-out % 10 == 0 slice
+    * (upserts only, no deletes), run the maintenance health check (a
+    * +11% delta correctly declines a rebuild), probe the MAINTAINED
+    * layout. The post-delta index contents are therefore the full
+    * corpus: the oracle replays that flattened state — valid because a
+    * sign-cell upsert lands in the same list a full rebuild would.
+    */
+  def simIvfDeltaMd5Oracle(bits: Int, nprobe: Int, k: Int = 5): String =
+    simIvfCellsProbeOracle(bits, nprobe, k, "")
+
+  private def simIvfCellsProbeOracle(bits: Int, nprobe: Int, k: Int,
+                                     corpusWhere: String): String =
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings$corpusWhere),
        |ce AS (SELECT vec_id, unnest(embedding) AS x,
        |       unnest(generate_series(0, len(embedding) - 1)) AS i FROM corpus),
        |cn AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM ce GROUP BY 1),
@@ -1174,6 +1199,57 @@ object Oracles {
        |r AS (SELECT qid, vid, round(cos, 6) AS cosim,
        |      row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vid) AS rk FROM c)
        |SELECT qid, vid, cosim FROM r WHERE rk <= $k ORDER BY qid, vid""".stripMargin
+
+  /** Oracle for `sim_recall_pq_md5`: both sides of the PQ recall
+    * replayed (r11 verdict #5) — the sign-grid two-stage search (the
+    * [[simPqRerankMd5Oracle]] CTEs, taking the top-k ids) and the exact
+    * brute-force truth over the full corpus — then
+    * [[graft.ext.Similarity.recallAtK]]'s per-query
+    * |approx ∩ exact| / |exact| algebra, rounded at 6. The third recall
+    * composition gate, after the IVF and LSH twins: this one pins the
+    * shortlist-then-rerank approx shape (always exactly k rows/query).
+    */
+  def simRecallPqMd5Oracle(dsub: Int, shortlist: Int, k: Int = 5,
+                           half: Double = 0.5): String =
+    s"""WITH e AS (SELECT vec_id, unnest(embedding) AS x,
+       |       unnest(generate_series(0, len(embedding) - 1)) AS i FROM embeddings),
+       |n AS (SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM e GROUP BY 1),
+       |q AS (SELECT vec_id AS qid, x, i FROM e WHERE vec_id < 10),
+       |sub AS (SELECT q.qid, e.vec_id AS vid, CAST(e.i // $dsub AS INT) AS j,
+       |        CAST(CAST($half AS DOUBLE) *
+       |             sum(CASE WHEN e.x >= 0 THEN q.x ELSE -q.x END) AS REAL) AS s
+       |        FROM q JOIN e ON e.i = q.i AND e.vec_id <> q.qid
+       |        GROUP BY 1, 2, 3),
+       |adc AS (SELECT qid, vid, sum(CAST(s AS DOUBLE)) AS score FROM sub GROUP BY 1, 2),
+       |short AS (SELECT qid, vid FROM (
+       |          SELECT qid, vid, row_number() OVER (PARTITION BY qid ORDER BY score DESC, vid) AS sr
+       |          FROM adc) WHERE sr <= $shortlist),
+       |dot AS (SELECT q.qid, e.vec_id AS vid, sum(q.x * e.x) AS dp
+       |        FROM q JOIN e ON e.i = q.i
+       |        JOIN short ON short.qid = q.qid AND short.vid = e.vec_id
+       |        GROUP BY 1, 2),
+       |ap AS (SELECT qid, vid FROM (
+       |       SELECT dot.qid, dot.vid,
+       |       row_number() OVER (PARTITION BY dot.qid
+       |         ORDER BY dp / (nq.nrm * nv.nrm) DESC, dot.vid) AS rk
+       |       FROM dot JOIN n nq ON nq.vec_id = dot.qid
+       |                JOIN n nv ON nv.vec_id = dot.vid)
+       |       WHERE rk <= $k),
+       |bd AS (SELECT q.qid, e.vec_id AS vid, sum(q.x * e.x) AS dp
+       |       FROM q JOIN e ON e.i = q.i AND e.vec_id <> q.qid
+       |       GROUP BY 1, 2),
+       |bt AS (SELECT qid, vid FROM (
+       |       SELECT bd.qid, bd.vid,
+       |       row_number() OVER (PARTITION BY bd.qid
+       |         ORDER BY dp / (nq.nrm * nv.nrm) DESC, bd.vid) AS rk
+       |       FROM bd JOIN n nq ON nq.vec_id = bd.qid
+       |                JOIN n nv ON nv.vec_id = bd.vid)
+       |       WHERE rk <= $k)
+       |SELECT bt.qid,
+       |  round(CAST(sum(CASE WHEN ap.vid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*), 6) AS recall_at_$k
+       |FROM bt LEFT JOIN ap ON ap.qid = bt.qid AND ap.vid = bt.vid
+       |GROUP BY 1 ORDER BY bt.qid""".stripMargin
 
   val semanticMd5Oracle: String = {
     s"""WITH RECURSIVE
