@@ -46,8 +46,10 @@ class PlanAuditSpec extends AnyFunSuite {
     "sim_topk_native",        // same baseline through TopKPerGroup
     "sim_recall_lsh",         // recall pin: LSH results vs the same
                               // bounded brute-force ground truth
-    "sim_recall_lsh_md5")     // axis-plane twin's recall: same bounded
+    "sim_recall_lsh_md5",     // axis-plane twin's recall: same bounded
                               // brute-force truth side (r11)
+    "sim_recall_pq_md5")      // sign-grid PQ recall: same bounded
+                              // brute-force truth side (r13)
 
   private val harnessStateMachines = Set(
     "corpus_ingest_e2e", "corpus_ingest_e2e_xx", "corpus_prep_e2e",
@@ -55,6 +57,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "dedup_substring_gate", "stream_lm_gate",
     "cdc_bucketed_apply", "changelog_latest_compacted",
     "sim_ivf_persisted", "sim_ivf_delta", "sim_ivf_md5", "sim_recall_ivf_md5",
+    "sim_ivf_persisted_md5", "sim_ivf_delta_md5",
     "dedup_substring_gate_xx",
     "text_idf_incremental", "group_tribe_stats_incremental",
     "diff_apply_scaled",
