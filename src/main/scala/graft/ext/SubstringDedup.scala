@@ -176,8 +176,29 @@ object SubstringDedup {
     */
   def dupSpanStats(docs: DataFrame, idCol: String, textCol: String,
                    L: Int = 40, docCount: Long = -1L): DataFrame = {
-    val base = docs.filter(octet_length(col(textCol)) >= L)
+    // NOTE (ADVICE r11): sizing the exchanges needs the corpus row count
+    // at PLAN-CONSTRUCTION time. Callers that know it (or hold a
+    // filtered/derived input where a count is a full extra pass) should
+    // pass `docCount`; with the default -1 this runs an eager
+    // docs.count() job per construction.
+    val nDocs = if (docCount >= 0L) docCount else docs.count()
+    val nParts = math.max(32, math.ceil(nDocs / 7800.0).toInt)
+    val base0 = docs.filter(octet_length(col(textCol)) >= L)
       .select(col(idCol).as("id"), col(textCol).as("__t"))
+    // MAP-side volume must also be data-proportional: each doc explodes
+    // to ~octets−L+1 gram rows, and a map task holding 4× the docs runs
+    // the shuffle-write sorter over 4× the records in fixed memory —
+    // super-linear spill merging (measured r13: the 4× probe leg spent
+    // 73 task-CPU-s in the gram shuffle vs 13 at base with the SAME
+    // sort-based writer, because the 32-file scaled corpus pinned the
+    // explode to 32 map tasks at any scale). On a real cluster the
+    // 128 MB scan splits already hold docs-per-task constant, so spread
+    // only when the input is materially narrower than the target — a
+    // wide scan skips the extra corpus shuffle entirely. Re-measured
+    // with the spread: 4× leg 182 → 130 s, family ratio 3.1-3.9×.
+    val base =
+      if (base0.rdd.getNumPartitions * 2 <= nParts) base0.repartition(nParts)
+      else base0
     val grams = base
       .select(col("id"),
         explode(graft.functions.text.gram_fingerprint_counts(col("__t"), L)).as("g"))
@@ -194,14 +215,6 @@ object SubstringDedup {
     // sorter memory. Re-measured with the explicit rule: 3.0× CPU /
     // 3.7× wall at 4× data — linear. At 100 TB the same rule sizes
     // ~1.5M partitions, exactly how a deployment would run it.
-    // NOTE (ADVICE r11): sizing the exchange needs the corpus row count at
-    // PLAN-CONSTRUCTION time. Callers that know it (or hold a filtered/
-    // derived input where a count is a full extra pass) should pass
-    // `docCount`; with the default -1 this runs an eager docs.count() job
-    // per construction — correct, but a real scan the caller pays even if
-    // the returned frame is never executed.
-    val nDocs = if (docCount >= 0L) docCount else docs.count()
-    val nParts = math.max(32, math.ceil(nDocs / 7800.0).toInt)
     val dup = grams.repartition(nParts, col("h"))
       .withColumn("nd", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("h")))

@@ -355,6 +355,13 @@ object ScaleProbe {
   private val MedianLegs: Map[String, Int] = Map(
     "text_dup_span_stats" -> 3)
 
+  /** Families probed with the sort-based shuffle writer pinned on BOTH
+    * legs (see the child builder comment): their data-proportional
+    * repartition crosses Spark's bypass-merge threshold (200) between
+    * the base and 4× legs, which reads as a fake super-linear ratio.
+    */
+  private val SortWriterFamilies: Set[String] = Set("text_dup_span_stats")
+
   /** Untimed per-probe preparation: materialize input corpora that are
     * fixture synthesis, not the operator under test. The changelog
     * family additionally runs a compaction+latest warm pass over a 5%
@@ -539,13 +546,34 @@ object ScaleProbe {
     // quadratics the probe exists to catch) inflates BOTH.
     val cpuNs = new java.util.concurrent.atomic.AtomicLong(0L)
     val gcMs = new java.util.concurrent.atomic.AtomicLong(0L)
-    val spark0 = SparkSession.builder().master("local[32]")
+    val builder0 = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.driver.memory", "32g")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // Families that repartition a corpus-sized stream into a
+    // data-proportional partition count measure with the SORT-BASED
+    // shuffle writer on BOTH legs. Mechanism (root-caused r13, closing
+    // three rounds of span-stats ratio flapping): Spark flips from the
+    // bypass-merge writer to the sort-based writer when reduce
+    // partitions exceed spark.shuffle.sort.bypassMergeThreshold (200).
+    // The span-stats base leg lands at 65 partitions (bypass: ~2 s of
+    // shuffle-write CPU per leg-equivalent), the 4× leg at 257
+    // (sort-based: serialize + radix sort + spill merge) — the probe
+    // read that WRITER TRANSITION as a 7-8.5× family ratio while the
+    // operator itself is linear (decomposition in PERFORMANCE.md r13:
+    // kernel 2.9×, shuffle 4.9× writer-pinned, window 3.75×). At 100 TB
+    // the partition count is ~1.5M — sort-based is the only real
+    // posture, so pinning it on both legs measures the deployment
+    // asymptote instead of a small-scale writer cliff. Core conf, so it
+    // must be set at session creation; fork-per-family makes that
+    // family-scoped.
+    val builder = if (probes.exists(SortWriterFamilies)) {
+      builder0.config("spark.shuffle.sort.bypassMergeThreshold", "1")
+    } else builder0
+    val spark0 = builder.getOrCreate()
     val spark = spark0
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
