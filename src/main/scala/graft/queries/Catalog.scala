@@ -3156,6 +3156,34 @@ object Catalog {
              |FROM documents d LEFT JOIN agg USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)),
 
+    Entry("text_line_dedup",
+      // cross-document LINE-level boilerplate removal (ext/LineDedup) —
+      // the CCNet/RefinedWeb cleanup stage this family lacked: lines
+      // occurring in ≥ minDf distinct docs (site headers, footers, nav,
+      // license blurbs) are dropped from every doc, survivors reassemble
+      // in order, and a fully-boilerplate doc stays as an empty row. The
+      // flat word-soup fixture has no line structure, so the entry
+      // DERIVES a lined corpus both engines replay exactly (the planted-
+      // variant discipline): fixed 8-word lines from the token stream
+      // plus a planted per-source header and per-lang footer — those
+      // repeat across hundreds of docs and must vanish, the content
+      // lines are unique and must survive. Line identity crosses the
+      // wire as md5 of the trimmed line (key width is the shuffle bill).
+      (s, d) => {
+        val words = split(col("text"), " ")
+        val nLines = ceil(size(words) / lit(8.0)).cast("int")
+        val body = concat_ws("\n", transform(sequence(lit(0), nLines - 1),
+          g => concat_ws(" ", slice(words, g * 8 + 1, lit(8)))))
+        val lined = docs(s, d).select(col("doc_id"),
+          concat_ws("\n",
+            concat(lit("== "), col("source"), lit(" header ==")),
+            body,
+            concat(lit("-- "), col("lang"), lit(" footer --"))).as("text"))
+        LineDedup.dropBoilerplate(lined, "doc_id", "text", minDf = 3)
+          .orderBy("doc_id")
+      },
+      Some(Oracles.lineDedupOracle(minDf = 3, wordsPerLine = 8))),
+
     Entry("text_clean",
       // C4-style scrub (mask emails/URLs, collapse whitespace). The
       // fixture text is already clean, so the oracle here pins

@@ -772,6 +772,38 @@ object Oracles {
        |FROM ph LEFT JOIN dfh ON dfh.h = ph.h
        |GROUP BY ph.doc_id ORDER BY ph.doc_id""".stripMargin
 
+  /** Oracle for `text_line_dedup`: the whole cross-document line-level
+    * boilerplate removal replayed — the deterministic lined-corpus
+    * derivation (fixed-width word lines + planted per-source header and
+    * per-lang footer), md5 line keying, distinct-doc frequency, the
+    * ≥ minDf drop, and the position-ordered reassembly (string_agg with
+    * ORDER BY replays [[graft.ext.LineDedup]]'s sorted collect_list).
+    */
+  def lineDedupOracle(minDf: Int, wordsPerLine: Int): String =
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws, lang, source FROM documents),
+       |lined AS (SELECT doc_id,
+       |  '== ' || source || ' header ==' || chr(10) ||
+       |  array_to_string(list_transform(range(CAST(ceil(len(ws) / $wordsPerLine.0) AS INT)),
+       |    g -> array_to_string(ws[g * $wordsPerLine + 1 : g * $wordsPerLine + $wordsPerLine], ' ')), chr(10)) ||
+       |  chr(10) || '-- ' || lang || ' footer --' AS text FROM w),
+       |l AS (SELECT doc_id,
+       |      unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos,
+       |      unnest(string_split(text, chr(10))) AS ln FROM lined),
+       |lk AS (SELECT doc_id, pos, ln, md5(trim(ln)) AS k, trim(ln) <> '' AS content FROM l),
+       |boiler AS (SELECT k FROM (
+       |           SELECT k, count(*) AS df FROM (SELECT DISTINCT k, doc_id FROM lk WHERE content)
+       |           GROUP BY 1) WHERE df >= $minDf),
+       |kept AS (SELECT doc_id, pos, ln FROM lk
+       |         WHERE NOT (content AND k IN (SELECT k FROM boiler))),
+       |reb AS (SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS text_clean,
+       |        count(*) AS n_kept FROM kept GROUP BY 1),
+       |tot AS (SELECT doc_id, CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines FROM lined)
+       |SELECT tot.doc_id, tot.n_lines,
+       |  tot.n_lines - coalesce(reb.n_kept, 0) AS n_dropped,
+       |  coalesce(reb.text_clean, '') AS text_clean
+       |FROM tot LEFT JOIN reb ON reb.doc_id = tot.doc_id
+       |ORDER BY tot.doc_id""".stripMargin
+
   /** Oracle for `events_funnel_n`: the ordered-sequence funnel over an
     * ARBITRARY stage list — one CTE per stage, each anchored strictly
     * after the previous stage's earliest qualifying timestamp, assembled
