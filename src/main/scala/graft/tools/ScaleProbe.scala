@@ -355,12 +355,6 @@ object ScaleProbe {
   private val MedianLegs: Map[String, Int] = Map(
     "text_dup_span_stats" -> 3)
 
-  /** Families probed with the sort-based shuffle writer pinned on BOTH
-    * legs (see the child builder comment): their data-proportional
-    * repartition crosses Spark's bypass-merge threshold (200) between
-    * the base and 4× legs, which reads as a fake super-linear ratio.
-    */
-  private val SortWriterFamilies: Set[String] = Set("text_dup_span_stats")
 
   /** Untimed per-probe preparation: materialize input corpora that are
     * fixture synthesis, not the operator under test. The changelog
@@ -553,27 +547,28 @@ object ScaleProbe {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-    // Families that repartition a corpus-sized stream into a
-    // data-proportional partition count measure with the SORT-BASED
-    // shuffle writer on BOTH legs. Mechanism (root-caused r13, closing
-    // three rounds of span-stats ratio flapping): Spark flips from the
-    // bypass-merge writer to the sort-based writer when reduce
-    // partitions exceed spark.shuffle.sort.bypassMergeThreshold (200).
-    // The span-stats base leg lands at 65 partitions (bypass: ~2 s of
-    // shuffle-write CPU per leg-equivalent), the 4× leg at 257
-    // (sort-based: serialize + radix sort + spill merge) — the probe
-    // read that WRITER TRANSITION as a 7-8.5× family ratio while the
-    // operator itself is linear (decomposition in PERFORMANCE.md r13:
-    // kernel 2.9×, shuffle 4.9× writer-pinned, window 3.75×). At 100 TB
-    // the partition count is ~1.5M — sort-based is the only real
-    // posture, so pinning it on both legs measures the deployment
-    // asymptote instead of a small-scale writer cliff. Core conf, so it
-    // must be set at session creation; fork-per-family makes that
-    // family-scoped.
-    val builder = if (probes.exists(SortWriterFamilies)) {
-      builder0.config("spark.shuffle.sort.bypassMergeThreshold", "1")
-    } else builder0
-    val spark0 = builder.getOrCreate()
+    // Every probe child measures with the SORT-BASED shuffle writer on
+    // BOTH legs. Mechanism (root-caused r13, closing three rounds of
+    // span-stats ratio flapping): Spark flips from the bypass-merge
+    // writer to the sort-based writer when a shuffle's reduce partitions
+    // exceed spark.shuffle.sort.bypassMergeThreshold (200). The probe's
+    // own scaled-family posture puts EVERY AQE exchange's initial count
+    // at 128 on the base leg (bypass) and 512 on the 4× leg (sort-based:
+    // serialize + radix sort + spill merge) — and span-stats' explicit
+    // data-proportional repartition lands at 65 vs 257 — so the 4× legs
+    // were paying a WRITER TRANSITION the base legs never paid, read as
+    // super-linear family ratios while the operators are linear
+    // (span-stats decomposition in PERFORMANCE.md r13: kernel 2.9×,
+    // shuffle 26× → 4.9× writer-pinned, window 3.75×). At 100 TB the
+    // partition count is ~1.5M — sort-based is the only real posture, so
+    // pinning it on both legs measures the deployment asymptote instead
+    // of a small-scale writer cliff. Core conf, so it must be set at
+    // session creation; fork-per-family keeps Bench and tests on the
+    // default writer (at bench scale bypass is legitimately the fast
+    // path, exactly as a small deployment would run it).
+    val spark0 = builder0
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      .getOrCreate()
     val spark = spark0
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
