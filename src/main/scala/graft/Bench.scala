@@ -24,7 +24,7 @@ import org.apache.spark.sql.SparkSession
   *    ran reduced is recorded in the JSON (`reduced_scale`) so
   *    round-over-round comparison can't misread the drop.
   *  - Repeats stop once they would push elapsed wall past
-  *    `SPARK_GRAFT_BENCH_REPEAT_BUDGET_SEC` (default 1700 s). Because
+  *    `SPARK_GRAFT_BENCH_REPEAT_BUDGET_SEC` (default 1400 s). Because
   *    the check uses ACTUAL elapsed time, a contended box squeezes its
   *    own repeats out automatically — the first-run pass (the driver
   *    record's `value`) always completes first.
@@ -178,12 +178,25 @@ object Bench {
       val reduced = reducedRan.map("\"" + _ + "\"").mkString("[", ",", "]")
       val flag = s""""complete":$complete,"""
       val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec",$flag$partial"queries":$qs,"sf":"$sfDir","wall_sec":${ms(wallSec)},"docs_scale":$docsScale,"reduced_scale":$reduced,"n_queries":${results.size},"loadavg_start":$load0,"loadavg_end":${loadavg()},"failures":$fails,"single_run":$singles,"first_runs":$firsts,"repeats":$reps}"""
+      // write-to-temp + ATOMIC_MOVE so the visible record is always a
+      // WHOLE snapshot — a kill landing mid-Files.write would otherwise
+      // leave a truncated, unparseable file, defeating the survivability
+      // guarantee the per-query rewrite exists for (ADVICE r12)
+      def atomicWrite(path: java.nio.file.Path, content: String): Unit = {
+        val dir = Option(path.getParent)
+          .getOrElse(java.nio.file.Paths.get("."))
+        val tmp = java.nio.file.Files.createTempFile(dir, path.getFileName.toString, ".tmp")
+        java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+        java.nio.file.Files.move(tmp, path,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
       // the full record goes to a file the driver/judge can read whole,
       // immune to any stdout capture limit
       try {
         val out = java.nio.file.Paths.get(
           sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json"))
-        java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+        atomicWrite(out, line + "\n")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}")
       }
@@ -194,7 +207,7 @@ object Bench {
       try {
         val sout = java.nio.file.Paths.get(sys.env.getOrElse(
           "SPARK_GRAFT_BENCH_SUMMARY", "/root/repo/bench_summary.json"))
-        java.nio.file.Files.write(sout, (summary + "\n").getBytes("UTF-8"))
+        atomicWrite(sout, summary + "\n")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] bench_summary.json write failed: ${e.getMessage}")
       }

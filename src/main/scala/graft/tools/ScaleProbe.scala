@@ -75,7 +75,7 @@ object ScaleProbe {
     "sim_decontaminate",
     "graph_pagerank", "text_bm25_search", "dedup_semantic", "sim_pq_rerank",
     "text_lm_score", "join_fuzzy", "text_nb_classifier", "corpus_mix_schedule",
-    "corpus_dsir_select")
+    "corpus_dsir_select", "text_line_dedup")
 
   /** Probe-only queries (not part of the declared surface): stress shapes
     * the bijective scaled corpus cannot produce. The scaled replicas'
@@ -91,7 +91,7 @@ object ScaleProbe {
     * per-key state stays bounded while the planted non-hub pair volume
     * grows with the corpus.
     */
-  private val ExtraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
+  private[graft] val ExtraProbes: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] =
     Map("dedup_substring_winnowed_hub" -> { (s, d) =>
       import org.apache.spark.sql.functions._
       val hub = ('a' to 'z').mkString * 4 // 104 chars: 65 fully-shared 40-grams
@@ -131,7 +131,7 @@ object ScaleProbe {
     * full-corpus `graft_clcprobe` temp dir per warm pass and per leg
     * (r10 ADVICE; stale probe dirs have filled /tmp before).
     */
-  private val preparedRoots =
+  private[graft] val preparedRoots =
     scala.collection.mutable.Map.empty[(String, String), String]
 
   /** Docs-proportional synthetic changelog: `versions` full snapshots of
@@ -296,6 +296,25 @@ object ScaleProbe {
                                      // degenerated to one-task-per-source
                                      // sorts (the shape the sharding
                                      // exists to prevent)
+    "text_line_dedup" -> 5.0,        // cross-doc line boilerplate drop
+                                     // (family 27, VERDICT r12 missing
+                                     // #3): boilerplate lines are hub
+                                     // keys BY DEFINITION — the planted
+                                     // header/footer lines appear in
+                                     // every doc of a source, so their
+                                     // df counts are the skew case the
+                                     // probe exists for. The plan keeps
+                                     // hub state O(1) per key (distinct
+                                     // (k,id) with map-side combine,
+                                     // then count per key — never a
+                                     // per-key id list), the drop is a
+                                     // left-anti keyed join, reassembly
+                                     // groups by doc id (state bounded
+                                     // by doc size). All three
+                                     // exchanges data-proportional —
+                                     // super-linear here means a hub
+                                     // key started buffering its
+                                     // occurrence list
     "dedup_substring_gate_xx" -> 5.0) // the streaming gate's whole state
                                      // machine in PRODUCTION (xxhash)
                                      // mode: seed (⅓ of the corpus —
@@ -351,8 +370,17 @@ object ScaleProbe {
     * loosening, now reverted). Repeats after the first are warm legs of
     * the identical plan; the median discards the one-off JIT/spill
     * outlier either direction.
+    *
+    * CONTRACT (ADVICE r12, pinned by ScaleProbeContractSpec): a MedianLegs
+    * family must be pure recompute — NOT QueryCache-memoized (warm legs
+    * would measure ~0 and gut the gate), NOT scratch-state-writing (a
+    * second leg would collide with or replay over the first's state),
+    * and NOT [[prepare]]-fixtured (cleanupProbe runs once after ALL
+    * legs, so a per-leg fixture would be consumed by leg 1 only). The
+    * spec re-derives all three properties from the query itself rather
+    * than trusting this comment.
     */
-  private val MedianLegs: Map[String, Int] = Map(
+  private[graft] val MedianLegs: Map[String, Int] = Map(
     "text_dup_span_stats" -> 3)
 
 
@@ -367,7 +395,7 @@ object ScaleProbe {
     * measurements. Its real per-leg fixture lands in [[preparedRoots]]
     * for the timed body; [[cleanupProbe]] deletes it after the leg.
     */
-  private def prepare(name: String, spark: SparkSession, dir: String): Unit = {
+  private[graft] def prepare(name: String, spark: SparkSession, dir: String): Unit = {
     if (name.startsWith("mm_image")) graft.queries.Catalog.warmImageMedia(spark, dir)
     if (name == "changelog_compact_scaled") {
       // full-shape warm: SAME version count and plan as the timed body

@@ -55,7 +55,7 @@ class PlanAuditSpec extends AnyFunSuite {
     "corpus_ingest_e2e", "corpus_ingest_e2e_xx", "corpus_prep_e2e",
     "dedup_ingest_gate", "dedup_vec_ingest_gate", "dedup_vec_ingest_gate_md5",
     "dedup_substring_gate", "stream_lm_gate",
-    "cdc_bucketed_apply", "changelog_latest_compacted",
+    "cdc_bucketed_apply", "cdc_bucketed_replay", "changelog_latest_compacted",
     "sim_ivf_persisted", "sim_ivf_delta", "sim_ivf_md5", "sim_recall_ivf_md5",
     "sim_ivf_persisted_md5", "sim_ivf_delta_md5",
     "dedup_substring_gate_xx",
@@ -66,6 +66,12 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("no declared query plans a data-sized cartesian or unlisted nested-loop join") {
     val names = Catalog.queries.keys.toSeq.sorted.filterNot(harnessStateMachines)
+    // operator markers a REAL audited plan carries; a body that ends in
+    // .localCheckpoint(true) erases them all, leaving a bare ExistingRDD
+    // scan — which also means this sweep's cartesian check is vacuous for
+    // that query (the r12 DSIR entries did exactly that, ADVICE r12)
+    val realWork = Seq("Exchange", "Join", "Aggregate", "Scan parquet",
+      "Project", "Filter", "Sort", "Window", "Generate")
     val offenders = names.flatMap { name =>
       val plan = Catalog.queries(name)(spark, TestSpark.Sf)
         .queryExecution.executedPlan.toString
@@ -73,6 +79,10 @@ class PlanAuditSpec extends AnyFunSuite {
         Some(s"$name: CartesianProduct")
       else if (plan.contains("BroadcastNestedLoopJoin") && !tinyBroadcastCross(name))
         Some(s"$name: unlisted BroadcastNestedLoopJoin")
+      else if (plan.contains("ExistingRDD") && !realWork.exists(plan.contains))
+        // either drop the checkpoint or move the query to
+        // harnessStateMachines with its own real-plan spec
+        Some(s"$name: audit-vacuous checkpointed plan (bare RDDScan)")
       else None
     }
     assert(offenders.isEmpty,
