@@ -86,6 +86,11 @@ object Graph {
       ranks.unpersist()
       ranks = next
     }
+    // the final ranks is CHECKPOINTED and materialized — it reads its
+    // own blocks, not these plans — so the working set releases here
+    // instead of leaking four graph-sized caches per call (r14 sweep:
+    // every bench repeat stacked another set for the session lifetime)
+    e.unpersist(); nodes.unpersist(); outw.unpersist(); danglingNodes.unpersist()
     ranks
   }
 

@@ -39,6 +39,9 @@ import org.apache.spark.sql.functions._
   *  - driver state: two O(16·n_sources) collects and the source list.
   */
 object Mix {
+  /** Bounded cache for the admitted selection ([[CacheSlot]]). */
+  private val selectedSlot = new CacheSlot
+
   /** The schedule: (idCol, srcCol, n_tokens, cum_before, step), ordered
     * by `step`. `cum_before` is the source's token mass selected before
     * this document (the admission rule is cum_before < target, so the
@@ -84,18 +87,22 @@ object Mix {
           cellOrder.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
           + col("tok_offset"))
       .filter(col("cum_before") < col("target"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // bounded via CacheSlot: the selection is re-read lazily by the
+    // returned frame, so the callee can't unpersist — but it CAN
+    // release the PREVIOUS call's selection (one live cache per JVM,
+    // not one per invocation)
+    val selectedC = selectedSlot.swap(selected)
 
     // ---- phase 3: within-source pick position over the selected
     // subset (prefix-closed per cell ⇒ row_number + selected-count
     // offsets), then the round-robin step
-    val selCounts = selected.groupBy("src", "shard").agg(count(lit(1)).as("n"))
+    val selCounts = selectedC.groupBy("src", "shard").agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
     val selOffsets = (for {
       s <- sources; sh <- 0 to 15
     } yield (s, sh, (0 until sh).map(p => selCounts.getOrElse((s, p), 0L)).sum))
       .toDF("src", "shard", "sel_offset")
-    selected.join(broadcast(selOffsets), Seq("src", "shard"))
+    selectedC.join(broadcast(selOffsets), Seq("src", "shard"))
       .withColumn("k", row_number().over(cellOrder).cast("long") + col("sel_offset"))
       .select(col("id").as(idCol), col("src").as(srcCol), col("n_tokens"),
         col("cum_before"),

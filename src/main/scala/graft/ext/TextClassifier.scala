@@ -51,12 +51,17 @@ object TextClassifier {
     * weight table rows are the model — ln-ratios rounded to 9 dp so the
     * scoring sum is exact decimal arithmetic everywhere.
     */
+  /** Bounded cache for the count table ([[CacheSlot]]: one live model
+    * per JVM; the previous train's cache releases on the next train).
+    */
+  private val cwSlot = new CacheSlot
+
   def train(docs: DataFrame, idCol: String, textCol: String, label: Column): Nb = {
-    val cw = docs.select(label.as("pos"), explode(split(col(textCol), " ")).as("w"))
+    val cw = cwSlot.swap(docs
+      .select(label.as("pos"), explode(split(col(textCol), " ")).as("w"))
       .groupBy("w")
       .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("cp"),
-        sum(when(col("pos"), 0L).otherwise(1L)).as("cn"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sum(when(col("pos"), 0L).otherwise(1L)).as("cn")))
     // totals and vocabulary fold from the (already vocabulary-sized)
     // count table; priors from one count over the training slice
     val t = cw.agg(sum("cp"), sum("cn"), count(lit(1))).head()

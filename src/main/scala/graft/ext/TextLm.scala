@@ -53,14 +53,18 @@ object TextLm {
     * marginal and vocabulary fold from the (already vocabulary-sized)
     * pair table.
     */
+  /** Bounded cache for the pair table — one live model per JVM, the
+    * previous train's cache released on the next train ([[CacheSlot]]).
+    */
+  private val c12Slot = new CacheSlot
+
   def train(refDocs: DataFrame, idCol: String, textCol: String): Lm = {
     // the pair table is the ONLY corpus-pass product; persist it so the
     // marginal, the vocabulary count, and the scoring join all read the
     // vocabulary-sized cache instead of re-exploding the reference slice
     // (plan-audited r7: unpersisted, V and c1 each rescanned the slice)
-    val c12 = bigrams(refDocs, idCol, textCol)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c12 = c12Slot.swap(bigrams(refDocs, idCol, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
     val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
     // V = distinct vocabulary of the slice, derived from the pair table:
     // every token of every ≥2-token doc appears in some bigram (either

@@ -759,6 +759,54 @@ object Catalog {
       (s, d) => Mix.schedule(docs(s, d), "doc_id", "source", "text", 0.4),
       Some(graft.queries.Oracles.mixScheduleOracle)),
 
+    Entry("corpus_shard_shuffle",
+      // deterministic training-epoch shard shuffle (ext/Shard): every
+      // doc gets a reproducible pseudo-random position for epoch 3 and
+      // lands round-robin in one of 8 shards — balanced to ±1 by
+      // construction, both assignment and within-shard order a pure
+      // function of (epoch, id), so a dataloader (or a crash retry)
+      // re-derives the identical plan with no stored permutation.
+      // Ranking is the distributedRank two-phase prefix scan, never a
+      // global one-task window. The oracle replays the md5 permutation
+      // and the round-robin split exactly.
+      (s, d) => Shard.epochShards(docs(s, d), "doc_id", nShards = 8, epoch = 3)
+        .orderBy("doc_id"),
+      Some("""WITH ranked AS (
+             |  SELECT doc_id,
+             |    ROW_NUMBER() OVER (
+             |      ORDER BY md5('ep:3:' || CAST(doc_id AS VARCHAR)), doc_id)
+             |      - 1 AS r
+             |  FROM documents)
+             |SELECT doc_id, CAST(r % 8 AS INT) AS shard,
+             |       CAST(r // 8 AS BIGINT) AS pos
+             |FROM ranked ORDER BY doc_id""".stripMargin)),
+
+    Entry("corpus_domain_cap",
+      // per-domain quota capping (the RefinedWeb/C4 anti-over-
+      // representation step): keep at most 10 docs per source, the
+      // survivors chosen by deterministic md5 hash rank — a uniform
+      // per-domain subsample that any engine replays, where rand()
+      // would not. The per-group argmax runs through the house
+      // TopKPerGroup physical operator (bounded per-group heaps,
+      // partial before the exchange — never a full sort of the corpus,
+      // never a one-task window per domain).
+      (s, d) => {
+        val hk = docs(s, d).select(col("doc_id"), col("source"),
+          md5(concat(lit("cap:"), col("doc_id").cast("string"))
+            .cast("binary")).as("hk"))
+        graft.plans.TopK.perGroup(hk, Seq("source"),
+            Seq(("hk", true), ("doc_id", true)), 10)
+          .select(col("source"), col("doc_id"))
+          .orderBy("source", "doc_id")
+      },
+      Some("""SELECT source, doc_id FROM (
+             |  SELECT source, doc_id,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY md5('cap:' || CAST(doc_id AS VARCHAR)), doc_id)
+             |      AS rn
+             |  FROM documents) t
+             |WHERE rn <= 10 ORDER BY source, doc_id""".stripMargin)),
+
     Entry("corpus_shuffle_shard",
       // training-order shuffle + shard assignment: a deterministic
       // pseudo-random permutation (rank by md5 of the id — reproducible
