@@ -86,6 +86,28 @@ object Dsir {
   def mergeCounts(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("b").agg(sum("cnt").as("cnt"))
 
+  /** Per-(slice, bucket) feature counts in ONE corpus pass: `sliceCol`
+    * labels each document, the explode runs once, and every slice's
+    * ≤ m-row state falls out of a single (slice, b) aggregation —
+    * (slice, b, cnt). For k disjoint slices this replaces k corpus
+    * passes (k serialized explode+md5 jobs — the wall cost that kept
+    * `corpus_dsir_incremental` at 2× its target after the r12
+    * checkpoint fix came out) with one. Filtering the result per slice
+    * IS `bucketCounts` of that slice (DsirSpec pins the identity).
+    */
+  def bucketCountsBySlice(docs: DataFrame, idCol: String, textCol: String,
+                          sliceCol: Column): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val n1 = greatest(size(ws) - 1, lit(0))
+    val bigrams = zip_with(
+      slice(ws, lit(1), n1), slice(ws, lit(2), n1),
+      (a, b) => concat_ws(" ", a, b))
+    // the label rides the explode map-side — no join back to the docs
+    docs.select(sliceCol.as("slice"), explode(concat(ws, bigrams)).as("f"))
+      .select(col("slice"), bucket(col("f")).as("b"))
+      .groupBy("slice", "b").agg(count(lit(1)).cast("long").as("cnt"))
+  }
+
   /** Fit the importance model from the two count states: a driver fold
     * for the totals and the 9-dp log-ratio
     *   wgt_b = ln((cp_b + 1)/(Tp + m)) − ln((cq_b + 1)/(Tq + m))

@@ -3947,17 +3947,24 @@ object Catalog {
       (s, d) => {
         val all = docs(s, d)
         val raw = all.filter(col("doc_id") % 11 =!= 0)
-        // every count state is ≤4096 rows by construction — materialize
-        // each ONCE to a local frame (one pool pass per state), so the
-        // two fits and the final compare never re-scan the corpus and
+        // TWO corpus passes, both landing in ≤4096-row local frames so
+        // the fits and the final compare never re-scan the pool and
         // nothing stays persisted past the body (the r12
-        // persist+checkpoint variant cost 4x — VERDICT r12 #1)
-        val tc = localFrame(Dsir.bucketCounts(
-          all.filter(col("doc_id") % 11 === 0), "doc_id", "text"))
+        // persist+checkpoint variant cost 4x — VERDICT r12 #1; the
+        // first fix's FOUR serialized pass-jobs still read 2x target):
+        //  pass 1 — one labeled explode yields the target state and the
+        //  two raw-half delta states (the maintenance inputs) together;
+        //  pass 2 — the from-scratch raw state, computed INDEPENDENTLY
+        //  so merge_exact compares two real computation paths, not one
+        //  conditional sum split against itself.
+        val sliced = localFrame(Dsir.bucketCountsBySlice(all, "doc_id", "text",
+          when(col("doc_id") % 11 === 0, lit("t"))
+            .when(col("doc_id") % 2 === 0, lit("r0")).otherwise(lit("r1"))))
+        def sliceCounts(name: String) =
+          sliced.filter(col("slice") === name).select(col("b"), col("cnt"))
+        val tc = sliceCounts("t")
+        val merged = Dsir.mergeCounts(sliceCounts("r0"), sliceCounts("r1"))
         val full = localFrame(Dsir.bucketCounts(raw, "doc_id", "text"))
-        val merged = localFrame(Dsir.mergeCounts(
-          Dsir.bucketCounts(raw.filter(col("doc_id") % 2 === 0), "doc_id", "text"),
-          Dsir.bucketCounts(raw.filter(col("doc_id") % 2 =!= 0), "doc_id", "text")))
         val wFull = Dsir.fitFromCounts(tc, full).weights
         val wMerged = Dsir.fitFromCounts(tc, merged).weights
           .withColumnRenamed("wgt", "wgt_m")

@@ -150,6 +150,22 @@ class DsirSpec extends AnyFunSuite {
     assert(full == merged)
   }
 
+  test("bucketCountsBySlice: one labeled pass equals per-slice bucketCounts") {
+    import spark.implicits._
+    val df = fixture.toDF("doc_id", "text")
+    val label = when(col("doc_id") % 11 === 0, lit("t"))
+      .when(col("doc_id") % 2 === 0, lit("r0")).otherwise(lit("r1"))
+    val sliced = Dsir.bucketCountsBySlice(df, "doc_id", "text", label)
+    def got(s: String) = sliced.filter(col("slice") === s)
+      .select("b", "cnt").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def want(f: org.apache.spark.sql.DataFrame) =
+      Dsir.bucketCounts(f, "doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got("t") == want(df.filter(col("doc_id") % 11 === 0)))
+    assert(got("r0") == want(df.filter(col("doc_id") % 11 =!= 0 && col("doc_id") % 2 === 0)))
+    assert(got("r1") == want(df.filter(col("doc_id") % 11 =!= 0 && col("doc_id") % 2 =!= 0)))
+  }
+
   test("real documents: model broadcasts and the budget holds") {
     val docs = spark.read.parquet(s"${TestSpark.Sf}/documents.parquet")
     val target = docs.filter(col("doc_id") % 11 === 0)
