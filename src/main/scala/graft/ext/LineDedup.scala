@@ -44,12 +44,23 @@ object LineDedup {
     * document: n_lines = total lines in the original split, n_dropped =
     * content lines removed as boilerplate, text_clean = the surviving
     * lines joined by "\n" in original order.
+    *
+    * `md5Mode` picks the wire key for a line's identity — the substring
+    * family's oracle/production split: md5 hex (32 bytes, DuckDB-
+    * replayable, the oracled `text_line_dedup` mode) vs xxhash64
+    * (8 bytes — a 4× narrower df shuffle and anti-join key, the
+    * production posture; 64-bit collisions at web scale cost a handful
+    * of false boilerplate drops, the same trade the substring gate
+    * made, and LineDedupSpec pins mode parity on the fixture).
     */
   def dropBoilerplate(docs: DataFrame, idCol: String, textCol: String,
-                      minDf: Int = 3): DataFrame = {
+                      minDf: Int = 3, md5Mode: Boolean = true): DataFrame = {
+    // the xx key stays a BIGINT on the wire (8 bytes, not 32-hex)
+    def keyOf(c: org.apache.spark.sql.Column) =
+      if (md5Mode) md5(c.cast("binary")).as("k") else xxhash64(c).as("k")
     val lines = docs.select(col(idCol).as("id"),
         posexplode(split(col(textCol), "\n")).as(Seq("pos", "ln")))
-      .withColumn("k", md5(trim(col("ln")).cast("binary")))
+      .withColumn("k", keyOf(trim(col("ln"))))
       .withColumn("content", trim(col("ln")) =!= "")
     // document frequency per line key: distinct (k, id) first (map-side
     // combine kills within-doc repeats), then a plain count per key

@@ -3325,6 +3325,31 @@ object Catalog {
       },
       Some(Oracles.lineDedupOracle(minDf = 3, wordsPerLine = 8))),
 
+    Entry("text_line_dedup_xx",
+      // PRODUCTION mode of the line-boilerplate drop: identical
+      // semantics and derived corpus as text_line_dedup, but line
+      // identity crosses the wire as xxhash64 BIGINT — 8 bytes against
+      // the md5 mode's 32-hex, a 4x narrower df shuffle and anti-join
+      // key (the dedup_substring_gate / _xx split). Rows-only by
+      // necessity (DuckDB has no xxhash); the md5 twin above IS the
+      // oracle for the algebra, and LineDedupSpec pins mode parity on
+      // the fixture corpus.
+      (s, d) => {
+        val words = split(col("text"), " ")
+        val nLines = ceil(size(words) / lit(8.0)).cast("int")
+        val body = concat_ws("\n", transform(sequence(lit(0), nLines - 1),
+          g => concat_ws(" ", slice(words, g * 8 + 1, lit(8)))))
+        val lined = docs(s, d).select(col("doc_id"),
+          concat_ws("\n",
+            concat(lit("== "), col("source"), lit(" header ==")),
+            body,
+            concat(lit("-- "), col("lang"), lit(" footer --"))).as("text"))
+        LineDedup.dropBoilerplate(lined, "doc_id", "text", minDf = 3,
+            md5Mode = false)
+          .orderBy("doc_id")
+      },
+      None),
+
     Entry("text_clean",
       // C4-style scrub (mask emails/URLs, collapse whitespace). The
       // fixture text is already clean, so the oracle here pins

@@ -62,6 +62,22 @@ class LineDedupSpec extends AnyFunSuite {
     assert(go(df.repartition(1)) == go(df.repartition(13)))
   }
 
+  test("xxhash production mode equals the md5 oracle mode on the fixture") {
+    // the key is engine-internal either way; absent collisions the two
+    // modes must agree on every drop decision (the substring family's
+    // mode-parity discipline)
+    val docs = graft.core.Tables.load(spark, TestSpark.Sf, "documents")
+      .select(col("doc_id").as("id"),
+        concat_ws("\n", concat(lit("== "), col("source"), lit(" ==")),
+          col("text")).as("text"))
+    val md5Out = LineDedup.dropBoilerplate(docs, "id", "text", minDf = 3)
+      .orderBy("id").collect().toSeq
+    val xxOut = LineDedup.dropBoilerplate(docs, "id", "text", minDf = 3,
+        md5Mode = false)
+      .orderBy("id").collect().toSeq
+    assert(md5Out == xxOut)
+  }
+
   test("plan shape: no windows, no cartesians — aggregations and an anti join only") {
     val df = (1L to 20L).map(i => (i, s"h\nc $i")).toDF("id", "text")
     val plan = LineDedup.dropBoilerplate(df, "id", "text", 3)
