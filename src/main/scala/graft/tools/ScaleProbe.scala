@@ -75,7 +75,7 @@ object ScaleProbe {
     "sim_decontaminate",
     "graph_pagerank", "text_bm25_search", "dedup_semantic", "sim_pq_rerank",
     "text_lm_score", "join_fuzzy", "text_nb_classifier", "corpus_mix_schedule",
-    "corpus_dsir_select", "text_line_dedup")
+    "corpus_dsir_select", "text_line_dedup", "text_line_dedup_xx")
 
   /** Probe-only queries (not part of the declared surface): stress shapes
     * the bijective scaled corpus cannot produce. The scaled replicas'
@@ -315,6 +315,13 @@ object ScaleProbe {
                                      // super-linear here means a hub
                                      // key started buffering its
                                      // occurrence list
+    "text_line_dedup_xx" -> 5.0,     // the PRODUCTION mode (8-byte
+                                     // xxhash64 line keys) as its own
+                                     // family — the substring-family
+                                     // rule that the probe must measure
+                                     // the production wire, not the md5
+                                     // oracle gear; same plan shape as
+                                     // text_line_dedup modulo key width
     "dedup_substring_gate_xx" -> 5.0) // the streaming gate's whole state
                                      // machine in PRODUCTION (xxhash)
                                      // mode: seed (⅓ of the corpus —
