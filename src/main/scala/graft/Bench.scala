@@ -35,10 +35,27 @@ import org.apache.spark.sql.SparkSession
   * exclusive reruns round-over-round, and the median of three kills
   * transient load spikes. `first_runs` keeps every query's first (cold)
   * time: continuity with earlier rounds' single-run numbers, and for the
-  * memoized families (sim_*, mm_*, keep-best) it is where the shared
-  * materialization cost shows up — repeats measure warm steady state.
+  * memoized families (sim_*, mm_*, keep-best, corpus_dsir_*) it is where
+  * the shared materialization cost shows up — repeats measure warm
+  * steady state (ADVICE r13: `warm_medians` below names the queries
+  * whose repeats MEASURABLY ran warm, so a round-over-round reader
+  * compares those on `first_runs`, the cold number).
   * `value` stays the sum of first runs (the comparable total);
   * `wall_sec` is the whole timed section including repeats.
+  *
+  * Repeat ORDER is deviation-ranked, not alphabetical (VERDICT r13 #1):
+  * pass 1 runs every query once — the driver record's `value` always
+  * completes first — and pass 2 spends the repeat budget on the queries
+  * whose FIRST run deviates most from the previous record's median
+  * (read from the prior `bench_full.json` before it is overwritten).
+  * Under the alphabetical inline order, whichever expensive query landed
+  * latest under peak box contention exhausted the budget and published a
+  * one-sample "median" — r13's `text_fingerprint` read 57.9 s from one
+  * run vs 1.9 s quiet-box on the same HEAD and poisoned the top-10. Now
+  * the 30× deviant is exactly the query repeated FIRST, and any median
+  * that still ends single-sample is flagged in `single_run` in BOTH
+  * records (the compact summary's list covers its top-10), so it cannot
+  * read as measured.
   */
 object Bench {
   /** Oracle-gear (md5 / all-positions-audit) twins whose production
@@ -46,6 +63,16 @@ object Bench {
     * these run at the raw fixture scale. Kept deliberately short — every
     * name here loses scaled-corpus continuity with rounds ≤ 11.
     */
+  /** Pass-2 repeat priority (VERDICT r13 #1): how far a first run sits
+    * from the previous record's median, symmetric in direction (a 30×
+    * spike and a 30× drop are equally suspect). No prior (a query new
+    * this round) ranks ahead of everything — its first published number
+    * has no earlier record to contradict it, so it needs samples most.
+    */
+  private[graft] def deviation(t1: Double, prior: Option[Double]): Double =
+    prior.map(p => math.max(t1 / math.max(p, 1e-3), p / math.max(t1, 1e-3)))
+      .getOrElse(Double.MaxValue)
+
   private[graft] val ReducedScale = Set(
     "dedup_substring_exact",       // all-positions oracled audit; winnowed = scale path
     "dedup_substring_gate",        // md5 oracle mode; _xx production mode stays scaled
@@ -106,6 +133,32 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
     only.foreach(n => System.err.println(
       s"[bench] *** PARTIAL RUN (${n.mkString(",")}) — NOT a full bench ***"))
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json"))
+    val summaryPath = java.nio.file.Paths.get(sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_SUMMARY", "/root/repo/bench_summary.json"))
+    // sweep temp leftovers of killed runs: the atomicWrite finally below
+    // covers exceptions, but a hard kill between create and move still
+    // strands one <name>*.tmp per incident (ADVICE r13)
+    Seq(outPath, summaryPath).foreach { p =>
+      val dir = Option(p.getParent).getOrElse(java.nio.file.Paths.get(".")).toFile
+      Option(dir.listFiles()).foreach(_.filter(f =>
+          f.getName.startsWith(p.getFileName.toString) && f.getName.endsWith(".tmp"))
+        .foreach(_.delete()))
+    }
+    // the PREVIOUS round's medians, read before the first per-query
+    // rewrite overwrites the file: pass 2's deviation ranking compares
+    // each first run against these (VERDICT r13 #1)
+    val priorMedians: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(outPath), "UTF-8")
+        val at = txt.indexOf("\"queries\":{")
+        val end = txt.indexOf("}", at)
+        if (at < 0 || end < 0) Map.empty
+        else """"([a-z0-9_]+)":([0-9.]+)""".r
+          .findAllMatchIn(txt.substring(at + "\"queries\":{".length, end))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty }
     val RepeatFloor = 1.0 // sec: cheaper queries don't repeat — their
                           // variance is noise-level and repeats cost time
     val RepeatCeil = 60.0 // sec: very heavy queries don't repeat either —
@@ -170,14 +223,22 @@ object Bench {
       val reps = jmap { case (k, _, _, n) => "\"" + k + "\":" + n }
       val total = results.map(_._2).sum
       val fails = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
-      // heavy queries above RepeatCeil publish a FIRST-RUN number in the
-      // medians map — name them so round-over-round comparison knows those
-      // entries are cold single samples, not medians (VERDICT r7 #8)
-      val singles = results.collect { case (k, t1, _, 1) if t1 >= RepeatCeil => k }
+      // EVERY ≥1 s query whose published number is one sample — above
+      // RepeatCeil by design, or budget-starved — so a single-sample
+      // median can't masquerade as a measured one (VERDICT r13 #1;
+      // sub-RepeatFloor queries never repeat and stay unflagged, their
+      // variance is noise-level by the repeat policy itself)
+      val singleNames = results.collect { case (k, t1, _, 1) if t1 >= RepeatFloor => k }
+      val singles = singleNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+      // queries whose repeats MEASURABLY ran warm (median under half the
+      // cold run — QueryCache memoization or an equivalent leaked
+      // persist): their round-over-round signal is first_runs, not the
+      // median (ADVICE r13 on the DSIR memoization)
+      val warms = results.collect { case (k, t1, med, n) if n >= 2 && med <= t1 / 2 => k }
         .map("\"" + _ + "\"").mkString("[", ",", "]")
       val reduced = reducedRan.map("\"" + _ + "\"").mkString("[", ",", "]")
       val flag = s""""complete":$complete,"""
-      val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec",$flag$partial"queries":$qs,"sf":"$sfDir","wall_sec":${ms(wallSec)},"docs_scale":$docsScale,"reduced_scale":$reduced,"n_queries":${results.size},"loadavg_start":$load0,"loadavg_end":${loadavg()},"failures":$fails,"single_run":$singles,"first_runs":$firsts,"repeats":$reps}"""
+      val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec",$flag$partial"queries":$qs,"sf":"$sfDir","wall_sec":${ms(wallSec)},"docs_scale":$docsScale,"reduced_scale":$reduced,"n_queries":${results.size},"loadavg_start":$load0,"loadavg_end":${loadavg()},"failures":$fails,"single_run":$singles,"warm_medians":$warms,"first_runs":$firsts,"repeats":$reps}"""
       // write-to-temp + ATOMIC_MOVE so the visible record is always a
       // WHOLE snapshot — a kill landing mid-Files.write would otherwise
       // leave a truncated, unparseable file, defeating the survivability
@@ -186,69 +247,104 @@ object Bench {
         val dir = Option(path.getParent)
           .getOrElse(java.nio.file.Paths.get("."))
         val tmp = java.nio.file.Files.createTempFile(dir, path.getFileName.toString, ".tmp")
-        java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
-        java.nio.file.Files.move(tmp, path,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // delete the temp on any failure before the move lands — a kill
+        // or write exception otherwise strands one untracked *.tmp per
+        // incident in the repo root (ADVICE r13)
+        var moved = false
+        try {
+          java.nio.file.Files.write(tmp, content.getBytes("UTF-8"))
+          java.nio.file.Files.move(tmp, path,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          moved = true
+        } finally if (!moved) java.nio.file.Files.deleteIfExists(tmp)
       }
       // the full record goes to a file the driver/judge can read whole,
       // immune to any stdout capture limit
-      try {
-        val out = java.nio.file.Paths.get(
-          sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_full.json"))
-        atomicWrite(out, line + "\n")
-      } catch { case e: Throwable =>
+      try atomicWrite(outPath, line + "\n")
+      catch { case e: Throwable =>
         System.err.println(s"[bench] bench_full.json write failed: ${e.getMessage}")
       }
       val top10 = results.sortBy(-_._3).take(10)
+      val top10Json = top10
         .map { case (k, _, med, _) => "\"" + k + "\":" + ms(med) }
         .mkString("{", ",", "}")
-      val summary = s"""{"metric":"total","value":${ms(total)},"unit":"sec",$flag$partial"sf":"$sfDir","wall_sec":${ms(wallSec)},"docs_scale":$docsScale,"reduced_scale":$reduced,"n_queries":${results.size},"loadavg_start":$load0,"loadavg_end":${loadavg()},"failures":$fails,"top10_medians":$top10,"full_record":"bench_full.json"}"""
-      try {
-        val sout = java.nio.file.Paths.get(sys.env.getOrElse(
-          "SPARK_GRAFT_BENCH_SUMMARY", "/root/repo/bench_summary.json"))
-        atomicWrite(sout, summary + "\n")
-      } catch { case e: Throwable =>
+      // the compact summary flags its OWN top-10's single-sample entries
+      // inline (VERDICT r13 #1): a reader of the 2 KB line must see that
+      // a top-10 "median" is one cold run without opening the full record
+      val top10Singles = top10.collect { case (k, _, _, 1) if singleNames.contains(k) => k }
+        .map("\"" + _ + "\"").mkString("[", ",", "]")
+      val summary = s"""{"metric":"total","value":${ms(total)},"unit":"sec",$flag$partial"sf":"$sfDir","wall_sec":${ms(wallSec)},"docs_scale":$docsScale,"reduced_scale":$reduced,"n_queries":${results.size},"loadavg_start":$load0,"loadavg_end":${loadavg()},"failures":$fails,"top10_medians":$top10Json,"single_run":$top10Singles,"full_record":"bench_full.json"}"""
+      try atomicWrite(summaryPath, summary + "\n")
+      catch { case e: Throwable =>
         System.err.println(s"[bench] bench_summary.json write failed: ${e.getMessage}")
       }
       summary
     }
 
-    SparkEntry.queries.toSeq.sortBy(_._1)
+    /** The query's input dir, with the per-family partition posture set:
+      * the 10×-scaled doc corpus needs 128 initial partitions so the
+      * gram-index shuffles fit execution memory (r7 sf0.1 OOM at 32),
+      * but 128 applied globally ran the 600k-row CDC family in 128
+      * tiny tasks (4-10× the honest medians — VERDICT r7 #1). AQE
+      * coalesces the wide start back down where exchanges are small,
+      * and at 100 TB this is the real posture anyway: partition count
+      * sized by the data the family actually touches. Called before
+      * EVERY run — pass 2's deviation order interleaves families, so the
+      * posture must travel with the query, not with loop position.
+      */
+    def postureFor(name: String): String = {
+      val reduced = ReducedScale.contains(name) && scaledDir != sfDir
+      val scaled = !reduced && graft.queries.ScaledFixtures.appliesTo(name)
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        if (scaled) "128" else cpus)
+      if (scaled) scaledDir else sfDir
+    }
+
+    // ---- pass 1: every query once, alphabetical — the driver record's
+    // `value` (sum of first runs) completes before any repeat is spent
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-        val reduced = ReducedScale.contains(name) && scaledDir != sfDir
-        if (reduced) reducedRan += name
-        val scaled = !reduced && graft.queries.ScaledFixtures.appliesTo(name)
-        val dir = if (scaled) scaledDir else sfDir
-        // partition posture is scoped PER FAMILY, not global: the
-        // 10×-scaled doc corpus needs 128 initial partitions so the
-        // gram-index shuffles fit execution memory (r7 sf0.1 OOM at 32),
-        // but 128 applied globally ran the 600k-row CDC family in 128
-        // tiny tasks (4-10× the honest medians — VERDICT r7 #1). AQE
-        // coalesces the wide start back down where exchanges are small,
-        // and at 100 TB this is the real posture anyway: partition count
-        // sized by the data the family actually touches.
-        spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-          if (scaled) "128" else cpus)
-        val (t1, ok1) = runOnce(name, fn, dir)
-        if (!ok1) failures += name
-        val repeats =
-          if (ok1 && t1 >= RepeatFloor && t1 < RepeatCeil &&
-              elapsed() + 2 * t1 <= RepeatBudget)
-            (1 to 2).map(_ => runOnce(name, fn, dir))
-          else Seq.empty
+    ordered.foreach { case (name, fn) =>
+      if (ReducedScale.contains(name) && scaledDir != sfDir) reducedRan += name
+      val dir = postureFor(name)
+      val (t1, ok1) = runOnce(name, fn, dir)
+      if (!ok1) failures += name
+      results += ((name, t1, t1, 1))
+      writeRecords(complete = false)
+    }
+
+    // ---- pass 2: repeats, DEVIATION-RANKED (VERDICT r13 #1) — the
+    // queries whose first run disagrees most with the previous record's
+    // median repeat first, so the one-cold-sample-under-peak-contention
+    // outlier (r13: text_fingerprint 57.9 s vs 1.9 s quiet) is exactly
+    // the number the remaining budget corrects. Queries without a prior
+    // median (new this round) rank ahead of everything: their first
+    // published number has no earlier record to contradict it.
+    val byName = results.zipWithIndex.map { case ((n, _, _, _), i) => n -> i }.toMap
+    val failedFirst = failures.toSet
+    val candidates = results.toIndexedSeq
+      .filter { case (n, t1, _, _) =>
+        !failedFirst.contains(n) && t1 >= RepeatFloor && t1 < RepeatCeil }
+      .sortBy { case (n, t1, _, _) => (-deviation(t1, priorMedians.get(n)), n) }
+    candidates.foreach { case (name, t1, _, _) =>
+      // per-candidate gate, no early break: a cheap high-deviation query
+      // later in the list may still fit after an expensive one didn't
+      if (elapsed() + 2 * t1 <= RepeatBudget) {
+        val dir = postureFor(name)
+        val reps = (1 to 2).map(_ => runOnce(name, SparkEntry.queries(name), dir))
         // a failed REPEAT is a failure too — silently dropping it from the
         // sample reports the run healthy while the "median" of the two
         // survivors quietly degrades
-        if (repeats.exists(!_._2)) failures += s"$name (repeat)"
-        val times = t1 +: repeats.filter(_._2).map(_._1)
+        if (reps.exists(!_._2)) failures += s"$name (repeat)"
+        val times = t1 +: reps.filter(_._2).map(_._1)
         // lower middle: with an even sample (a repeat failed) this takes
         // the smaller value rather than silently reporting the maximum
         val median = times.sorted.apply((times.size - 1) / 2)
-        results += ((name, t1, median, times.size))
+        results(byName(name)) = ((name, t1, median, times.size))
         writeRecords(complete = false)
       }
+    }
 
     // The full ~10 KB record goes ONLY to the file above — never stdout.
     // The driver's round record keeps the last ~2 KB of stdout, so when

@@ -54,7 +54,26 @@ object ScaledFixtures {
   /** Bump when the replication scheme changes (word bijection, noise
     * amplitude, IdStride, partitioning) — invalidates cached corpora.
     */
-  private val SchemeVersion = 3
+  private val SchemeVersion = 4
+
+  /** Output file count for a scaled corpus: data-proportional, anchored
+    * at defaultParallelism for the m=100 bench corpus (sf0.1 → 32 files,
+    * unchanged from scheme v3 — bench continuity preserved) and growing
+    * with m above that, so BYTES PER FILE stay constant as a probe
+    * corpus scales. A real cluster gets this invariant for free from
+    * 128 MB scan splits; the v3 flat `min(m, defaultParallelism)` pinned
+    * every corpus to 32 files, which pinned the gram-explode map tasks
+    * to 32 at ANY scale — the 4× probe leg ran each map-side shuffle
+    * sorter over 4× the records in fixed memory, and its super-linear
+    * spill merging read as a fake super-linear WORK ratio on linear
+    * operators (VERDICT r13 #2: the winnowed-hub 5.19-vs-5.0 breach;
+    * same mechanism dupSpanStats measured and spread away query-side in
+    * r13). Fixing the LAYOUT fixes every scan-fed family at once and
+    * measures the deployment posture instead of a file-count artifact.
+    */
+  private def nOutFiles(spark: SparkSession, m: Int): Int =
+    math.min(m,
+      spark.sparkContext.defaultParallelism * math.max(1, (m + 99) / 100))
 
   /** Fingerprint of everything the cached corpus derives from: scheme
     * version, multiplier, and the source parquet files' (name, size,
@@ -135,8 +154,9 @@ object ScaledFixtures {
         col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
       // spread replicas across files so the sketch/scan work actually
-      // parallelizes — the raw 500-doc file is a single input split
-      .repartition(math.min(m, spark.sparkContext.defaultParallelism), col("doc_id"))
+      // parallelizes (the raw 500-doc file is a single input split) —
+      // data-proportionally, so per-file bytes hold constant with m
+      .repartition(nOutFiles(spark, m), col("doc_id"))
   }
 
   private[queries] def scaledEmbeddings(spark: SparkSession, sfDir: String, m: Int): DataFrame = {
@@ -158,7 +178,7 @@ object ScaledFixtures {
                 .cast("double") / lit(4000.0)).cast("float")))
           .as("embedding"),
         col("label"))
-      .repartition(math.min(m, spark.sparkContext.defaultParallelism), col("vec_id"))
+      .repartition(nOutFiles(spark, m), col("vec_id"))
   }
 
   /** Query names Bench routes to the scaled dir: everything whose inputs

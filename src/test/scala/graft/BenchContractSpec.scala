@@ -19,6 +19,16 @@ class BenchContractSpec extends AnyFunSuite {
       s"reduced-scale names outside the scaled families (reduction is a no-op): $unscaled")
   }
 
+  test("repeat priority: deviation is symmetric; no-prior ranks ahead of everything") {
+    // a 30x spike and a 30x drop against the prior median are equally suspect
+    assert(Bench.deviation(30.0, Some(1.0)) == Bench.deviation(1.0, Some(30.0)))
+    // the r13 poster child (57.9 s vs prior 1.9 s) must outrank mild drift
+    assert(Bench.deviation(57.9, Some(1.9)) > Bench.deviation(12.0, Some(10.0)))
+    // a query new this round has no record to contradict — repeats first
+    assert(Bench.deviation(5.0, None) == Double.MaxValue)
+    assert(Bench.deviation(2.0, Some(2.0)) == 1.0)
+  }
+
   test("every reduced-scale twin keeps a production sibling at full bench scale") {
     // the sibling that still pays full scaled-corpus price per round
     val sibling = Map(
