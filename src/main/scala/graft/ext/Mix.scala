@@ -39,7 +39,14 @@ import org.apache.spark.sql.functions._
   *  - driver state: two O(16·n_sources) collects and the source list.
   */
 object Mix {
-  /** Bounded cache for the admitted selection ([[CacheSlot]]). */
+  /** Bounded cache for the admitted selection ([[CacheSlot]] — one live
+    * selection per JVM). CONTRACT (ADVICE r13): calls to [[schedule]]
+    * are sequential-consume — a later call's swap unpersists the
+    * previous selection (still correct via recompute, but its laziness
+    * is gone), and swap's unpersist+persist pair is not atomic under
+    * concurrent callers. The Runner executes queries serially; revisit
+    * with synchronization if concurrent query execution ever lands.
+    */
   private val selectedSlot = new CacheSlot
 
   /** The schedule: (idCol, srcCol, n_tokens, cum_before, step), ordered

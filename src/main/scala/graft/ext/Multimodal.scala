@@ -39,6 +39,8 @@ object Multimodal {
                                  n_frames: Long, feature: Long)
 
   /** One REAL sampled frame: demuxed from the container and pixel-decoded. */
+  final case class FrameSched(media_id: Long, n_src_frames: Int,
+                              frame_idx: Int, src_idx: Int)
   final case class FrameFeatures(media_id: Long, frame_idx: Int, decode_ok: Boolean,
                                  width: Int, height: Int, ahash: Long)
 
@@ -712,6 +714,37 @@ object Multimodal {
     }.toDF("media_id", "payload")
   }
 
+  /** Synthetic video corpus with VARIED per-id frame counts —
+    * `1 + id % 7` frames (7 is coprime to any sampling stride a caller
+    * filters ids by, so every count appears) — the input
+    * [[frameSampleSchedule]]'s oracle needs: a constant-frame corpus
+    * exercises exactly one (n, take) cell of the schedule arithmetic.
+    */
+  def renderVideoMediaVaried(spark: SparkSession, ids: DataFrame, idCol: String,
+                             nVariants: Int = 50, batchSize: Int = 64): DataFrame = {
+    import spark.implicits._
+    ids.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.map { id =>
+        val variant = id % nVariants
+        MediaRow(id, renderSyntheticAvi(variant, w = 32, h = 24,
+          nFrames = (1 + id % 7).toInt, watermark = id / nVariants))
+      })
+    }.toDF("media_id", "payload")
+  }
+
+  /** The frame-sampling SCHEDULE: which source frame index each of the
+    * `nFrames` evenly-spaced samples reads from a container holding `n`
+    * frames — sample i reads frame ⌊i·n/take⌋ (clamped), take = min(
+    * nFrames, n). Shared by [[videoFrameFeatures]] (the pixel-decoding
+    * consumer) and [[frameSampleSchedule]] (the oracled demux-only
+    * twin), so the oracle pins the production arithmetic, not a copy.
+    */
+  private[ext] def sampleIndices(n: Int, nFrames: Int): IndexedSeq[Int] = {
+    val take = math.min(nFrames, n)
+    val step = n.toDouble / take
+    (0 until take).map(i => math.min((i * step).toInt, n - 1))
+  }
+
   /** REAL frame sampling: demux the AVI container, pick `nFrames`
     * evenly-spaced frame chunks, pixel-decode each JPEG through the
     * ImageIO path, and emit per-frame dims + perceptual aHash. Payloads
@@ -730,10 +763,8 @@ object Multimodal {
           if (ranges.isEmpty)
             Seq(FrameFeatures(r.media_id, 0, decode_ok = false, 0, 0, 0L))
           else {
-            val take = math.min(nFrames, ranges.size)
-            val step = ranges.size.toDouble / take
-            (0 until take).map { i =>
-              val (off, len) = ranges(math.min((i * step).toInt, ranges.size - 1))
+            sampleIndices(ranges.size, nFrames).zipWithIndex.map { case (src, i) =>
+              val (off, len) = ranges(src)
               dec.decode(r.payload, off, len) match {
                 case Some(img) =>
                   FrameFeatures(r.media_id, i, decode_ok = true,
@@ -744,6 +775,29 @@ object Multimodal {
           }
         }
       }
+    }
+  }
+
+  /** One row per (container, sample): the sampling schedule of
+    * [[videoFrameFeatures]] over REAL containers — RIFF demux counts the
+    * movi frame chunks, [[sampleIndices]] picks the source frame each
+    * sample reads — WITHOUT the pixel decode, so the schedule arithmetic
+    * is DuckDB-replayable end-to-end (the oracled twin of
+    * `mm_frame_sample`, whose pixel values are the only part an engine
+    * cannot replay; VERDICT r13 #4). A non-AVI payload yields one
+    * `(n_src_frames = 0, src_idx = -1)` row, keeping every id visible.
+    */
+  def frameSampleSchedule(spark: SparkSession, media: DataFrame, nFrames: Int,
+                          batchSize: Int = 64): Dataset[FrameSched] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.grouped(batchSize).flatMap(_.flatMap { r =>
+        val n = Avi.frameRanges(r.payload).size
+        if (n == 0) Seq(FrameSched(r.media_id, 0, 0, -1))
+        else sampleIndices(n, nFrames).zipWithIndex.map { case (src, i) =>
+          FrameSched(r.media_id, n, i, src)
+        }
+      })
     }
   }
 

@@ -47,6 +47,9 @@ object Shard {
     Packing.distributedRank(keyed, Seq(col("__k").asc, col(idCol).asc))
       .select(col(idCol),
         pmod(col("rank") - 1, lit(nShards.toLong)).cast("int").as("shard"),
-        floor((col("rank") - 1) / lit(nShards.toDouble)).cast("long").as("pos"))
+        // integer DIV, not floor(double division): doubles only represent
+        // integers exactly below 2^53, and the scaladoc's any-corpus-size
+        // claim must hold for the rank itself, not rank/2^11 (ADVICE r13)
+        expr(s"(rank - 1L) DIV CAST($nShards AS BIGINT)").as("pos"))
   }
 }

@@ -53,6 +53,10 @@ object TextClassifier {
     */
   /** Bounded cache for the count table ([[CacheSlot]]: one live model
     * per JVM; the previous train's cache releases on the next train).
+    * CONTRACT (ADVICE r13): trains are sequential-consume — a later
+    * train's swap unpersists the previous model's still-lazily-referenced
+    * frame (correct via recompute), and swap is not atomic under
+    * concurrent callers; queries run serially today.
     */
   private val cwSlot = new CacheSlot
 

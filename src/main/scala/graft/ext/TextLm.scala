@@ -55,6 +55,10 @@ object TextLm {
     */
   /** Bounded cache for the pair table — one live model per JVM, the
     * previous train's cache released on the next train ([[CacheSlot]]).
+    * CONTRACT (ADVICE r13): trains are sequential-consume — a later
+    * train's swap unpersists the previous model's still-lazily-referenced
+    * frame (correct via recompute), and swap is not atomic under
+    * concurrent callers; queries run serially today.
     */
   private val c12Slot = new CacheSlot
 

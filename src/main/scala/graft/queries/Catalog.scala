@@ -759,7 +759,10 @@ object Catalog {
       (s, d) => Mix.schedule(docs(s, d), "doc_id", "source", "text", 0.4),
       Some(graft.queries.Oracles.mixScheduleOracle)),
 
-    Entry("corpus_shard_shuffle",
+    Entry("corpus_epoch_shards",
+      // (named corpus_shard_shuffle in the r13 records — renamed before
+      // the near-collision with the older corpus_shuffle_shard pinned
+      // itself into more tracked artifacts, ADVICE r13)
       // deterministic training-epoch shard shuffle (ext/Shard): every
       // doc gets a reproducible pseudo-random position for epoch 3 and
       // lands round-robin in one of 8 shards — balanced to ±1 by
@@ -2365,7 +2368,37 @@ object Catalog {
       // containers are byte-distinct with bit-identical frames), RIFF
       // demux → per-frame JPEG pixel decode → dims + perceptual aHash
       (s, d) => mmVideoFrames(s, d).orderBy("media_id", "frame_idx"),
-      None), // pixel decode — not expressible in DuckDB
+      None), // pixel decode — not expressible in DuckDB; the sampling
+             // SCHEDULE is oracled by mm_frame_sample_sched below
+
+    Entry("mm_frame_sample_sched",
+      // the sampling SCHEDULE of mm_frame_sample, ORACLED (VERDICT r13
+      // #4): render a varied-frame-count video corpus (1 + id%7 frames,
+      // 5% doc slice — a constant-count corpus exercises one (n, take)
+      // cell), demux the REAL RIFF containers to count movi frame
+      // chunks, and emit which source frame each of 3 evenly-spaced
+      // samples reads. The index arithmetic is Multimodal.sampleIndices
+      // — the SAME helper mm_frame_sample's decode path runs, so the
+      // oracle pins production, not a copy. DuckDB replays the frame
+      // count by construction (1 + doc_id % 7, the mm_video_dedup_check
+      // discipline) and the schedule in integer + IEEE-double math;
+      // after this only pixel values (and KLL internals) remain
+      // un-oracled, both sibling-gated.
+      (s, d) => Multimodal.frameSampleSchedule(s,
+          Multimodal.renderVideoMediaVaried(s,
+            docs(s, d).filter(col("doc_id") % 20 === 0), "doc_id"),
+          nFrames = 3).toDF()
+        .orderBy("media_id", "frame_idx"),
+      Some("""WITH v AS (SELECT doc_id, CAST(1 + doc_id % 7 AS INTEGER) AS n
+             |           FROM documents WHERE doc_id % 20 = 0),
+             |s AS (SELECT doc_id, n, LEAST(3, n) AS take FROM v),
+             |g AS (SELECT doc_id, n, take,
+             |      unnest(generate_series(0, take - 1)) AS fi FROM s)
+             |SELECT doc_id AS media_id, n AS n_src_frames,
+             |  CAST(fi AS INTEGER) AS frame_idx,
+             |  CAST(LEAST(CAST(floor(fi * (CAST(n AS DOUBLE) / take)) AS BIGINT),
+             |             n - 1) AS INTEGER) AS src_idx
+             |FROM g ORDER BY media_id, frame_idx""".stripMargin)),
 
     Entry("mm_video_dedup_check",
       // the REAL video-decode dedup path, ORACLED like

@@ -75,7 +75,8 @@ object ScaleProbe {
     "sim_decontaminate",
     "graph_pagerank", "text_bm25_search", "dedup_semantic", "sim_pq_rerank",
     "text_lm_score", "join_fuzzy", "text_nb_classifier", "corpus_mix_schedule",
-    "corpus_dsir_select", "text_line_dedup", "text_line_dedup_xx")
+    "corpus_dsir_select", "text_line_dedup", "text_line_dedup_xx",
+    "corpus_epoch_shards")
 
   /** Probe-only queries (not part of the declared surface): stress shapes
     * the bijective scaled corpus cannot produce. The scaled replicas'
@@ -322,6 +323,19 @@ object ScaleProbe {
                                      // the production wire, not the md5
                                      // oracle gear; same plan shape as
                                      // text_line_dedup modulo key width
+    "corpus_epoch_shards" -> 5.0,    // family 29 (VERDICT r13 #3): the
+                                     // full-corpus md5 RANGE SORT through
+                                     // Packing.distributedRank — the
+                                     // newest exchange-heavy shape. Range
+                                     // partition on the md5 key + per-
+                                     // partition counts to the driver
+                                     // (O(#partitions) state) + offset-
+                                     // broadcast row_number: linear by
+                                     // construction. Super-linear here
+                                     // means a skewed range boundary, a
+                                     // driver-offset blowup, or the rank
+                                     // degenerating to a one-task global
+                                     // window — all invisible at sf0.1
     "dedup_substring_gate_xx" -> 5.0) // the streaming gate's whole state
                                      // machine in PRODUCTION (xxhash)
                                      // mode: seed (⅓ of the corpus —
