@@ -784,6 +784,24 @@ object Catalog {
              |       CAST(r // 8 AS BIGINT) AS pos
              |FROM ranked ORDER BY doc_id""".stripMargin)),
 
+    Entry("corpus_shard_shuffle",
+      // compatibility alias of corpus_epoch_shards: the r13 records
+      // declared this computation under this name, and the round
+      // contract forbids a declared query from disappearing — the
+      // ADVICE-r13 rename keeps the new unambiguous name above while
+      // this entry preserves the old one (same body, same oracle).
+      (s, d) => Shard.epochShards(docs(s, d), "doc_id", nShards = 8, epoch = 3)
+        .orderBy("doc_id"),
+      Some("""WITH ranked AS (
+             |  SELECT doc_id,
+             |    ROW_NUMBER() OVER (
+             |      ORDER BY md5('ep:3:' || CAST(doc_id AS VARCHAR)), doc_id)
+             |      - 1 AS r
+             |  FROM documents)
+             |SELECT doc_id, CAST(r % 8 AS INT) AS shard,
+             |       CAST(r // 8 AS BIGINT) AS pos
+             |FROM ranked ORDER BY doc_id""".stripMargin)),
+
     Entry("corpus_domain_cap",
       // per-domain quota capping (the RefinedWeb/C4 anti-over-
       // representation step): keep at most 10 docs per source, the
