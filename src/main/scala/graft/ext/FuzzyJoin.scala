@@ -42,8 +42,34 @@ object FuzzyJoin {
   /** Replayable bucketer: 4 salted md5 minima over 3-grams, banded 2×2.
     * Emits (id, bucket) — exactly the dedup_minhash_lsh oracle recipe
     * (Oracles.scala banding CTE), reused cross-table.
+    *
+    * The minima are computed PER ROW by the codegen'd
+    * [[org.apache.spark.sql.graft.CharGramMinHashMd5]] kernel — the
+    * relational explode → groupBy(min(md5hex)×4) it replaces (r14)
+    * sort-aggregated the full gram volume with an exchange per side,
+    * because `min(string)` is not hash-aggregable (the r14 before-plan
+    * shows SortAggregate + Exchange under every bucketer call); the
+    * kernel keeps the whole blocking signature inside the scan stage,
+    * zero shuffle. Identity of results requires ids unique per row
+    * (both fuzzy-join entries feed entity tables keyed by doc_id;
+    * FuzzyJoinSpec pins kernel ≡ relational on the fixture).
     */
   def md5Buckets(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val minima = df.select(col(idCol).as("id"),
+        graft.functions.text.chargram_minhash_md5(col(strCol), 3, 4).as("__ms"))
+      .filter(col("__ms").isNotNull)
+    minima.select(col("id"), explode(array(
+      md5(concat(element_at(col("__ms"), 1), lit("|"), element_at(col("__ms"), 2))),
+      md5(concat(element_at(col("__ms"), 3), lit("|"), element_at(col("__ms"), 4)))))
+      .as("bucket"))
+  }
+
+  /** The pre-r14 relational md5 bucketer — kept ONLY as the equivalence
+    * reference for FuzzyJoinSpec (explode → groupBy sort-aggregates the
+    * gram volume; the kernel form above is the production path).
+    */
+  private[graft] def md5BucketsRelational(df: DataFrame, idCol: String,
+                                          strCol: String): DataFrame = {
     val g = df.select(col(idCol).as("id"), explode(gramsExpr(strCol)).as("gram"))
     val ms = (0 until 4).map(k => min(md5(concat(lit(s"$k|"), col("gram")))).as(s"m$k"))
     val minima = g.groupBy("id").agg(ms.head, ms.tail: _*)
@@ -56,9 +82,26 @@ object FuzzyJoin {
     * 3-grams, banded 2×2 — 8-byte longs where the twin carries 32-byte
     * hex (the substring-gate lesson: key width is the shuffle bill).
     * The band bucket stays a long (minima re-hashed pairwise), so the
-    * candidate join compares 8 bytes, never strings.
+    * candidate join compares 8 bytes, never strings. Minima per row via
+    * the codegen'd [[org.apache.spark.sql.graft.CharGramMinHashXx]]
+    * kernel — same zero-shuffle rationale and per-row contract as
+    * [[md5Buckets]].
     */
   def xxBuckets(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    val minima = df.select(col(idCol).as("id"),
+        graft.functions.text.chargram_minhash_xx(col(strCol), 3, 4).as("__ms"))
+      .filter(col("__ms").isNotNull)
+    minima.select(col("id"), explode(array(
+      xxhash64(lit(0), element_at(col("__ms"), 1), element_at(col("__ms"), 2)),
+      xxhash64(lit(1), element_at(col("__ms"), 3), element_at(col("__ms"), 4))))
+      .as("bucket"))
+  }
+
+  /** The pre-r14 relational xx bucketer — FuzzyJoinSpec's equivalence
+    * reference, mirroring [[md5BucketsRelational]].
+    */
+  private[graft] def xxBucketsRelational(df: DataFrame, idCol: String,
+                                         strCol: String): DataFrame = {
     val g = df.select(col(idCol).as("id"), explode(gramsExpr(strCol)).as("gram"))
     val ms = (0 until 4).map(k => min(xxhash64(lit(k), col("gram"))).as(s"m$k"))
     val minima = g.groupBy("id").agg(ms.head, ms.tail: _*)
@@ -101,9 +144,16 @@ object FuzzyJoin {
       .filter(col("bn") <= maxBucket).select("bucket")
     val cb = cbAll.join(keep, "bucket")
       .join(clean.select(col(idCol).as("clean_id"), col(strCol).as("c_str")), "clean_id")
+    // threshold form (banded O(maxDist·n) instead of full O(m·n) per
+    // pair, r14): for pairs within maxDist it returns the EXACT distance
+    // — identical survivors, identical dist values, identical best-match
+    // select — and for the rest returns -1 without filling the full
+    // matrix. The verify stage is the fuzzy join's dominant cost
+    // (StageProf r14: ~460 of ~950 task-s), and nearly every candidate
+    // fails the cap, so the -1 early exit is where the time goes.
     val verified = db.join(cb, "bucket")
-      .withColumn("dist", levenshtein(col("d_str"), col("c_str")))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col("d_str"), col("c_str"), maxDist))
+      .filter(col("dist") >= 0)
       .select("dirty_id", "clean_id", "dist").distinct()
     val w = Window.partitionBy("dirty_id").orderBy(col("dist"), col("clean_id"))
     verified.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)

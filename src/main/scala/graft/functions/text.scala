@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.{coalesce, concat, lit, raise_error, when}
-import org.apache.spark.sql.graft.{Bridge, CappedDistinctLongs, GramFingerprintCounts, LangStopHits, Md5WinnowedFingerprints, MinHashSig, NgramShingles, NgramStats, SimHash64, TextProfile, WinnowedFingerprints}
+import org.apache.spark.sql.graft.{Bridge, CappedDistinctLongs, CharGramMinHashMd5, CharGramMinHashXx, GramFingerprintCounts, LangStopHits, Md5WinnowedFingerprints, MinHashSig, NgramShingles, NgramStats, SimHash64, TextProfile, WinnowedFingerprints}
 
 /** Column-API wrappers over the codegen'd text-sketch expressions
   * (see org.apache.spark.sql.graft.TextExpressions).
@@ -66,6 +66,22 @@ object text {
     */
   def gram_fingerprint_counts(textCol: Column, l: Int): Column =
     Bridge.column(GramFingerprintCounts(Bridge.expression(textCol), l))
+
+  /** Char-`gramLen`-gram salted-md5 minima (array of k lowercase hex
+    * strings) of one row's string — the fuzzy-join blocking signature,
+    * map-side (the relational `min(md5(...))` form sort-aggregated the
+    * full gram volume). Null input → null. See [[CharGramMinHashMd5]]
+    * for the exact gram semantics and the per-row (unique-id) contract.
+    */
+  def chargram_minhash_md5(strCol: Column, gramLen: Int, k: Int): Column =
+    Bridge.column(CharGramMinHashMd5(Bridge.expression(strCol), gramLen, k))
+
+  /** Char-`gramLen`-gram salted-xxhash64 minima (array of k longs) —
+    * the production fuzzy-join blocking signature, map-side. See
+    * [[CharGramMinHashXx]].
+    */
+  def chargram_minhash_xx(strCol: Column, gramLen: Int, k: Int): Column =
+    Bridge.column(CharGramMinHashXx(Bridge.expression(strCol), gramLen, k))
 
   /** Aggregate: distinct longs per group as a SORTED array, or NULL once
     * the group exceeds `cap` distinct values — per-key aggregation state

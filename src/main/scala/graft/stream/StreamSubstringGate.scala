@@ -112,14 +112,27 @@ object StreamSubstringGate {
     // broadcast there ran the executor out of BytesToBytesMap memory.
     // Letting the planner pick per batch IS the 100 TB posture: the
     // same code serves both regimes.
+    // PERSISTED for the batch (the IngestPipeline admMatches discipline,
+    // r14): cand feeds BOTH the hub census and the cross-pair join, and
+    // an unpersisted plan re-ran the corpus-index probe join once per
+    // consumer — at wave scale that is the two heaviest stages of the
+    // whole batch executing twice (StageProf r14: 469 + 445 task-s on
+    // near-identical join subtrees). At 100 TB the corpus index is the
+    // big side; scanning and joining it once per batch instead of twice
+    // is the difference that matters.
     val cand = corpusIdx.join(deltaIdx.select(col("h")).distinct(), Seq("h"))
       .select(col("id").as("c_id"), col("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // hub cap at probe time: total df of h across corpus matches + the
-    // delta itself; everything here is bounded by the delta's gram count
+    // delta itself; everything here is bounded by the delta's gram count.
+    // hubs feeds the cross-pair anti join AND the in-batch posting path;
+    // it is delta-bounded small, so persist it too rather than re-running
+    // its two aggregations over cand per consumer.
     val hubs = cand.groupBy("h").agg(count(lit(1)).as("n_c"))
       .join(deltaIdx.groupBy("h").agg(count(lit(1)).as("n_d")), Seq("h"))
       .filter(col("n_c") + col("n_d") > p.maxDf)
       .select(col("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val crossPairs = cand.join(hubs, Seq("h"), "left_anti")
       .join(deltaIdx.select(col("id").as("d_id"), col("h")), Seq("h"))
       .select(least(col("c_id"), col("d_id")).as("id_a"),
@@ -135,8 +148,9 @@ object StreamSubstringGate {
     val innerPairs = SubstringDedup.postingPairs(
       deltaIdx.join(hubs, Seq("h"), "left_anti"),
       p.minShared, p.maxDf)
-    crossPairs.unionByName(innerPairs)
+    try crossPairs.unionByName(innerPairs)
       .write.mode(SaveMode.Overwrite).parquet(s"$stateDir/pairs/batch=$version")
+    finally { cand.unpersist(); hubs.unpersist() }
   }
 
   /** All substring-overlap pairs detected so far, versioned by the batch

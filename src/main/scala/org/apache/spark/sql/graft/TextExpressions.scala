@@ -738,3 +738,151 @@ object Md5WinnowedFingerprints {
     new GenericArrayData(arr)
   }
 }
+
+/** Per-row char-gram salted-md5 minima — the map-side kernel behind
+  * [[graft.ext.FuzzyJoin.md5Buckets]]: the k lexicographic minima of
+  * md5("i|" + gram) over the row's character `gramLen`-grams, where the
+  * gram set is exactly `transform(sequence(1, greatest(length(s) -
+  * (gramLen-1), 1)), i -> substring(s, i, gramLen))` — CHAR-based
+  * substring (multibyte-correct), and a string shorter than `gramLen`
+  * contributes its whole self as the single gram. Output ordering:
+  * lowercase hex is order-isomorphic to the unsigned digest bytes, so
+  * the minima equal SQL `min(md5(concat('i|', gram)))` per row
+  * (FuzzyJoinSpec pins the equivalence).
+  *
+  * Why an expression instead of explode → groupBy(min×k): `min(string)`
+  * is not hash-aggregable, so the relational form ran a SORT-aggregate
+  * over the full gram volume with an exchange per side (r14 before-plan:
+  * SortAggregate + Exchange under every bucketer) — this kernel keeps
+  * the whole blocking signature inside the scan's codegen stage, zero
+  * shuffle. Per-ROW semantics: callers must hold ids unique per row
+  * (entity tables do), since the groupBy form would merge grams of
+  * duplicate ids where this computes one signature per row.
+  */
+case class CharGramMinHashMd5(child: Expression, gramLen: Int, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(gramLen > 0 && k > 0)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "chargram_minhash_md5"
+
+  override def nullSafeEval(input: Any): Any =
+    CharGramMinHashMd5.compute(input.asInstanceOf[UTF8String], gramLen, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = CharGramMinHashMd5.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $cls.compute($t, $gramLen, $k);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharGramMinHashMd5 {
+  private val hexDigits = "0123456789abcdef".toCharArray
+
+  private def hex(bytes: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      out(2 * i) = hexDigits((bytes(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = hexDigits(bytes(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  def compute(text: UTF8String, gramLen: Int, k: Int): ArrayData = {
+    val nChars = text.numChars()
+    val nGrams = math.max(nChars - (gramLen - 1), 1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val prefixes = Array.tabulate(k)(i => (i + "|").getBytes("UTF-8"))
+    val mins = new Array[Array[Byte]](k)
+    var pos = 0
+    while (pos < nGrams) {
+      // SQL substring semantics (1-based, char-counted, clipped at end)
+      val gram = text.substringSQL(pos + 1, gramLen).getBytes
+      var s = 0
+      while (s < k) {
+        md.reset()
+        md.update(prefixes(s))
+        md.update(gram)
+        val d = md.digest()
+        if (mins(s) == null || less(d, mins(s))) mins(s) = d
+        s += 1
+      }
+      pos += 1
+    }
+    val out = new Array[Any](k)
+    var s = 0
+    while (s < k) { out(s) = hex(mins(s)); s += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Per-row char-gram salted-xxhash64 minima — the production twin of
+  * [[CharGramMinHashMd5]] behind [[graft.ext.FuzzyJoin.xxBuckets]]: the
+  * k signed minima of `xxhash64(i, gram)` (Spark's accumulating XXH64:
+  * the int salt hashes with seed 42, the gram's UTF-8 bytes hash with
+  * that as seed — bit-identical to the built-in) over the same char-gram
+  * set. Same per-row contract and shuffle-elimination rationale.
+  */
+case class CharGramMinHashXx(child: Expression, gramLen: Int, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(gramLen > 0 && k > 0)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "chargram_minhash_xx"
+
+  override def nullSafeEval(input: Any): Any =
+    CharGramMinHashXx.compute(input.asInstanceOf[UTF8String], gramLen, k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = CharGramMinHashXx.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $cls.compute($t, $gramLen, $k);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharGramMinHashXx {
+  private val Seed = 42L // spark.sql.functions.xxhash64 default seed
+
+  def compute(text: UTF8String, gramLen: Int, k: Int): ArrayData = {
+    val nChars = text.numChars()
+    val nGrams = math.max(nChars - (gramLen - 1), 1)
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val saltSeeds = Array.tabulate(k)(i =>
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, Seed))
+    var pos = 0
+    while (pos < nGrams) {
+      val gram = text.substringSQL(pos + 1, gramLen)
+      var s = 0
+      while (s < k) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUTF8String(gram, saltSeeds(s))
+        if (h < mins(s)) mins(s) = h
+        s += 1
+      }
+      pos += 1
+    }
+    new GenericArrayData(mins)
+  }
+}

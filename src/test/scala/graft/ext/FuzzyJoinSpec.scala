@@ -57,6 +57,24 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(got.size >= (brute.size * 0.95).toInt)
   }
 
+  test("kernel bucketers equal the relational explode+groupBy form (r14)") {
+    // the fixture strings PLUS the edge shapes the kernel must clip
+    // identically: shorter than one gram, exactly one gram, empty, and
+    // multibyte text (char-based substring, not byte-based)
+    val edge = Seq((1000L, "ab"), (1001L, "abc"), (1002L, ""),
+      (1003L, "añçé漢字x"), (1004L, "ñ"))
+      .toDF("doc_id", "s")
+    val probe = clean.unionByName(dirty
+        .withColumn("doc_id", col("doc_id") + 500L))
+      .unionByName(edge)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.get(1).toString)).sorted.toSeq
+    assert(canon(FuzzyJoin.md5Buckets(probe, "doc_id", "s")) ==
+      canon(FuzzyJoin.md5BucketsRelational(probe, "doc_id", "s")))
+    assert(canon(FuzzyJoin.xxBuckets(probe, "doc_id", "s")) ==
+      canon(FuzzyJoin.xxBucketsRelational(probe, "doc_id", "s")))
+  }
+
   test("clean-side hub cap drops degenerate blocks instead of exploding") {
     // every clean row identical -> one block of size 300 > cap, so
     // blocking yields ZERO candidates (the O(n*m) blowup is refused, not
