@@ -92,6 +92,17 @@ object Bench {
       // count verbatim — which is how r7's global 128-partition posture
       // taxed the whole CDC family 4-10× (VERDICT r7 #1)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+      // AQE coalescing targets COMPRESSED map-output bytes; the heavy
+      // gram/pair exchanges here decompress ~4× into sorter memory, so
+      // the advisory target is effectively a per-task memory knob.
+      // Env-overridable for A/B measurement (r15); default justified in
+      // OPTIMIZATION_r15.md.
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        sys.env.getOrElse("SPARK_GRAFT_ADVISORY_MB", "64") + "m")
+      // AQE SMJ→SHJ rewrite threshold (guide §3.1): default 0 = off (the
+      // Spark default). Env-overridable for A/B measurement (r15).
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_MB", "0") + "m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -78,11 +78,18 @@ object Dedup {
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, k: Int = 8, bands: Int = 2): DataFrame = {
+    // the no-shingles gate runs on the INPUT (r15): `minhash_sig(...)
+    // IS NOT NULL` on the alias gets pushed below the Project with the
+    // alias substituted, and Filter/Project don't share subexpression
+    // elimination — the whole k×shingles md5 kernel evaluated TWICE per
+    // row (the ADVICE r14 FuzzyJoin shape). The kernel returns null
+    // EXACTLY when split(text, " ", -1) has fewer than `shingleN`
+    // elements (MinHashSig scaladoc), so this predicate selects the
+    // identical rows (null text: both forms drop it).
     val m = docs
+      .filter(size(split(col(textCol), " ", -1)) >= shingleN)
       .select(col(idCol),
         graft.functions.text.minhash_sig(col(textCol), shingleN, k).as("__mh"))
-      .filter(col("__mh").isNotNull) // < n words = no shingles: the doc
-                                     // vanishes, as in the explode form
     val rows = k / bands
     val bandCols = (0 until bands).map { b =>
       md5(concat_ws("|", (0 until rows).map(r => element_at(col("__mh"), b * rows + r + 1)): _*))

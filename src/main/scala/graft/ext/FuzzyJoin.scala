@@ -55,9 +55,15 @@ object FuzzyJoin {
     * FuzzyJoinSpec pins kernel ≡ relational on the fixture).
     */
   def md5Buckets(df: DataFrame, idCol: String, strCol: String): DataFrame = {
-    val minima = df.select(col(idCol).as("id"),
+    // null rows are dropped on the INPUT column, before the kernel runs:
+    // a filter on the kernel's alias is pushed below the Project with the
+    // alias substituted (PushPredicateThroughNonJoin), and Filter/Project
+    // don't share subexpression elimination — the kernel would run twice
+    // per row (ADVICE r14). The kernel is null-safe (null in → null out),
+    // so the two forms select identical rows.
+    val minima = df.filter(col(strCol).isNotNull)
+      .select(col(idCol).as("id"),
         graft.functions.text.chargram_minhash_md5(col(strCol), 3, 4).as("__ms"))
-      .filter(col("__ms").isNotNull)
     minima.select(col("id"), explode(array(
       md5(concat(element_at(col("__ms"), 1), lit("|"), element_at(col("__ms"), 2))),
       md5(concat(element_at(col("__ms"), 3), lit("|"), element_at(col("__ms"), 4)))))
@@ -88,9 +94,16 @@ object FuzzyJoin {
     * [[md5Buckets]].
     */
   def xxBuckets(df: DataFrame, idCol: String, strCol: String): DataFrame = {
-    val minima = df.select(col(idCol).as("id"),
+    // same input-column null gate as md5Buckets (single kernel eval).
+    // NULL-input scope (ADVICE r14): the pre-r14 relational form emitted
+    // one degenerate bucket shared by ALL null strings (xxhash64 skips a
+    // null child instead of returning null); this path drops null rows.
+    // resolve() output is unchanged either way — a null string matches
+    // nothing within maxDist — but cross-table reuse of xxBuckets on
+    // nullable columns should expect no rows for null input.
+    val minima = df.filter(col(strCol).isNotNull)
+      .select(col(idCol).as("id"),
         graft.functions.text.chargram_minhash_xx(col(strCol), 3, 4).as("__ms"))
-      .filter(col("__ms").isNotNull)
     minima.select(col("id"), explode(array(
       xxhash64(lit(0), element_at(col("__ms"), 1), element_at(col("__ms"), 2)),
       xxhash64(lit(1), element_at(col("__ms"), 3), element_at(col("__ms"), 4))))

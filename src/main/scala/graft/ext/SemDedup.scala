@@ -26,6 +26,9 @@ import graft.functions.vectors
   * is an arbitrary (id, cl) frame precisely so that swap stays local.
   */
 object SemDedup {
+  /** One live (vec, norm, cl) cache per call site — see CacheSlot. */
+  private val vSlot = new CacheSlot
+
   /** Near-dup pairs (id_a < id_b, cos ≥ tau) within clusters of an
     * arbitrary assignment frame `assign` = (id, cl). Norms are computed
     * once per row before the pair join; the join shuffles each row once
@@ -34,9 +37,19 @@ object SemDedup {
   def clusterDupPairs(embs: DataFrame, idCol: String, vecCol: String,
                       assign: DataFrame, tau: Double,
                       maxClusterSize: Int = 4096): DataFrame = {
-    val v = embs.select(col(idCol).as("id"), col(vecCol).as("v"),
-        vectors.float_norm(col(vecCol)).as("nm"))
-      .join(assign.select(col("id"), col("cl")), Seq("id"))
+    // PERSISTED for the call (r15): v has FOUR consumers — the census
+    // collect, the keyed frame's two self-join sides, and (through
+    // keyed) the pair join — and `assign` is typically the k-means
+    // assignment subtree (n·k·d flops); unpersisted, the assignment
+    // recomputed once per consumer (StageProf r15: five ~60-84 task-s
+    // stages, each a full 113 MB embedding scan + assignment, ~350 of
+    // dedup_semantic's ~700 task-s). Bounded: n rows × (vec + norm +
+    // cl) ≈ corpus embedding size. Released via the caller-visible
+    // CacheSlot discipline below (unpersist on the next call).
+    val v = SemDedup.vSlot.swap(
+      embs.select(col(idCol).as("id"), col(vecCol).as("v"),
+          vectors.float_norm(col(vecCol)).as("nm"))
+        .join(assign.select(col("id"), col("cl")), Seq("id")))
     // oversized clusters (constant-k growth or quantizer skew) get a
     // hyperplane sub-key WIDE ENOUGH that expected sub-cell size ≤ cap:
     // planes = ceil(log2(maxCell/cap)) + 1. Sizing from the census keeps

@@ -182,7 +182,16 @@ object SubstringDedup {
     // pass `docCount`; with the default -1 this runs an eager
     // docs.count() job per construction.
     val nDocs = if (docCount >= 0L) docCount else docs.count()
-    val nParts = math.max(32, math.ceil(nDocs / 7800.0).toInt)
+    // ~1950 docs per partition (r15; was 7800): the r12 sizing targeted
+    // ~64 MB of sorter input per task, but the regenerated bench corpus
+    // carries ~4× the decompressed gram bytes per doc and the r15 stage
+    // profile read the window stage at 25.8 GB spill / 1473 task-s on 65
+    // partitions (≈400 MB of sorter working set per task vs the ~90-140
+    // MB of execution memory a 32-thread 8g JVM gives each task). 4× the
+    // partitions puts per-task sorter state back under the no-spill
+    // line; the rule stays data-proportional (at 100 TB it sizes ~6M
+    // partitions — the same posture, just honest about row width).
+    val nParts = math.max(32, math.ceil(nDocs / 1950.0).toInt)
     val base0 = docs.filter(octet_length(col(textCol)) >= L)
       .select(col(idCol).as("id"), col(textCol).as("__t"))
     // MAP-side volume must also be data-proportional: each doc explodes

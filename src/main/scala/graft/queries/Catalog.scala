@@ -38,6 +38,25 @@ object Catalog {
 
   private val allStopwords: Seq[String] = TextStats.LangStopwords.flatMap(_._2)
 
+  /** Final-ORDER-BY wrapper for queries whose sort input is an expensive
+    * join/aggregate subtree (r15, guide §7.2): a global orderBy plans as
+    * Exchange(rangepartitioning), and the range-bound SAMPLING job
+    * re-executes the exchange's whole child — the r15 stage profiles
+    * read every such query's final subtree TWICE (e.g. text_bpe_apply:
+    * two ~270 task-s stages; dedup_substring_winnowed: two ~230 task-s
+    * final-aggregate executions at 15.7 GB spill each). Persisting the
+    * sort input makes the sampling pass POPULATE the cache and the
+    * shuffle map pass read it — the child computes once. Map-only
+    * projection queries don't need this (they hoist the projection
+    * above the sort instead — see text_bpe_apply); this is for children
+    * a hoist can't cross (aggregates, joins). One live slot: each call
+    * releases the previous query's cache (CacheSlot discipline; the
+    * bench/Verify consume each query fully before the next).
+    */
+  private val sortedSlot = new CacheSlot
+  private def sortedOut(df: DataFrame, cols: String*): DataFrame =
+    sortedSlot.swap(df).orderBy(cols.map(col): _*)
+
   /** Fixed query set for `text_bm25_search` (terms from the fixture
     * vocabulary so every query has hits).
     */
@@ -2006,8 +2025,10 @@ object Catalog {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     Entry("dedup_minhash_lsh",
-      (s, d) => Dedup.minhashSignatures(docs(s, d), "doc_id", "text",
-        shingleN = 3, k = 8, bands = 2).orderBy("doc_id"),
+      // sort-first (r15): the MinHashSig kernel is a per-row projection,
+      // so the sort hoists below it (see text_bpe_apply)
+      (s, d) => Dedup.minhashSignatures(docs(s, d).orderBy("doc_id"), "doc_id",
+        "text", shingleN = 3, k = 8, bands = 2),
       Some("""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
              |x AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM dd),
              |sh AS (SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS s FROM x),
@@ -2127,20 +2148,23 @@ object Catalog {
              // md5-mode twin above is the correctness gate
 
     Entry("dedup_simhash",
-      (s, d) => Dedup.simhashTable(docs(s, d), "doc_id", "text")
+      // sortedOut (r15): the signature join (incl. the interpreted
+      // rolling-hash HOF) ran twice under the range-bound sampling
+      (s, d) => sortedOut(Dedup.simhashTable(docs(s, d), "doc_id", "text")
         .join(docs(s, d).select(col("doc_id"),
-          TextStats.rollingHash(col("text")).as("rolling_fp")), Seq("doc_id"))
-        .orderBy("doc_id"),
+          TextStats.rollingHash(col("text")).as("rolling_fp")), Seq("doc_id")),
+        "doc_id"),
       None), // xxhash64-based — not expressible in DuckDB
 
     Entry("dedup_ngram_jaccard",
       (s, d) => {
         val a = docs(s, d).select(col("doc_id").as("id_a"), col("text").as("ta"))
         val b = docs(s, d).select(col("doc_id").as("id_b"), col("text").as("tb"))
-        a.join(b, col("id_b") === col("id_a") + 1)
+        // sortedOut (r15): the consecutive-pair join + interpreted
+        // jaccard HOF ran twice under the range-bound sampling
+        sortedOut(a.join(b, col("id_b") === col("id_a") + 1)
           .select(col("id_a"), col("id_b"),
-            Dedup.wordJaccard(col("ta"), col("tb")).as("jaccard"))
-          .orderBy("id_a")
+            Dedup.wordJaccard(col("ta"), col("tb")).as("jaccard")), "id_a")
       },
       // LEFT JOIN from the full consecutive-pair base: pairs sharing no
       // word must still appear with jaccard = 0 (as the Spark query emits)
@@ -2337,10 +2361,18 @@ object Catalog {
         // derivation, keep-best join, and packing all reuse these blocks
         // (three consumers — an unpersisted plan would re-run the clean
         // and quality kernels per consumer)
+        // checkpoint BEFORE the quality filter (r15): a filter on the
+        // derived column is pushed below the Project with the alias
+        // substituted (PushPredicateThroughNonJoin), and Filter/Project
+        // don't share subexpression elimination — the clean+profile
+        // kernels evaluated TWICE per row (the ADVICE r14 FuzzyJoin
+        // shape; StageProf read this checkpoint stage at 1334 task-s).
+        // Materializing (text, quality) first runs the kernels once;
+        // the filter then scans checkpointed blocks. Same rows out.
         val gated = cleaned
           .withColumn("quality", TextStats.qualityScore(col("text")))
-          .filter(col("quality") >= 0.5)
           .localCheckpoint(true)
+          .filter(col("quality") >= 0.5)
         val clusters = Dedup.lshDedupClusters(gated, "doc_id", "text",
           threshold = 0.5, shingleN = 3, k = 8, bands = 4)
         val kept = graft.plans.TopK.perGroup(
@@ -2543,12 +2575,14 @@ object Catalog {
       // same RMS/zcr the Spark side computed from the DECODED bytes —
       // the planted-variant discipline of mm_image_dedup_check applied
       // to the audio codec (see Oracles.mmAudioFeaturesOracle).
-      (s, d) => Multimodal.audioFeatures(s,
+      // sortedOut (r15): render+decode ran twice under the range-bound
+      // sampling
+      (s, d) => sortedOut(Multimodal.audioFeatures(s,
           Multimodal.renderAudioMedia(s, docs(s, d), "doc_id")).toDF()
         .select(col("media_id"), col("decode_ok"), col("sample_rate"),
           col("channels"), col("n_frames"), round(col("duration_ms"), 2).as("duration_ms"),
-          round(col("rms"), 2).as("rms"), round(col("zcr"), 4).as("zcr"))
-        .orderBy("media_id"),
+          round(col("rms"), 2).as("rms"), round(col("zcr"), 4).as("zcr")),
+        "media_id"),
       Some(Oracles.mmAudioFeaturesOracle)),
 
     Entry("dedup_embedding_cosine",
@@ -2580,10 +2614,12 @@ object Catalog {
       (s, d) => {
         val sh = embShadowed(s, d)
         val assign = SemDedup.ivfAssignment(s, sh, "vec_id", "embedding")
-        SemDedup.semanticDedup(sh, "vec_id", "embedding", assign, tau = 0.99)
+        // sortedOut (r15): the pair join + CC chain ran twice under the
+        // range-bound sampling
+        sortedOut(SemDedup.semanticDedup(sh, "vec_id", "embedding", assign,
+            tau = 0.99)
           .filter(col("is_dup") === 1)
-          .select(col("id"), col("cluster_id"), col("kept_id"))
-          .orderBy("id")
+          .select(col("id"), col("cluster_id"), col("kept_id")), "id")
       },
       None), // k-means cells — not DuckDB-expressible
 
@@ -2605,9 +2641,11 @@ object Catalog {
       // still collides on a surviving fingerprint. xxhash64 grams →
       // rows-only; SubstringDedupSpec pins recall against the exact
       // variant on the planted fixture overlaps.
-      (s, d) => SubstringDedup.winnowedGramPairs(docs(s, d), "doc_id", "text",
-          L = 40, w = 8, minShared = 2)
-        .orderBy("id_a", "id_b"),
+      // sortedOut (r15): the final pair aggregate ran twice under the
+      // range-bound sampling — two ~230 task-s executions at 15.7 GB
+      // spill each in the r15 stage profile
+      (s, d) => sortedOut(SubstringDedup.winnowedGramPairs(docs(s, d), "doc_id",
+          "text", L = 40, w = 8, minShared = 2), "id_a", "id_b"),
       None), // xxhash64 fingerprints — not DuckDB-expressible
 
     Entry("dedup_substring_winnowed_md5",
@@ -2631,6 +2669,11 @@ object Catalog {
       // distinct docs. One distinct + one vocab-sized df agg + one hash
       // join back, everything partitioned by gram hash — linear in
       // corpus chars at any scale.
+      // NO sortedOut here although the final agg+join runs twice under
+      // the range-bound sampling: this is the one MedianLegs probe
+      // family, whose purity contract (ScaleProbeContractSpec) forbids
+      // cache-backed plans — and the r15 win came from the partition
+      // sizing inside dupSpanStats anyway (100.6 → 45.2 s without it).
       (s, d) => SubstringDedup.dupSpanStats(docs(s, d), "doc_id", "text", L = 40)
         .orderBy("doc_id"),
       Some(Oracles.dupSpanStatsOracle(l = 40))),
@@ -3097,9 +3140,9 @@ object Catalog {
       Some(Oracles.streamLmGateOracle)),
 
     Entry("text_langid",
-      (s, d) => docs(s, d)
-        .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred"))
-        .orderBy("doc_id"),
+      // sort-first, project-above (r15; see text_bpe_apply)
+      (s, d) => docs(s, d).orderBy("doc_id")
+        .select(col("doc_id"), TextStats.langId(col("text")).as("lang_pred")),
       Some(Oracles.langIdSql)),
 
     Entry("text_quality",
@@ -3107,14 +3150,14 @@ object Catalog {
       // derive from the same projected struct (the earlier form paid two
       // extra regex scans — split for n_tokens, regexp_count for
       // n_bpeish — on top of the kernel)
-      (s, d) => docs(s, d)
+      // sort-first, project-above (r15; see text_bpe_apply)
+      (s, d) => docs(s, d).orderBy("doc_id")
         .select(col("doc_id"), graft.functions.text.text_profile(
           col("text"), TextStats.LangStopwords.flatMap(_._2)).as("st"))
         .select(col("doc_id"),
           col("st.n_tokens_ws").cast("long").as("n_tokens"),
           col("st.n_bpeish").cast("long").as("n_bpeish"),
-          TextStats.qualityFromProfile(col("st")).as("quality"))
-        .orderBy("doc_id"),
+          TextStats.qualityFromProfile(col("st")).as("quality")),
       Some(Oracles.qualitySql)),
 
     Entry("text_top_words",
@@ -3312,9 +3355,9 @@ object Catalog {
              |FROM m GROUP BY label ORDER BY label""".stripMargin)),
 
     Entry("text_fingerprint",
-      (s, d) => docs(s, d)
-        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp"))
-        .orderBy("doc_id"),
+      // sort-first, project-above (r15; see text_bpe_apply)
+      (s, d) => docs(s, d).orderBy("doc_id")
+        .select(col("doc_id"), TextStats.fingerprint(col("text")).as("fp")),
       Some("""SELECT doc_id,
              | md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp
              |FROM documents ORDER BY doc_id""".stripMargin)),
@@ -3406,9 +3449,10 @@ object Catalog {
       // fixture text is already clean, so the oracle here pins
       // cross-engine REGEX parity and the plumbing; TextStatsSpec
       // exercises the redaction itself on planted fixtures.
-      (s, d) => docs(s, d)
-        .select(col("doc_id"), TextStats.cleanText(col("text")).as("clean_text"))
-        .orderBy("doc_id"),
+      // sort-first, project-above (r15): keeps the range exchange's
+      // bound-sampling pass off the 3-regex scrub (see text_bpe_apply)
+      (s, d) => docs(s, d).orderBy("doc_id")
+        .select(col("doc_id"), TextStats.cleanText(col("text")).as("clean_text")),
       Some(s"""SELECT doc_id,
               | trim(regexp_replace(regexp_replace(regexp_replace(text,
               |   '${TextStats.EmailPattern}', '<EMAIL>', 'g'),
@@ -3436,12 +3480,13 @@ object Catalog {
           ((did * 11) % 256).cast("string"), lit("."),
           ((did % 254) + 1).cast("string"))
         val (nSsn, nPhone, nIp) = TextStats.piiCounts(planted)
-        docs(s, d).select(col("doc_id"),
+        // sort-first, project-above (r15): keeps the range exchange's
+        // bound-sampling pass off the 6 regex kernels (see text_bpe_apply)
+        docs(s, d).orderBy("doc_id").select(col("doc_id"),
           nSsn.cast("long").as("n_ssn"),
           nPhone.cast("long").as("n_phone"),
           nIp.cast("long").as("n_ip"),
           TextStats.scrubPii(planted).as("scrubbed"))
-          .orderBy("doc_id")
       },
       Some(s"""WITH p AS (SELECT doc_id,
               |  text || ' ssn ' || CAST((doc_id % 900) + 100 AS VARCHAR) || '-' ||
@@ -3578,11 +3623,13 @@ object Catalog {
       // are pure variant arithmetic, so the t2 gate proves all three
       // codec round-trips AND the dispatch itself (the perceptual
       // feature column is engine-internal and excluded).
-      (s, d) => Multimodal.decodeFeatures(s, mmMixedMedia(s, d)).toDF()
+      // sortedOut (r15): the codec decode ran twice under the
+      // range-bound sampling (the media corpus is parquet-memoized but
+      // the decode map is not)
+      (s, d) => sortedOut(Multimodal.decodeFeatures(s, mmMixedMedia(s, d)).toDF()
         .select(col("media_id"), col("kind"),
           col("decode_ok").cast("int").as("decode_ok"),
-          col("width"), col("height"), col("n_frames"))
-        .orderBy("media_id"),
+          col("width"), col("height"), col("n_frames")), "media_id"),
       Some("""SELECT doc_id AS media_id,
              | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
              | CAST(1 AS INTEGER) AS decode_ok,
@@ -3646,9 +3693,16 @@ object Catalog {
       // generated from the same constant, and the FULL token sequence
       // crosses engines as an md5 (count as BIGINT). BpeSpec pins the
       // encode against an independent pair-at-a-time reference.
-      (s, d) => Bpe.applyMerges(docs(s, d), "doc_id", "text",
-          Bpe.FixtureMerges)
-        .orderBy("doc_id"),
+      // SORT-FIRST, ENCODE-ABOVE (r15, guide §1.2/§7.2): a global orderBy
+      // plans as Exchange(rangepartitioning), whose bound-sampling job
+      // RE-EXECUTES the exchange's whole child — with the encode below
+      // the sort, the 25-replace cascade ran twice per row (StageProf:
+      // two ~270 task-s stages, one producing nothing). Sorting the raw
+      // (doc_id, text) rows first and projecting the encode ABOVE the
+      // sort keeps the sampled subtree to the bare scan; rows and their
+      // order are identical (projection preserves order; doc_id unique).
+      (s, d) => Bpe.applyMerges(docs(s, d).orderBy("doc_id"), "doc_id", "text",
+          Bpe.FixtureMerges),
       Some(Oracles.bpeApplyOracle(Bpe.FixtureMerges))),
 
     Entry("corpus_split_safe",

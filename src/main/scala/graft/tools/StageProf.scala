@@ -48,7 +48,11 @@ object StageProf {
         sfDir
       }
     val stages = new java.util.concurrent.ConcurrentHashMap[Int, Agg]()
-    var collecting = false
+    // @volatile + waitUntilEmpty below (ADVICE r14): the flag is read on
+    // the async listener-bus thread and written from main; without the
+    // barrier, late TaskEnd events of query N could be dropped or
+    // misattributed to query N+1 after stages.clear()
+    @volatile var collecting = false
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = if (collecting) {
         val a = stages.computeIfAbsent(t.stageId, _ => new Agg)
@@ -85,11 +89,15 @@ object StageProf {
           spark.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
             if (scaled) "128" else cpus)
           val dir = if (scaled) scaledDir else sfDir
+          org.apache.spark.sql.graft.Bridge.drainListenerBus(spark)
           stages.clear()
           collecting = true
           val t0 = System.nanoTime()
           fn(spark, dir).write.format("noop").mode("overwrite").save()
           val wall = (System.nanoTime() - t0) / 1e9
+          // drain in-flight events BEFORE flipping the flag so query N's
+          // late TaskEnd/StageCompleted land in its own table
+          org.apache.spark.sql.graft.Bridge.drainListenerBus(spark)
           collecting = false
           println(f"%n== $name: $wall%.2f s, ${stages.size} stages (by task time) ==")
           println(f"${"stage"}%6s ${"wall_s"}%8s ${"task_s"}%8s ${"gc_s"}%6s ${"in_MB"}%8s " +

@@ -29,4 +29,12 @@ object Bridge {
                        builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[classic.SparkSession].sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "scala_udf")
+
+  /** Block until the listener bus has delivered every queued event —
+    * `SparkContext.listenerBus` is `private[spark]`, and the per-query
+    * metric collectors (StageProf) need the drain barrier so late
+    * TaskEnd events can't leak across query boundaries (ADVICE r14).
+    */
+  def drainListenerBus(spark: SparkSession): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty()
 }

@@ -839,6 +839,16 @@ object CharGramMinHashMd5 {
   * the int salt hashes with seed 42, the gram's UTF-8 bytes hash with
   * that as seed — bit-identical to the built-in) over the same char-gram
   * set. Same per-row contract and shuffle-elimination rationale.
+  *
+  * NULL-input scope (ADVICE r14): this expression is null-safe (null
+  * string → null array), which DIVERGES from the relational
+  * `min(xxhash64(k, gram))` form on null input — the built-in xxhash64
+  * never returns null (a null child just skips), so the relational form
+  * gave every null-string row the SAME constant minima (one degenerate
+  * shared bucket) where this kernel yields null. The "kernel ≡
+  * relational" equivalence (FuzzyJoinSpec) is therefore scoped to
+  * non-null input; xxBuckets drops null rows up front, so both
+  * fuzzy-join paths see only the agreeing domain.
   */
 case class CharGramMinHashXx(child: Expression, gramLen: Int, k: Int)
     extends UnaryExpression with ExpectsInputTypes {
