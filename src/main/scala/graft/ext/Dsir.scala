@@ -60,9 +60,24 @@ object Dsir {
       .cast("long")
 
   /** (id, b) hashed-feature stream: unigrams ∪ bigrams, built map-side
-    * from the token array (slice + zip_with — no self-join, no shuffle).
+    * by the [[org.apache.spark.sql.graft.DsirFeatureBuckets]] codegen
+    * kernel (r15) — the relational slice + zip_with + explode + per-
+    * feature md5-hex + conv form it replaces allocated a feature string
+    * and a 32-char hex digest per feature (~640 task-s with ~22 s GC per
+    * corpus pass at the 500k-doc bench; DsirSpec pins the multiset
+    * equivalence, the DuckDB oracle replays the same cells).
     */
-  def featureBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def featureBuckets(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(graft.functions.text.dsir_feature_buckets(col(textCol))).as("b"))
+
+  /** The pre-r15 relational feature stream — kept ONLY as the
+    * equivalence reference for DsirSpec (explode of feature strings +
+    * md5-hex + conv per feature; the kernel above is the production
+    * path).
+    */
+  private[graft] def featureBucketsRelational(docs: DataFrame, idCol: String,
+                                              textCol: String): DataFrame = {
     val ws = split(col(textCol), " ")
     val n1 = greatest(size(ws) - 1, lit(0))
     val bigrams = zip_with(
@@ -96,17 +111,12 @@ object Dsir {
     * IS `bucketCounts` of that slice (DsirSpec pins the identity).
     */
   def bucketCountsBySlice(docs: DataFrame, idCol: String, textCol: String,
-                          sliceCol: Column): DataFrame = {
-    val ws = split(col(textCol), " ")
-    val n1 = greatest(size(ws) - 1, lit(0))
-    val bigrams = zip_with(
-      slice(ws, lit(1), n1), slice(ws, lit(2), n1),
-      (a, b) => concat_ws(" ", a, b))
-    // the label rides the explode map-side — no join back to the docs
-    docs.select(sliceCol.as("slice"), explode(concat(ws, bigrams)).as("f"))
-      .select(col("slice"), bucket(col("f")).as("b"))
+                          sliceCol: Column): DataFrame =
+    // the label rides the explode map-side — no join back to the docs;
+    // buckets from the same codegen kernel as featureBuckets (r15)
+    docs.select(sliceCol.as("slice"),
+        explode(graft.functions.text.dsir_feature_buckets(col(textCol))).as("b"))
       .groupBy("slice", "b").agg(count(lit(1)).cast("long").as("cnt"))
-  }
 
   /** Fit the importance model from the two count states: a driver fold
     * for the totals and the 9-dp log-ratio

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.{coalesce, concat, lit, raise_error, when}
-import org.apache.spark.sql.graft.{Bridge, CappedDistinctLongs, CharGramMinHashMd5, CharGramMinHashXx, GramFingerprintCounts, LangStopHits, Md5WinnowedFingerprints, MinHashSig, NgramShingles, NgramStats, SimHash64, TextProfile, WinnowedFingerprints}
+import org.apache.spark.sql.graft.{Bridge, CappedDistinctLongs, CharGramMinHashMd5, CharGramMinHashXx, DsirFeatureBuckets, GramFingerprintCounts, LangStopHits, Md5WinnowedFingerprints, MinHashSig, NgramShingles, NgramStats, SimHash64, TextProfile, WinnowedFingerprints}
 
 /** Column-API wrappers over the codegen'd text-sketch expressions
   * (see org.apache.spark.sql.graft.TextExpressions).
@@ -14,6 +14,14 @@ object text {
     */
   def minhash_sig(textCol: Column, n: Int, k: Int): Column =
     Bridge.column(MinHashSig(Bridge.expression(textCol), n, k))
+
+  /** DSIR hashed-n-gram feature buckets (unigrams ∪ bigrams, 12-bit md5
+    * cells) — one long per feature. Map-side, zero shuffle; identical
+    * multiset to the relational explode+md5+conv form. See
+    * [[DsirFeatureBuckets]].
+    */
+  def dsir_feature_buckets(textCol: Column): Column =
+    Bridge.column(DsirFeatureBuckets(Bridge.expression(textCol)))
 
   /** 64-bit SimHash of the whitespace token multiset; bit-compatible with
     * the xxhash64-based SQL derivation. Map-side, zero shuffle.

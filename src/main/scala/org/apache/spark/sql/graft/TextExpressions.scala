@@ -896,3 +896,110 @@ object CharGramMinHashXx {
     new GenericArrayData(mins)
   }
 }
+
+/** Per-row DSIR hashed-n-gram feature buckets — the map-side kernel
+  * behind [[graft.ext.Dsir.featureBuckets]]: one bucket per feature of
+  * the unigram ∪ bigram stream, where bucket = the first 3 hex digits
+  * of md5("b:" + feature) as an integer (the count-min cell rule the
+  * DuckDB oracle replays). Output is one long per feature, unigrams
+  * first then bigrams — exactly the multiset the relational
+  * `explode(concat(ws, bigrams))` + conv(substring(md5(...),1,3),16,10)
+  * form produced (DsirSpec pins the equivalence), with identical split
+  * semantics (`split(text, " ", -1)`: consecutive/trailing separators
+  * keep their empty tokens; a doc with one token has no bigrams).
+  *
+  * Why an expression: the relational form exploded FEATURE STRINGS and
+  * computed a 32-char hex digest + string substring + conv per feature —
+  * at the 500k-doc bench corpus its four map passes ran ~640 task-s
+  * with ~22 s of GC EACH (r15 StageProf), nearly all of it feature/hex
+  * allocation churn. This kernel hashes bytes in place (one shared
+  * MessageDigest, no hex, no feature strings for bigrams — the digest
+  * is fed token bytes + separator directly) and emits the 12-bit bucket
+  * from the first two digest bytes.
+  */
+case class DsirFeatureBuckets(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "dsir_feature_buckets"
+
+  override def nullSafeEval(input: Any): Any =
+    DsirFeatureBuckets.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = DsirFeatureBuckets.getClass.getName.stripSuffix("$")
+    nullSafeCodeGen(ctx, ev, t =>
+      s"""${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $cls.compute($t);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DsirFeatureBuckets {
+  private val Prefix = "b:".getBytes("UTF-8")
+
+  // MessageDigest.getInstance does a provider lookup — once per thread,
+  // not once per row (the relational Md5 expression paid it per FEATURE)
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 3 hex digits of the digest as an integer: hex chars are the
+    * nibbles of the digest bytes in order, so the value is the top 12
+    * bits — (d0 << 4) | (d1 >>> 4).
+    */
+  private def bucket12(d: Array[Byte]): Long =
+    (((d(0) & 0xff) << 4) | ((d(1) & 0xff) >>> 4)).toLong
+
+  def compute(text: UTF8String): ArrayData = {
+    // Tokenize on the raw UTF-8 bytes: 0x20 never occurs inside a
+    // multibyte sequence, so byte-splitting IS split(text, " ", -1)
+    // (consecutive/trailing separators keep their empty tokens). No
+    // String decode, no per-token re-encode — the first cut went
+    // through text.toString.split and measured SLOWER than the
+    // relational form it replaces (a full UTF-16 decode + per-token
+    // UTF-8 re-encode of the corpus).
+    val bytes = text.getBytes
+    val len = bytes.length
+    var n = 1
+    var i = 0
+    while (i < len) { if (bytes(i) == ' '.toByte) n += 1; i += 1 }
+    val starts = new Array[Int](n)
+    val ends = new Array[Int](n)
+    var t = 0
+    var start = 0
+    i = 0
+    while (i < len) {
+      if (bytes(i) == ' '.toByte) {
+        starts(t) = start; ends(t) = i; t += 1; start = i + 1
+      }
+      i += 1
+    }
+    starts(t) = start; ends(t) = len
+    val nBigrams = n - 1 // n >= 1 always (empty text = one empty token)
+    val out = new Array[Long](n + nBigrams)
+    val md = mdLocal.get()
+    i = 0
+    while (i < n) { // unigrams: "b:" + tok[i]
+      md.reset()
+      md.update(Prefix)
+      md.update(bytes, starts(i), ends(i) - starts(i))
+      out(i) = bucket12(md.digest())
+      i += 1
+    }
+    i = 0
+    while (i < nBigrams) { // bigrams: "b:" + tok[i] + " " + tok[i+1] —
+      // tokens split on single spaces are ADJACENT in the source bytes,
+      // so the bigram feature is the contiguous span [start_i, end_{i+1})
+      md.reset()
+      md.update(Prefix)
+      md.update(bytes, starts(i), ends(i + 1) - starts(i))
+      out(n + i) = bucket12(md.digest())
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}

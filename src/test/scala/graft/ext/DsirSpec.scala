@@ -71,6 +71,27 @@ class DsirSpec extends AnyFunSuite {
     Dsir.select(scored, "doc_id", scored.count() / 4).orderBy("doc_id")
   }
 
+  test("kernel featureBuckets equals the relational explode+md5+conv form (r15)") {
+    // fixture texts PLUS the split-semantics edges the kernel must
+    // reproduce: consecutive spaces (empty tokens), trailing space,
+    // single word (no bigrams), empty string (one empty token),
+    // multibyte words
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "double  space inside"),
+      (3L, "trailing space "),
+      (4L, "oneword"),
+      (5L, ""),
+      (6L, "añçé 漢字 mixé"),
+      (7L, " leading"),
+      (8L, "a b a b a")).toDF("doc_id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("id", "b").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(canon(Dsir.featureBuckets(docs, "doc_id", "text")) ==
+      canon(Dsir.featureBucketsRelational(docs, "doc_id", "text")))
+  }
+
   test("select equals the single-threaded reference replay exactly") {
     val got = run(fixture.toDF("doc_id", "text"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
